@@ -1,0 +1,174 @@
+"""Web-Mercator quadkey arithmetic — pure Python/NumPy, no geometry library.
+
+The reference's tile grid is defined as zoom-N quadkeys (reference
+custom_data/README.md:227-245; tiles created at impact_analysis.py:770-974),
+which makes the hot spatial join (impact_analysis.py:1880-1891, tiles ×
+envelopes via GeoPandas sjoin) reducible to an EXACT equi-join:
+
+    tile intersects polygon  ≡  tile_id ∈ quadkey_cover(polygon, zoom)
+
+``polygon_cover`` produces a *mixed-zoom* cover: subtrees fully inside the
+polygon are emitted as short quadkey prefixes instead of 4^(N-z) leaves, so
+a 1,000-km envelope at zoom 14 covers ~10^3 prefixes instead of ~10^5
+leaves — small enough to broadcast for all 408 envelopes of a forecast.
+The join side then matches leaves by prefix length (see geo/sjoin.py).
+
+Quadkey scheme (Bing Maps / Microsoft tile system, public spec):
+digit at level i selects the quadrant (0=NW, 1=NE, 2=SW, 3=SE).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+MAX_LATITUDE = 85.05112878  # Web-Mercator clamp
+
+
+def point_to_tile_xy(lat: float, lon: float, zoom: int) -> tuple[int, int]:
+    """lat/lon (EPSG:4326) → tile (x, y) at ``zoom``. Closed-form, exact."""
+    lat = min(max(lat, -MAX_LATITUDE), MAX_LATITUDE)
+    lon = min(max(lon, -180.0), 180.0)
+    n = 1 << zoom
+    x = int((lon + 180.0) / 360.0 * n)
+    sin_lat = math.sin(math.radians(lat))
+    y = int((0.5 - math.log((1 + sin_lat) / (1 - sin_lat)) / (4 * math.pi)) * n)
+    return min(x, n - 1), min(max(y, 0), n - 1)
+
+
+def tile_xy_to_quadkey(x: int, y: int, zoom: int) -> str:
+    digits = []
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        d = 0
+        if x & mask:
+            d += 1
+        if y & mask:
+            d += 2
+        digits.append(str(d))
+    return "".join(digits)
+
+
+def quadkey_to_tile_xy(qk: str) -> tuple[int, int, int]:
+    """quadkey → (x, y, zoom)."""
+    x = y = 0
+    zoom = len(qk)
+    for i, ch in enumerate(qk):
+        mask = 1 << (zoom - i - 1)
+        d = int(ch)
+        if d & 1:
+            x |= mask
+        if d & 2:
+            y |= mask
+    return x, y, zoom
+
+
+def point_to_quadkey(lat: float, lon: float, zoom: int) -> str:
+    x, y = point_to_tile_xy(lat, lon, zoom)
+    return tile_xy_to_quadkey(x, y, zoom)
+
+
+def _tile_lon(x: int, zoom: int) -> float:
+    return x / (1 << zoom) * 360.0 - 180.0
+
+
+def _tile_lat(y: int, zoom: int) -> float:
+    n = math.pi - 2.0 * math.pi * y / (1 << zoom)
+    return math.degrees(math.atan(0.5 * (math.exp(n) - math.exp(-n))))
+
+
+def quadkey_to_bbox(qk: str) -> tuple[float, float, float, float]:
+    """quadkey → (min_lon, min_lat, max_lon, max_lat) in EPSG:4326."""
+    x, y, zoom = quadkey_to_tile_xy(qk)
+    return (
+        _tile_lon(x, zoom),
+        _tile_lat(y + 1, zoom),
+        _tile_lon(x + 1, zoom),
+        _tile_lat(y, zoom),
+    )
+
+
+def quadkey_center(qk: str) -> tuple[float, float]:
+    """quadkey → (lat, lon) of tile center — replaces the reference's
+    equal-area centroid step (impact_analysis.py:1023) with exact math."""
+    min_lon, min_lat, max_lon, max_lat = quadkey_to_bbox(qk)
+    return (min_lat + max_lat) / 2.0, (min_lon + max_lon) / 2.0
+
+
+def quadkey_to_wkt(qk: str) -> str:
+    """quadkey → WKT POLYGON of its bbox (ring closed, CCW)."""
+    w, s, e, n = quadkey_to_bbox(qk)
+    return f"POLYGON (({w} {s}, {e} {s}, {e} {n}, {w} {n}, {w} {s}))"
+
+
+def children(qk: str) -> list[str]:
+    return [qk + d for d in "0123"]
+
+
+def polygon_cover(
+    polygon_rings: Iterable,
+    zoom: int,
+    *,
+    min_full_zoom: int = 6,
+) -> list[tuple[str, bool]]:
+    """Mixed-zoom quadkey cover of a polygon.
+
+    ``polygon_rings``: sequence of rings; ring 0 is the exterior shell,
+    the rest are holes. Each ring is a sequence of (lon, lat) pairs.
+
+    Returns (quadkey, full) pairs with len(quadkey) <= ``zoom``:
+      - full=True: the tile (or whole subtree, if shorter than ``zoom``)
+        is entirely INSIDE the polygon — membership needs no further check.
+      - full=False: a zoom-N leaf touching the boundary — point-level
+        consumers must verify with an exact point-in-polygon test.
+    Subtrees are only collapsed at zoom >= ``min_full_zoom`` to bound the
+    prefix-length fan-out (= number of per-length join passes).
+
+    Replaces the GeoPandas R-tree sjoin of the reference
+    (impact_analysis.py:1880-1891) with data Catalyst can equi-join.
+    """
+    from aos_spark.geo.wkt import rect_polygon_relation
+
+    rings = [[(float(px), float(py)) for px, py in ring] for ring in polygon_rings]
+    if not rings or len(rings[0]) < 3:
+        return []
+
+    lons = [p[0] for p in rings[0]]
+    lats = [p[1] for p in rings[0]]
+    bbox = (min(lons), min(lats), max(lons), max(lats))
+
+    out: list[tuple[str, bool]] = []
+
+    def descend(qk: str) -> None:
+        w, s, e, n = quadkey_to_bbox(qk)
+        if w > bbox[2] or e < bbox[0] or s > bbox[3] or n < bbox[1]:
+            return
+        rel = rect_polygon_relation((w, s, e, n), rings)
+        if rel == "disjoint":
+            return
+        if rel == "within" and (len(qk) >= min_full_zoom or len(qk) == zoom):
+            out.append((qk, True))  # whole subtree covered — emit the prefix
+            return
+        if len(qk) == zoom:
+            out.append((qk, False))  # boundary leaf
+            return
+        for c in children(qk):
+            descend(c)
+
+    for root in "0123":
+        descend(root)
+    return out
+
+
+def expand_cover(cover: Iterable, zoom: int) -> list[str]:
+    """Expand a mixed-zoom cover to full zoom-N leaves (test/small-scale
+    path). Accepts bare quadkeys or (quadkey, full) pairs."""
+    out: list[str] = []
+    stack = [qk if isinstance(qk, str) else qk[0] for qk in cover]
+    while stack:
+        qk = stack.pop()
+        if len(qk) == zoom:
+            out.append(qk)
+        else:
+            stack.extend(children(qk))
+    return out

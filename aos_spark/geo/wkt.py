@@ -1,0 +1,329 @@
+"""Dependency-free planar geometry kernel + WKT codec.
+
+Shapely is not available in this environment, and the engine's geometry
+needs are narrow (the hot join is quadkey-reduced, see geo/quadkey.py):
+point-in-polygon, rect/polygon relation for quadtree descent, polygon-rect
+clip area for the admin area-fallback (reference impact_analysis.py:1034-1047),
+segment intersection for landfall (reference reports.py:283-293), and
+haversine distance for the 1,500-km country pre-filter (reference
+snowflake_utils.py:590-616). All functions operate on plain tuples/lists so
+they vectorize cleanly inside Arrow-batched pandas UDFs.
+
+Geometries are represented as:
+  point      (lon, lat)
+  ring       [(lon, lat), ...]  (closed or open; closure implied)
+  polygon    [ring, ...]        (ring 0 = shell, rest = holes)
+  multipolygon [polygon, ...]
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+EARTH_RADIUS_M = 6_371_008.8
+
+# ---------------------------------------------------------------- WKT codec
+
+
+def _parse_ring(txt: str) -> list[tuple[float, float]]:
+    pts = []
+    for pair in txt.split(","):
+        xy = pair.split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return pts
+
+
+def _split_top_level(txt: str) -> list[str]:
+    """Split on commas at paren depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(txt):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(txt[start:i])
+            start = i + 1
+    parts.append(txt[start:])
+    return parts
+
+
+def _strip_outer(txt: str) -> str:
+    txt = txt.strip()
+    assert txt.startswith("(") and txt.endswith(")"), f"bad WKT fragment: {txt[:40]}"
+    return txt[1:-1]
+
+
+def parse_wkt(wkt: str):
+    """Parse WKT → (kind, coords).
+
+    kind ∈ {'POINT','LINESTRING','POLYGON','MULTIPOLYGON'};
+    POLYGON → list of rings; MULTIPOLYGON → list of polygons.
+    Returns None for empty/invalid input (reference drops unparseable rows,
+    snowflake_utils.py:452-478).
+    """
+    if wkt is None:
+        return None
+    m = re.match(r"\s*(POINT|LINESTRING|POLYGON|MULTIPOLYGON)\s*(.*)", wkt.strip(), re.I)
+    if not m:
+        return None
+    kind = m.group(1).upper()
+    body = m.group(2).strip()
+    if body.upper() == "EMPTY" or not body:
+        return None
+    try:
+        if kind == "POINT":
+            xy = _strip_outer(body).split()
+            return kind, (float(xy[0]), float(xy[1]))
+        if kind == "LINESTRING":
+            return kind, _parse_ring(_strip_outer(body))
+        if kind == "POLYGON":
+            rings = [_parse_ring(_strip_outer(r)) for r in _split_top_level(_strip_outer(body))]
+            return kind, rings
+        if kind == "MULTIPOLYGON":
+            polys = []
+            for poly_txt in _split_top_level(_strip_outer(body)):
+                rings = [
+                    _parse_ring(_strip_outer(r))
+                    for r in _split_top_level(_strip_outer(poly_txt.strip()))
+                ]
+                polys.append(rings)
+            return kind, polys
+    except (ValueError, AssertionError, IndexError):
+        return None
+    return None
+
+
+def polygons_of(wkt: str) -> list[list[list[tuple[float, float]]]]:
+    """Parse WKT and normalize to a list of polygons (each = list of rings)."""
+    parsed = parse_wkt(wkt)
+    if parsed is None:
+        return []
+    kind, coords = parsed
+    if kind == "POLYGON":
+        return [coords]
+    if kind == "MULTIPOLYGON":
+        return coords
+    return []
+
+
+def polygon_to_wkt(rings) -> str:
+    ring_txts = []
+    for ring in rings:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        ring_txts.append("(" + ", ".join(f"{x} {y}" for x, y in pts) + ")")
+    return "POLYGON (" + ", ".join(ring_txts) + ")"
+
+
+# ------------------------------------------------------- predicates/measures
+
+
+def point_in_ring(x: float, y: float, ring) -> bool:
+    """Ray casting; boundary points count as inside (tolerant, matches the
+    'intersects' semantics the reference uses for tiles/facilities)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+            elif abs(x - xin) < 1e-12:
+                return True
+    return inside
+
+
+def point_in_polygon(x: float, y: float, rings) -> bool:
+    if not rings or not point_in_ring(x, y, rings[0]):
+        return False
+    return all(not point_in_ring(x, y, hole) for hole in rings[1:])
+
+
+def point_in_any_polygon(x: float, y: float, polys) -> bool:
+    return any(point_in_polygon(x, y, p) for p in polys)
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if abs(v) < 1e-15 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) - 1e-15 <= c[0] <= max(a[0], b[0]) + 1e-15
+            and min(a[1], b[1]) - 1e-15 <= c[1] <= max(a[1], b[1]) + 1e-15
+        )
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(p1, p2, p3):
+        return True
+    if o2 == 0 and on_seg(p1, p2, p4):
+        return True
+    if o3 == 0 and on_seg(p3, p4, p1):
+        return True
+    return o4 == 0 and on_seg(p3, p4, p2)
+
+
+def segment_intersects_polygon(p1, p2, rings) -> bool:
+    """True if segment p1-p2 touches/crosses the polygon (used for landfall
+    line-segment fallback, reference reports.py:283-293)."""
+    if point_in_polygon(*p1, rings) or point_in_polygon(*p2, rings):
+        return True
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            if _segments_intersect(p1, p2, ring[i], ring[(i + 1) % n]):
+                return True
+    return False
+
+
+def ring_area(ring) -> float:
+    """Shoelace area (planar, in coordinate units²); positive regardless of
+    winding."""
+    s = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def polygon_area(rings) -> float:
+    if not rings:
+        return 0.0
+    return ring_area(rings[0]) - sum(ring_area(h) for h in rings[1:])
+
+
+def clip_ring_to_rect(ring, rect):
+    """Sutherland–Hodgman clip of a ring by rect=(w, s, e, n)."""
+    w, s, e, n = rect
+
+    def clip_edge(pts, inside, intersect):
+        out = []
+        m = len(pts)
+        for i in range(m):
+            cur, nxt = pts[i], pts[(i + 1) % m]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect(cur, nxt))
+            elif nin:
+                out.append(intersect(cur, nxt))
+        return out
+
+    def ix_v(x0):
+        def f(a, b):
+            t = (x0 - a[0]) / (b[0] - a[0])
+            return (x0, a[1] + t * (b[1] - a[1]))
+
+        return f
+
+    def ix_h(y0):
+        def f(a, b):
+            t = (y0 - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), y0)
+
+        return f
+
+    pts = list(ring)
+    for inside, ix in (
+        (lambda p: p[0] >= w, ix_v(w)),
+        (lambda p: p[0] <= e, ix_v(e)),
+        (lambda p: p[1] >= s, ix_h(s)),
+        (lambda p: p[1] <= n, ix_h(n)),
+    ):
+        if not pts:
+            return []
+        pts = clip_edge(pts, inside, ix)
+    return pts
+
+
+def rect_clip_area(rect, rings) -> float:
+    """Area of polygon ∩ rect — the admin area-fallback measure
+    (reference impact_analysis.py:1034-1047)."""
+    area = 0.0
+    for i, ring in enumerate(rings):
+        clipped = clip_ring_to_rect(ring, rect)
+        if len(clipped) >= 3:
+            a = ring_area(clipped)
+            area += a if i == 0 else -a
+    return max(area, 0.0)
+
+
+def rect_polygon_relation(rect, rings) -> str:
+    """Classify rect=(w,s,e,n) vs polygon → 'disjoint' | 'within' | 'intersects'.
+
+    Drives the quadtree descent in quadkey.polygon_cover. 'within' means the
+    rect is entirely inside the polygon (accounting for holes).
+    """
+    w, s, e, n = rect
+    corners = [(w, s), (e, s), (e, n), (w, n)]
+    corners_in = [point_in_polygon(x, y, rings) for x, y in corners]
+
+    rect_edges = [(corners[i], corners[(i + 1) % 4]) for i in range(4)]
+    for ring in rings:
+        m = len(ring)
+        for i in range(m):
+            a, b = ring[i], ring[(i + 1) % m]
+            # cheap bbox reject for the edge
+            if max(a[0], b[0]) < w or min(a[0], b[0]) > e:
+                continue
+            if max(a[1], b[1]) < s or min(a[1], b[1]) > n:
+                continue
+            for r1, r2 in rect_edges:
+                if _segments_intersect(a, b, r1, r2):
+                    return "intersects"
+            # edge fully inside rect (no crossing) → boundary passes through
+            if w <= a[0] <= e and s <= a[1] <= n:
+                return "intersects"
+
+    if all(corners_in):
+        return "within"
+    if any(corners_in):
+        return "intersects"
+    # no boundary crossing, no corner inside: either disjoint or rect contains polygon
+    px, py = rings[0][0]
+    if w <= px <= e and s <= py <= n:
+        return "intersects"  # polygon entirely inside rect
+    return "disjoint"
+
+
+# ---------------------------------------------------------------- distances
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> float:
+    """Great-circle distance in meters."""
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = p2 - p1, math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+
+def point_polygon_distance_m(lat, lon, rings) -> float:
+    """Approximate geodesic distance point→polygon boundary (0 if inside).
+    Used by the 1,500-km pre-filter (reference main_pipeline.py:176-217) and
+    the nearest-admin fallback (impact_analysis.py:1049-1064). Vertex+midpoint
+    sampling is accurate to well under the 1,500-km decision scale."""
+    if point_in_polygon(lon, lat, rings):
+        return 0.0
+    best = float("inf")
+    for ring in rings:
+        m = len(ring)
+        for i in range(m):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % m]
+            for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+                d = haversine_m(lat, lon, y1 + t * (y2 - y1), x1 + t * (x2 - x1))
+                if d < best:
+                    best = d
+    return best

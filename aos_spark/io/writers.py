@@ -1,0 +1,67 @@
+"""Partitioned sinks + filename-compatible export (S10, S11, F9).
+
+The reference writes one file per composite key
+``{country}_{storm}_{date}_{wind}_{zoom|adminN}`` (FILE_STRUCTURE.md:279-302)
+and deletes stale outputs by filename prefix before rewriting
+(impact_analysis.py:2790-2805). The engine-native layout replaces both:
+one dataset per view family, partitioned by the key columns, written with
+dynamic partition overwrite (idempotent per (storm, forecast) re-runs leave
+no stale partitions). ``export_filename_compat`` provides the byte-layout
+bridge for downstream consumers that expect the reference's file naming.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+VIEW_PARTITION_COLS = ["country", "track_id", "forecast_compact", "wind_threshold"]
+
+
+def write_view(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned, dynamically-overwritten write — the idiomatic replacement
+    for the reference's prefix-delete + rewrite (F9). Requires
+    spark.sql.sources.partitionOverwriteMode=dynamic (set in session.py)."""
+    cols = partition_cols if partition_cols is not None else VIEW_PARTITION_COLS
+    cols = [c for c in cols if c in df.columns]
+    writer = df.write.mode("overwrite").format(fmt)
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.save(path)
+
+
+def export_filename_compat(
+    df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    *,
+    fmt: str = "csv",
+) -> list[str]:
+    """One single file per composite key, named ``{key1}_{key2}_....{ext}``
+    (FILE_STRUCTURE.md naming parity). Keys are collected on the driver —
+    the key space is small by construction (countries × storms × thresholds),
+    the per-key data is written by executors via coalesced single-partition
+    writes. Only for the export boundary; engine-internal data stays
+    partitioned."""
+    os.makedirs(out_dir, exist_ok=True)
+    keys = [tuple(r) for r in df.select(*key_cols).distinct().collect()]
+    written = []
+    for key in keys:
+        sub = df
+        for col, val in zip(key_cols, key):
+            sub = sub.filter(sub[col] == val)
+        name = "_".join(str(v) for v in key)
+        target = os.path.join(out_dir, name)
+        sub = sub.drop(*key_cols).coalesce(1)
+        if fmt == "csv":
+            sub.write.mode("overwrite").option("header", "true").csv(target)
+        else:
+            sub.write.mode("overwrite").parquet(target)
+        written.append(target)
+    return written

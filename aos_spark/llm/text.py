@@ -1,0 +1,101 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure Catalyst expressions (regexp/split/transform) — no Python UDFs —
+so they run inside whole-stage codegen and scale linearly with input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-word lists for the n-gram/stopword language heuristic. Deliberately
+# tiny and deterministic: language ID at corpus scale is a scoring pass, and
+# the contract (argmax of per-language marker hits, ties → 'und') is what the
+# engine guarantees; swap in bigger lexicons without changing the plan shape.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+_WORD_RE = r"[^a-z0-9']+"
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count; empty/NULL-safe."""
+    trimmed = F.trim(F.col(text_col))
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def marker_hits(lang: str, text_col: str = "text") -> Column:
+    """Count of marker-word occurrences for one language (word-boundary
+    regexp count — JVM-side)."""
+    pattern = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    lowered = F.lower(F.col(text_col))
+    # count = (len(text) - len(text with matches removed)) impossible for
+    # words; use size(split) - 1 on the match pattern instead
+    return F.size(F.split(lowered, pattern)) - F.lit(1)
+
+
+def detect_language(text_col: str = "text") -> Column:
+    """Argmax of per-language marker hits; 'und' when no marker matches.
+    Deterministic tie-break: language name ascending."""
+    scores = [(lang, marker_hits(lang, text_col)) for lang in sorted(LANG_MARKERS)]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang, s in scores:  # first (alphabetical) language reaching the max wins
+        expr = expr.when(s == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features per document."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]]", ""))
+    n_tokens = token_count(text_col)
+    stop_hits = marker_hits("en", text_col)
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("alpha_ratio", F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 6),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                (n_chars - n_tokens + 1).cast("double")
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def quality_score() -> Column:
+    """Composite [0,1] quality score over the features above — a linear
+    blend with hard penalties, the usual shape of corpus-filtering scores."""
+    score = (
+        F.lit(0.4) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+        + F.lit(0.4) * F.col("alpha_ratio")
+        + F.lit(0.2) * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+    )
+    penalized = F.when(F.col("punct_ratio") > 0.3, score * 0.5).otherwise(score)
+    return F.round(penalized, 6)
+
+
+def fingerprint(text_col: str = "text", width: int = 16) -> Column:
+    """Deterministic document fingerprint: normalize (lowercase, collapse
+    whitespace/punct) then hash — robust to formatting-only edits. Uses md5
+    so an external system (and the DuckDB oracle) can reproduce it."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    return F.substring(F.md5(F.trim(normalized)), 1, width)

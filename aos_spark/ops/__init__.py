@@ -1,0 +1,14 @@
+"""Operator library — SURVEY.md §2 re-expressed as composable DataFrame
+transforms. Every function takes and returns DataFrames and stays inside
+Catalyst-optimizable expressions (no Python row loops, no collect)."""
+
+from aos_spark.ops import (  # noqa: F401
+    cci,
+    filters,
+    probability,
+    rollup,
+    severity,
+    topk,
+    vulnerability,
+    windows,
+)

@@ -1,0 +1,930 @@
+"""Query registry — the driver-facing inventory of implemented operators.
+
+Every entry maps one (or a tight cluster) of SURVEY.md §2 operators onto the
+driver's deterministic test tables and carries an ANSI-SQL oracle that DuckDB
+executes on the same parquet files. Cross-engine exactness rules used
+throughout (so order-insensitive value-hashes match bit-for-bit):
+
+- SUMs over doubles go through DECIMAL(18,s) so accumulation order cannot
+  change the result; the final value is CAST back to DOUBLE.
+- Per-row double arithmetic (products, ratios, cosines) is identical IEEE754
+  in both engines, so it stays raw; outputs that chain multiple aggregates
+  are rounded to 6 decimals in BOTH.
+- Every computed column is aliased identically in the Spark plan and the SQL.
+- DuckDB `regexp_replace` gets the 'g' flag (Spark replaces all by default),
+  `ceil`/`len`/`row_number` results are cast to match Spark's output types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aos_spark.llm import dedup as D
+from aos_spark.llm import similarity as SIM
+from aos_spark.llm import text as TX
+from aos_spark.ops import cci, filters, probability, rollup, severity, topk, vulnerability, windows
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from aos_spark.io.readers import read_sf_table
+
+    return read_sf_table(spark, sf_dir, name)
+
+
+def dsum(col: str, scale: int = 2) -> F.Column:
+    """Order-independent sum of a double column (exact decimal accumulation)."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_sql(col: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Flagship: the storm-impact pipeline in relational form (SURVEY §7.2 slice 0)
+# events as the fact stream: user_id ~ zone, event_type ~ ensemble member,
+# fixed denominator 8 ~ FULL_ENSEMBLE_SIZE=51 (impact_analysis.py:185-188).
+# Chain: F4 recency filter → A1 probability (fixed denominator) → A2 expected
+# impact → A3/J9 rollup with the null contract → A8 top-K.
+# --------------------------------------------------------------------------
+
+FLAGSHIP_ENSEMBLE = 8
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev = filters.recency_filter(ev, "ts", "2024-02-15", 40)
+    hits = ev.select("user_id", "event_type").distinct()
+    prob = probability.member_probability(
+        hits, ["user_id"], member_col="event_type", ensemble_size=FLAGSHIP_ENSEMBLE
+    )
+    base = ev.groupBy("user_id").agg(dsum("value").alias("exposure"))
+    tiles = probability.attach_probability(base, prob, ["user_id"])
+    tiles = probability.expected_impact(tiles, ["exposure"], keep=["user_id"])
+    admin = tiles.withColumn("admin_id", F.col("user_id") % 10).withColumn(
+        # exact decimal accumulation so the rollup sum is order-independent
+        "E_exposure",
+        F.col("E_exposure").cast("decimal(18,6)"),
+    )
+    rolled = rollup.agg_with_null_contract(
+        admin, ["admin_id"], sum_cols=["E_exposure"], avg_cols=[], optional_sum_cols=[]
+    )
+    rolled = rolled.withColumn("E_exposure", F.round(F.col("E_exposure").cast("double"), 4))
+    ranked = topk.topk_per_group(
+        rolled.withColumn("__g", F.lit(1)), ["__g"], "E_exposure", "admin_id", k=5
+    )
+    return ranked.select("admin_id", "E_exposure", "rank_in_group")
+
+
+ORACLE_FLAGSHIP = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE date_diff('day', CAST(ts AS DATE), DATE '2024-02-15') < 40
+),
+prob AS (
+  SELECT user_id,
+         COUNT(DISTINCT event_type) / {float(FLAGSHIP_ENSEMBLE)} AS probability
+  FROM ev GROUP BY user_id
+),
+base AS (
+  SELECT user_id, {_dsum_sql('value')} AS exposure FROM ev GROUP BY user_id
+),
+tiles AS (
+  SELECT b.user_id, COALESCE(p.probability, 0.0) AS probability,
+         b.exposure * COALESCE(p.probability, 0.0) AS E_exposure
+  FROM base b LEFT JOIN prob p USING (user_id)
+),
+rolled AS (
+  SELECT user_id % 10 AS admin_id,
+         ROUND(COALESCE(CAST(SUM(CAST(E_exposure AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4) AS E_exposure
+  FROM tiles GROUP BY 1
+)
+SELECT admin_id, E_exposure,
+       CAST(ROW_NUMBER() OVER (ORDER BY E_exposure DESC, admin_id ASC) AS INTEGER) AS rank_in_group
+FROM rolled QUALIFY rank_in_group <= 5
+"""
+
+# NOTE on the flagship oracle: E_exposure per admin sums ~15 doubles; the
+# decimal(18,6) re-cast before the rollup sum keeps both engines exact.
+# The Spark side must match — see q_flagship's rollup using the same cast.
+
+
+# --------------------------------------------------------------------------
+# Relational tier
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the agg-dict family A3/A6 with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,4)")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+    )
+    return out
+
+
+ORACLE_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order,
+       ROUND({_dsum_sql('l_quantity')} / COUNT(*), 6) AS avg_qty,
+       ROUND({_dsum_sql('l_extendedprice')} / COUNT(*), 6) AS avg_price
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S7/A11: catalog scan — COUNT(DISTINCT member) + latest-forecast probe."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_members"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+    )
+
+
+ORACLE_CATALOG = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_members,
+       COUNT(*) AS n_rows,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+FROM events GROUP BY event_type
+"""
+
+
+def q_recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F4: date filters relative to a fixed as-of."""
+    ev = _t(spark, sf_dir, "events")
+    ev = filters.recency_filter(ev, "ts", "2024-01-20", 7)
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_recent"))
+
+
+ORACLE_RECENCY = """
+SELECT event_type, COUNT(*) AS n_recent
+FROM events
+WHERE date_diff('day', CAST(ts AS DATE), DATE '2024-01-20') < 7
+GROUP BY event_type
+"""
+
+
+def q_isin_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: OR-of-isin facility-type filter shape, on orders columns."""
+    o = _t(spark, sf_dir, "orders")
+    mask = filters.isin_any(
+        {"o_orderstatus": ["F"], "o_orderpriority": ["1-URGENT", "2-HIGH"]}
+    )
+    return (
+        o.filter(mask)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_value"))
+    )
+
+
+ORACLE_ISIN = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {_dsum_sql('o_totalprice')} AS total_value
+FROM orders
+WHERE o_orderstatus IN ('F') OR o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_antijoin_new_work(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: idempotency anti-join — customers with no orders, per nation."""
+    c = _t(spark, sf_dir, "customer")
+    processed = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation")
+    unprocessed = c.join(processed, "c_custkey", "left_anti")
+    return (
+        unprocessed.join(n, unprocessed.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_idle_customers"))
+    )
+
+
+ORACLE_ANTIJOIN = """
+SELECT n_name, COUNT(*) AS n_idle_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY n_name
+"""
+
+
+def q_cover_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-as-equi-join: broadcast the small filtered dim (the quadkey-cover
+    pattern) and aggregate over the fact side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+ORACLE_COVER_JOIN = f"""
+SELECT p_brand, COUNT(*) AS n_lines, {_dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 10
+GROUP BY p_brand
+"""
+
+
+def q_preserve_empty_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/A3 + the null contract: every nation appears; counts zero-filled,
+    optional avg stays NULL for empty nations (impact_analysis.py:1493-1498)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    agg = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rich"),
+        F.avg(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("avg_bal"),
+    )
+    out = rollup.rollup_preserving_empty(
+        n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name"),
+        agg,
+        ["c_nationkey"],
+        zero_fill_cols=["n_rich"],
+    )
+    return out.select("n_name", "n_rich", F.round("avg_bal", 6).alias("avg_bal"))
+
+
+ORACLE_PRESERVE_EMPTY = """
+WITH agg AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n_rich,
+         CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+)
+SELECT n_name, COALESCE(n_rich, 0.0) AS n_rich, ROUND(avg_bal, 6) AS avg_bal
+FROM nation LEFT JOIN agg ON n_nationkey = c_nationkey
+"""
+
+
+def q_probability_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 in isolation: fixed-denominator probability and E_ derivation."""
+    ev = _t(spark, sf_dir, "events")
+    hits = ev.select("user_id", "event_type").distinct()
+    prob = probability.member_probability(
+        hits, ["user_id"], member_col="event_type", ensemble_size=FLAGSHIP_ENSEMBLE
+    )
+    base = ev.groupBy("user_id").agg(dsum("value").alias("total_value"))
+    tiles = probability.attach_probability(base, prob, ["user_id"])
+    out = probability.expected_impact(tiles, ["total_value"], keep=["user_id"])
+    return out.select(
+        "user_id", "probability", F.round("E_total_value", 6).alias("E_total_value")
+    )
+
+
+ORACLE_PROB = f"""
+WITH prob AS (
+  SELECT user_id, COUNT(DISTINCT event_type) / {float(FLAGSHIP_ENSEMBLE)} AS probability
+  FROM events GROUP BY user_id
+),
+base AS (
+  SELECT user_id, {_dsum_sql('value')} AS total_value FROM events GROUP BY user_id
+)
+SELECT b.user_id, COALESCE(p.probability, 0.0) AS probability,
+       ROUND(b.total_value * COALESCE(p.probability, 0.0), 6) AS E_total_value
+FROM base b LEFT JOIN prob p USING (user_id)
+"""
+
+
+def q_report_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ceil'd scalar totals + optional (NULL-on-empty) conditional sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.ceil(dsum("l_quantity")).alias("total_qty_ceil"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.09, F.col("l_extendedprice").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("deep_discount_value"),
+    )
+
+
+ORACLE_REPORT_TOTALS = f"""
+SELECT l_returnflag,
+       CAST(CEIL({_dsum_sql('l_quantity')}) AS BIGINT) AS total_qty_ceil,
+       CAST(SUM(CASE WHEN l_discount > 0.09 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS deep_discount_value
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_vulnerability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8+A7: derived-ratio banding and conditional band sums."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "severe")
+        .when(F.col("c_acctbal") < 1000, "vulnerable")
+        .otherwise("stable")
+    )
+    out = vulnerability.band_sums(
+        c.withColumn("acct", F.col("c_acctbal").cast("decimal(18,2)")),
+        band,
+        "band",
+        ["acct"],
+    )
+    return out.select(
+        "band",
+        F.col("acct").cast("double").alias("band_balance"),
+    )
+
+
+ORACLE_VULN = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'severe'
+            WHEN c_acctbal < 1000 THEN 'vulnerable'
+            ELSE 'stable' END AS band,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS band_balance
+FROM customer GROUP BY 1
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: top-5 per group with deterministic tie-break (reports.py:705-736)."""
+    o = _t(spark, sf_dir, "orders")
+    out = topk.topk_per_group(o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=5)
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank_in_group")
+
+
+ORACLE_TOPK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER)
+         AS rank_in_group
+FROM orders QUALIFY rank_in_group <= 5
+"""
+
+
+def q_max_active_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: highest threshold with non-zero signal (reports.py:319-339)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "signal",
+        F.when(F.col("l_discount") > 0.08, F.col("l_quantity")).otherwise(F.lit(0.0)),
+    )
+    return topk.max_active_threshold(
+        li, threshold_col="l_linenumber", signal_col="signal", group_cols=["l_returnflag"]
+    )
+
+
+ORACLE_MAX_THRESHOLD = """
+WITH per_th AS (
+  SELECT l_returnflag, l_linenumber,
+         SUM(CASE WHEN l_discount > 0.08 THEN l_quantity ELSE 0.0 END) AS sig
+  FROM lineitem GROUP BY l_returnflag, l_linenumber
+)
+SELECT l_returnflag, MAX(l_linenumber) AS max_threshold
+FROM per_th WHERE sig > 0 GROUP BY l_returnflag
+"""
+
+
+def q_first_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+A10: first qualifying row per member, then min/max/count stats
+    (landfall shape, reports.py:256-312)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = windows.first_match(
+        ev, ["user_id"], ["ts", "event_id"], F.col("event_type") == "error"
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_members_hit"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("earliest"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("latest"),
+    )
+
+
+ORACLE_FIRST_MATCH = """
+WITH firsts AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'error'
+)
+SELECT COUNT(*) AS n_members_hit,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS earliest,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest
+FROM firsts WHERE rn = 1
+"""
+
+
+def q_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: consecutive-point segments via lead (reports.py:224-254)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    seg = windows.lead_segments(ev, ["user_id"], "event_id", ["ts", "value"])
+    return seg.select(
+        "user_id",
+        "event_id",
+        "value",
+        "value_next",
+        (F.unix_timestamp("ts_next") - F.unix_timestamp("ts")).alias("gap_seconds"),
+    )
+
+
+ORACLE_SEGMENTS = """
+WITH seg AS (
+  SELECT user_id, event_id, ts, value,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS ts_next,
+         LEAD(value) OVER (PARTITION BY user_id ORDER BY event_id) AS value_next
+  FROM events
+)
+SELECT user_id, event_id, value, value_next,
+       CAST(date_diff('second', ts, ts_next) AS BIGINT) AS gap_seconds
+FROM seg WHERE ts_next IS NOT NULL
+"""
+
+
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+W4: exceedance differencing + weighted CCI sum
+    (impact_analysis.py:2617-2740 reshaped long)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("zone_id"),
+        F.col("l_linenumber").alias("wind_threshold"),
+        F.col("l_quantity").alias("exposure"),
+    )
+    # one row per (zone, threshold): keep max exposure for duplicate lines
+    long_df = li.groupBy("zone_id", "wind_threshold").agg(
+        F.max("exposure").alias("exposure")
+    )
+    out = cci.cci_from_long(long_df, ["zone_id"], "wind_threshold", ["exposure"])
+    return out.select("zone_id", F.round("cci_exposure", 6).alias("cci_exposure"))
+
+
+ORACLE_CCI = """
+WITH long_df AS (
+  SELECT l_orderkey AS zone_id, l_linenumber AS wind_threshold,
+         MAX(l_quantity) AS exposure
+  FROM lineitem GROUP BY 1, 2
+),
+banded AS (
+  SELECT zone_id, wind_threshold,
+         exposure - COALESCE(LEAD(exposure) OVER
+           (PARTITION BY zone_id ORDER BY wind_threshold ASC), 0.0) AS band
+  FROM long_df
+)
+SELECT zone_id,
+       ROUND(SUM(band * POW(CAST(wind_threshold AS DOUBLE), 2.0) * 1e-6), 6) AS cci_exposure
+FROM banded GROUP BY zone_id
+"""
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: keep-first dedup with explicit order (impact_analysis.py:1031)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the synthetic data — full
+    # explicit ordering keeps "first" deterministic (the W5 contract)
+    out = windows.dedup_keep_first(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"]
+    )
+    return out.select("l_orderkey", "l_partkey", "l_quantity")
+
+
+ORACLE_DEDUP_FIRST = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: argmax row per group (impact_analysis.py:1043)."""
+    o = _t(spark, sf_dir, "orders")
+    out = windows.argmax_per_group(o, ["o_custkey"], "o_totalprice", "o_orderkey")
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+ORACLE_ARGMAX = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_member_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7+A5: per-member severity sums with optional-sum semantics."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("member"),
+        F.col("event_type").alias("threshold"),
+        F.col("value").cast("decimal(18,2)").alias("exposure"),
+    )
+    out = severity.member_severity(
+        ev, "member", "threshold", ["exposure"], count_col="threshold"
+    )
+    return out.select(
+        "member",
+        "threshold",
+        F.col("total_exposure").cast("double").alias("total_exposure"),
+        "n_zones",
+    )
+
+
+ORACLE_SEVERITY = """
+SELECT user_id AS member, event_type AS threshold,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_exposure,
+       COUNT(event_type) AS n_zones
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 scalar families: compact timestamp format, ±6h offsets, datediff,
+    regexp extraction, filename-style key construction."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts_compact"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 6 HOURS"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_plus_6h"
+        ),
+        F.datediff(F.lit("2024-06-01").cast("date"), F.col("ts").cast("date")).alias(
+            "days_to_jun"
+        ),
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k_value"),
+        F.concat_ws(
+            "_", F.lit("EVT"), F.col("event_type"), F.date_format("ts", "yyyyMMdd")
+        ).alias("file_key"),
+    )
+
+
+ORACLE_SCALARS = r"""
+SELECT event_id,
+       strftime(ts, '%Y%m%d%H%M%S') AS ts_compact,
+       strftime(ts + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_plus_6h,
+       CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS INTEGER) AS days_to_jun,
+       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_value,
+       concat_ws('_', 'EVT', event_type, strftime(ts, '%Y%m%d')) AS file_key
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_recode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 dict-map recode with NULL preservation (SMOD L2→L1 shape,
+    impact_analysis.py:296-305) applied to p_size."""
+    p = _t(spark, sf_dir, "part").withColumn(
+        "smod_class", F.col("p_size").cast("double")
+    )
+    out = p.withColumn("smod_class_l1", filters.smod_l2_to_l1())
+    return out.groupBy("smod_class_l1").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+ORACLE_RECODE = """
+SELECT CAST(CASE WHEN p_size IN (10, 11, 12, 13) THEN 1.0
+                 WHEN p_size IN (21, 22, 23) THEN 2.0
+                 WHEN p_size = 30 THEN 3.0 END AS DOUBLE) AS smod_class_l1,
+       COUNT(*) AS n_parts
+FROM part GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline tier (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.token_count().alias("n_tokens"))
+
+
+ORACLE_TOKENS = r"""
+SELECT doc_id, lang,
+       CAST(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = TX.quality_features(d)
+    out = out.withColumn("quality", TX.quality_score())
+    return out.select(
+        "doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+ORACLE_QUALITY = r"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]]', '', 'g')) AS n_punct,
+         CAST(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+         len(string_split_regex(lower(text), '\b(and|is|of|the|to)\b')) - 1 AS stop_hits
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tokens,
+         ROUND(n_alpha / GREATEST(n_chars, 1), 6) AS alpha_ratio,
+         ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+         ROUND(stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio
+  FROM feats
+)
+SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+       ROUND(CASE WHEN punct_ratio > 0.3 THEN 0.5 ELSE 1.0 END *
+             (0.4 * LEAST(stopword_ratio * 4, 1.0)
+              + 0.4 * alpha_ratio
+              + 0.2 * LEAST(n_tokens / 100.0, 1.0)), 6) AS quality
+FROM ratios
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), TX.detect_language().alias("detected_lang")
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in sorted(TX.LANG_MARKERS):
+        pat = r"\b(" + "|".join(TX.LANG_MARKERS[lang]) + r")\b"
+        score_cols.append(f"len(string_split_regex(lower(text), '{pat}')) - 1 AS s_{lang}")
+    langs = sorted(TX.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scores AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM documents)
+SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang FROM scores
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint().alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       substring(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16)
+         AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.35)
+
+
+_SHINGLES_SQL = r"""
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM (SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+        FROM documents)
+"""
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM inter WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= 0.35
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, num_hashes=16, bands=4, n=3, threshold=0.3)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+    rows = num_hashes // bands
+    prime = D.MINHASH_PRIME
+    sig_items = ", ".join(
+        f"list_aggregate(list_transform(hashed, h -> (h * {a} + {b}) % {prime}), 'min')"
+        for a, b in D.minhash_params(num_hashes)
+    )
+    band_structs = ", ".join(
+        f"struct_pack(band := {bi}, "
+        f"band_key := array_to_string(sig[{bi * rows + 1}:{bi * rows + rows}], '|'))"
+        for bi in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed_t AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)) AS hashed
+  FROM sh),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM hashed_t),
+banded AS (
+  SELECT doc_id, shingles, UNNEST([{band_structs}], recursive := true) FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.shingles AS sh_a, y.shingles AS sh_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_inter,
+         len(sh_a) + len(sh_b) - len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_union
+  FROM cand
+)
+SELECT id_a, id_b, ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+FROM verified WHERE ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) >= {threshold}
+"""
+
+
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(e, queries, k=10)
+
+
+ORACLE_SIM_BRUTE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+           AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_topk(e, queries, k=10, n_planes=6)
+
+
+def _sim_lsh_oracle(n_planes: int = 6, seed: int = 7, dim: int = 64, k: int = 10) -> str:
+    planes = SIM._hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM vecs),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM q JOIN bucketed c USING (bucket) WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(e, threshold=0.2, n_planes=4)
+
+
+def _embedding_neardup_oracle(threshold: float = 0.2, n_planes: int = 4, seed: int = 7, dim: int = 64) -> str:
+    planes = SIM._hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM vecs),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         ROUND(list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_storm_impact": q_flagship,
+    "q1_pricing_summary": q_pricing_summary,
+    "s1_catalog_scan": q_catalog_scan,
+    "f4_recency_filter": q_recency_filter,
+    "f5_isin_or_filter": q_isin_or_filter,
+    "f11_antijoin_new_work": q_antijoin_new_work,
+    "j1_cover_equi_join": q_cover_equi_join,
+    "j9_preserve_empty_regions": q_preserve_empty_regions,
+    "a1_a2_probability_expected": q_probability_expected,
+    "a6_report_totals": q_report_totals,
+    "a7_vulnerability_bands": q_vulnerability_bands,
+    "a8_topk_per_group": q_topk_per_group,
+    "a9_max_active_threshold": q_max_active_threshold,
+    "a10_first_match_stats": q_first_match_stats,
+    "w1_track_segments": q_track_segments,
+    "w3_w4_cci": q_cci,
+    "w5_dedup_keep_first": q_dedup_keep_first,
+    "w6_argmax_per_group": q_argmax_per_group,
+    "a5_member_severity": q_member_severity,
+    "scalar_functions": q_scalar_functions,
+    "smod_recode_map": q_recode_map,
+    "text_token_count": q_text_tokens,
+    "text_quality_score": q_text_quality,
+    "text_language_id": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "sim_bruteforce_topk": q_sim_bruteforce,
+    "sim_lsh_topk": q_sim_lsh,
+    "dedup_embedding_cosine": q_embedding_neardup,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_storm_impact": ORACLE_FLAGSHIP,
+    "q1_pricing_summary": ORACLE_PRICING,
+    "s1_catalog_scan": ORACLE_CATALOG,
+    "f4_recency_filter": ORACLE_RECENCY,
+    "f5_isin_or_filter": ORACLE_ISIN,
+    "f11_antijoin_new_work": ORACLE_ANTIJOIN,
+    "j1_cover_equi_join": ORACLE_COVER_JOIN,
+    "j9_preserve_empty_regions": ORACLE_PRESERVE_EMPTY,
+    "a1_a2_probability_expected": ORACLE_PROB,
+    "a6_report_totals": ORACLE_REPORT_TOTALS,
+    "a7_vulnerability_bands": ORACLE_VULN,
+    "a8_topk_per_group": ORACLE_TOPK,
+    "a9_max_active_threshold": ORACLE_MAX_THRESHOLD,
+    "a10_first_match_stats": ORACLE_FIRST_MATCH,
+    "w1_track_segments": ORACLE_SEGMENTS,
+    "w3_w4_cci": ORACLE_CCI,
+    "w5_dedup_keep_first": ORACLE_DEDUP_FIRST,
+    "w6_argmax_per_group": ORACLE_ARGMAX,
+    "a5_member_severity": ORACLE_SEVERITY,
+    "scalar_functions": ORACLE_SCALARS,
+    "smod_recode_map": ORACLE_RECODE,
+    "text_token_count": ORACLE_TOKENS,
+    "text_quality_score": ORACLE_QUALITY,
+    "text_language_id": _langid_oracle(),
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "sim_bruteforce_topk": ORACLE_SIM_BRUTE,
+    "sim_lsh_topk": _sim_lsh_oracle(),
+    "dedup_embedding_cosine": _embedding_neardup_oracle(),
+}

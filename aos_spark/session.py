@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+One place for every engine-level config so local tests and cluster runs
+share the same semantics. Defaults target correctness-critical settings
+(UTC session timezone, ANSI off to match reference NaN-tolerant math) and
+scale-critical settings (AQE with skew handling, dynamic partition
+overwrite replacing the reference's prefix-delete idiom,
+impact_analysis.py:2790-2805).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aos_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local mode sizes shuffle partitions to the core count; on a real
+    cluster leave ``shuffle_partitions`` None and let AQE coalesce from
+    an intentionally-high initial number.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+        master = f"local[{cpus}]"
+    is_local = master.startswith("local")
+    if shuffle_partitions is None:
+        shuffle_partitions = (os.cpu_count() or 8) if is_local else 2000
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # reference math is NaN-propagating pandas; ANSI would raise instead
+        .config("spark.sql.ansi.enabled", "false")
+        # envelopes / admin dims / quadkey covers are all broadcast-size
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("AOS_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
