@@ -37,6 +37,15 @@ def cosine_expr(a, b) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_from_norms(a, b, norm_a, norm_b) -> Column:
+    """Cosine with PRE-MATERIALIZED norm columns: dot/(na*nb) — identical
+    IEEE754 arithmetic to cosine_expr, but the O(dim) norm aggregation runs
+    once per vector instead of once per pair."""
+    na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
+    nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
+    return dot_expr(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,12 +61,18 @@ def brute_force_topk(
     final exchange. Self-matches (same id) are excluded.
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
     scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
     ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.withColumn("cosine", cosine_expr("__qv", "__cv"))
+    scored = scored.withColumn(
+        "cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -115,17 +130,21 @@ def lsh_topk(
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
         hyperplane_bucket(vec_col, n_planes, seed, dim).alias("bucket"),
     )
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
         hyperplane_bucket(vec_col, n_planes, seed, dim).alias("bucket"),
     )
     scored = cb.join(F.broadcast(qb), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = scored.withColumn("cosine", cosine_expr("__qv", "__cv"))
+    scored = scored.withColumn(
+        "cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # split even a single small parquet file across the cluster: the
+        # driver test tables are one file each, and a 1-partition scan
+        # serializes every downstream codegen stage onto one core
+        .config("spark.sql.files.minPartitionNum", str((os.cpu_count() or 8) if is_local else 2000))
         # reference math is NaN-propagating pandas; ANSI would raise instead
         .config("spark.sql.ansi.enabled", "false")
         # envelopes / admin dims / quadkey covers are all broadcast-size
