@@ -1,0 +1,135 @@
+"""Zone-assignment operators over axis-aligned boxes.
+
+This is the relational core of the reference's spatial joins: Web-Mercator
+tiles ARE axis-aligned boxes (quadkey ↔ bbox is a closed-form identity,
+custom_data/README.md:227-245), so point-in-zone counting
+(impact_analysis.py:932-950, J7), the buffered facility impact test
+(impact_analysis.py:1666-1686, J2) and the 3-step tile→admin assignment
+(impact_analysis.py:990-1068, J3→J4→J5) all reduce to numeric interval
+predicates once geometries are represented by their bounding boxes.
+Irregular polygon refinement on the boundary set is layered on top by
+aos_spark.geo.sjoin; everything here is pure Catalyst.
+
+Scale notes: the zone side is always broadcast-size (admin regions,
+envelopes ≤ 408 rows); the item side (tiles/points, billions at 100 TB)
+never shuffles for steps 1–3 — each step is a broadcast join plus a
+per-item argmin/argmax window partitioned by the item key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def count_points_in_zones(
+    points: DataFrame,
+    zones: DataFrame,
+    point_keys: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+    buffer: float = 0.0,
+) -> DataFrame:
+    """J2/J7: per point, how many zones contain it (with an optional buffer
+    around the point — the reference's 150 m facility buffer,
+    impact_analysis.py:175). Left join keeps zero-hit points with n_zones=0.
+
+    zones: (zone_id, xmin, xmax, ymin, ymax) — broadcast side.
+    """
+    px, py = F.col(x_col), F.col(y_col)
+    pred = (
+        (px + buffer >= F.col("xmin"))
+        & (px - buffer <= F.col("xmax"))
+        & (py + buffer >= F.col("ymin"))
+        & (py - buffer <= F.col("ymax"))
+    )
+    joined = points.join(F.broadcast(zones), pred, "left")
+    return joined.groupBy(*point_keys).agg(
+        F.count(F.col("zone_id")).alias("n_zones")
+    )
+
+
+def _overlap_area(prefix: str = "") -> F.Column:
+    """Axis-aligned intersection area between item box and zone box."""
+    ix = F.greatest(
+        F.least(F.col("bxmax"), F.col("xmax")) - F.greatest(F.col("bxmin"), F.col("xmin")),
+        F.lit(0.0),
+    )
+    iy = F.greatest(
+        F.least(F.col("bymax"), F.col("ymax")) - F.greatest(F.col("bymin"), F.col("ymin")),
+        F.lit(0.0),
+    )
+    return ix * iy
+
+
+def assign_zones_3step(
+    items: DataFrame,
+    zones: DataFrame,
+    item_key: str = "item_id",
+) -> DataFrame:
+    """J3→J4→J5: assign every item box to exactly one zone.
+
+    items: (item_key, cx, cy, bxmin, bxmax, bymin, bymax) — center + box.
+    zones: (zone_id, xmin, xmax, ymin, ymax) — broadcast side.
+
+    1. center-within-zone; ties (overlapping zones) → lowest zone_id
+       (the reference's drop_duplicates keep-first made deterministic,
+       impact_analysis.py:1031).
+    2. unassigned items → zone with the largest box-overlap area
+       (gpd.overlay + idxmax, impact_analysis.py:1034-1047); tie → lowest
+       zone_id.
+    3. still unassigned (ocean tiles) → nearest zone center by squared
+       euclidean distance (sjoin_nearest, impact_analysis.py:1049-1064);
+       tie → lowest zone_id.
+
+    Returns (item_key, zone_id, method ∈ {'center','overlap','nearest'}).
+    """
+    z = F.broadcast(zones)
+    itemw = Window.partitionBy(item_key)
+
+    # step 1 — center containment
+    in_zone = (
+        (F.col("cx") >= F.col("xmin"))
+        & (F.col("cx") <= F.col("xmax"))
+        & (F.col("cy") >= F.col("ymin"))
+        & (F.col("cy") <= F.col("ymax"))
+    )
+    s1 = (
+        items.join(z, in_zone)
+        .withColumn("__rn", F.row_number().over(itemw.orderBy("zone_id")))
+        .filter(F.col("__rn") == 1)
+        .select(item_key, "zone_id", F.lit("center").alias("method"))
+    )
+
+    # step 2 — max overlap area among the rest
+    rest1 = items.join(s1.select(item_key), item_key, "left_anti")
+    s2 = (
+        rest1.join(z, _overlap_area() > 0)
+        .withColumn("__area", _overlap_area())
+        .withColumn(
+            "__rn",
+            F.row_number().over(itemw.orderBy(F.col("__area").desc(), F.col("zone_id"))),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(item_key, "zone_id", F.lit("overlap").alias("method"))
+    )
+
+    # step 3 — nearest zone center among the remainder (zone side is tiny:
+    # a plain broadcast cross join + per-item argmin, no shuffle of items)
+    rest2 = rest1.join(s2.select(item_key), item_key, "left_anti")
+    zcx = (F.col("xmin") + F.col("xmax")) / 2
+    zcy = (F.col("ymin") + F.col("ymax")) / 2
+    d2 = (F.col("cx") - zcx) * (F.col("cx") - zcx) + (F.col("cy") - zcy) * (
+        F.col("cy") - zcy
+    )
+    s3 = (
+        rest2.crossJoin(z)
+        .withColumn("__d2", d2)
+        .withColumn(
+            "__rn",
+            F.row_number().over(itemw.orderBy(F.col("__d2"), F.col("zone_id"))),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(item_key, "zone_id", F.lit("nearest").alias("method"))
+    )
+    return s1.unionByName(s2).unionByName(s3)

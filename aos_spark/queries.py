@@ -25,7 +25,17 @@ from pyspark.sql import functions as F
 from aos_spark.llm import dedup as D
 from aos_spark.llm import similarity as SIM
 from aos_spark.llm import text as TX
-from aos_spark.ops import cci, filters, probability, rollup, severity, topk, vulnerability, windows
+from aos_spark.ops import (
+    cci,
+    filters,
+    probability,
+    rollup,
+    severity,
+    spatial_assign,
+    topk,
+    vulnerability,
+    windows,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -858,6 +868,271 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
 
 
 # --------------------------------------------------------------------------
+# Spatial-assignment tier (J2, J3→J5) over axis-aligned zones — the numeric
+# core of the reference's spatial joins (tiles ARE boxes; SURVEY §4.3).
+# Zones are a fixed literal dim shared by Spark and the oracle VALUES list.
+# --------------------------------------------------------------------------
+
+ZONES: list[tuple[int, float, float, float, float]] = [
+    (1, 0.0, 3000.0, 0.0, 500.0),
+    (2, 2500.0, 6000.0, 0.0, 500.0),  # overlaps zone 1 → tie-break path
+    (3, 0.0, 3000.0, 500.0, 1000.0),
+    (4, 3000.0, 6000.0, 400.0, 1000.0),  # overlaps zone 3
+    (5, 8000.0, 9000.0, 0.0, 300.0),  # island: gaps → overlap/nearest paths
+]
+
+_ZONES_SQL_VALUES = ", ".join(
+    f"({zid}, {xmin}, {xmax}, {ymin}, {ymax})" for zid, xmin, xmax, ymin, ymax in ZONES
+)
+
+
+def _zones_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ZONES, "zone_id INT, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE"
+    )
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers as deterministic 2-D points: x = acctbal, y from the key."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("item_id"),
+        F.col("c_acctbal").alias("x"),
+        ((F.col("c_custkey") % 97) * 10.0).alias("y"),
+    )
+
+
+def q_point_zone_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J7: buffered point-in-zone count per point (150 m facility buffer
+    analog, impact_analysis.py:1666-1686; zero-hit points kept at 0)."""
+    pts = _customer_points(spark, sf_dir)
+    return spatial_assign.count_points_in_zones(
+        pts, _zones_df(spark), ["item_id"], buffer=50.0
+    )
+
+
+ORACLE_POINT_ZONE = f"""
+WITH zones(zone_id, xmin, xmax, ymin, ymax) AS (VALUES {_ZONES_SQL_VALUES}),
+pts AS (SELECT c_custkey AS item_id, c_acctbal AS x, (c_custkey % 97) * 10.0 AS y
+        FROM customer)
+SELECT item_id, COUNT(zone_id) AS n_zones
+FROM pts LEFT JOIN zones
+  ON x + 50.0 >= xmin AND x - 50.0 <= xmax AND y + 50.0 >= ymin AND y - 50.0 <= ymax
+GROUP BY item_id
+"""
+
+
+def q_zone_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3→J4→J5: the 3-step zone assignment (center-within → argmax overlap
+    → nearest) with deterministic tie-breaks (impact_analysis.py:990-1068)."""
+    items = _customer_points(spark, sf_dir).select(
+        "item_id",
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+        (F.col("x") - 50.0).alias("bxmin"),
+        (F.col("x") + 50.0).alias("bxmax"),
+        (F.col("y") - 50.0).alias("bymin"),
+        (F.col("y") + 50.0).alias("bymax"),
+    )
+    return spatial_assign.assign_zones_3step(items, _zones_df(spark))
+
+
+ORACLE_ZONE_ASSIGN = f"""
+WITH zones(zone_id, xmin, xmax, ymin, ymax) AS (VALUES {_ZONES_SQL_VALUES}),
+items AS (
+  SELECT c_custkey AS item_id, c_acctbal AS cx, (c_custkey % 97) * 10.0 AS cy,
+         c_acctbal - 50.0 AS bxmin, c_acctbal + 50.0 AS bxmax,
+         (c_custkey % 97) * 10.0 - 50.0 AS bymin, (c_custkey % 97) * 10.0 + 50.0 AS bymax
+  FROM customer),
+s1 AS (
+  SELECT item_id, MIN(zone_id) AS zone_id FROM items JOIN zones
+    ON cx >= xmin AND cx <= xmax AND cy >= ymin AND cy <= ymax
+  GROUP BY item_id),
+s2cand AS (
+  SELECT i.item_id, z.zone_id,
+         GREATEST(LEAST(bxmax, xmax) - GREATEST(bxmin, xmin), 0.0)
+           * GREATEST(LEAST(bymax, ymax) - GREATEST(bymin, ymin), 0.0) AS area
+  FROM items i, zones z
+  WHERE i.item_id NOT IN (SELECT item_id FROM s1)),
+s2 AS (
+  SELECT item_id, zone_id FROM (
+    SELECT item_id, zone_id,
+           ROW_NUMBER() OVER (PARTITION BY item_id ORDER BY area DESC, zone_id) AS rn
+    FROM s2cand WHERE area > 0)
+  WHERE rn = 1),
+s3 AS (
+  SELECT item_id, zone_id FROM (
+    SELECT i.item_id, z.zone_id,
+           ROW_NUMBER() OVER (PARTITION BY i.item_id ORDER BY
+             (cx - (xmin + xmax) / 2) * (cx - (xmin + xmax) / 2)
+               + (cy - (ymin + ymax) / 2) * (cy - (ymin + ymax) / 2),
+             z.zone_id) AS rn
+    FROM items i, zones z
+    WHERE i.item_id NOT IN (SELECT item_id FROM s1)
+      AND i.item_id NOT IN (SELECT item_id FROM s2))
+  WHERE rn = 1)
+SELECT item_id, zone_id, 'center' AS method FROM s1
+UNION ALL SELECT item_id, zone_id, 'overlap' AS method FROM s2
+UNION ALL SELECT item_id, zone_id, 'nearest' AS method FROM s3
+"""
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: small-dim lookup joins (dict .map → broadcast hash join), two
+    hops: customer → nation → region (impact_analysis.py:1999-2000)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_LOOKUP = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE c_acctbal > 5000
+GROUP BY r_name, n_name
+"""
+
+
+def q_prev_forecast_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: current-vs-previous-forecast join (reports.py:627-703) — daily
+    per-user totals self-joined on day = prev_day + 1; inner join mirrors
+    'previous report exists' semantics."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dsum("value").alias("day_value"))
+    prev = daily.select(
+        F.col("user_id").alias("p_user"),
+        F.col("day").alias("prev_day"),
+        F.col("day_value").alias("prev_value"),
+    )
+    cur = daily.join(
+        prev,
+        (daily.user_id == prev.p_user) & (daily.day == F.date_add(prev.prev_day, 1)),
+    )
+    return cur.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("day_value") - F.col("prev_value"), 6).alias("delta"),
+    )
+
+
+ORACLE_PREV_DELTA = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {_dsum_sql('value')} AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT c.user_id, CAST(c.day AS VARCHAR) AS day,
+       ROUND(c.day_value - p.day_value, 6) AS delta
+FROM daily c JOIN daily p
+  ON c.user_id = p.user_id AND c.day = p.day + INTERVAL 1 DAY
+"""
+
+
+def q_cci_admin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: CCI admin rollup — per-zone CCI summed to the admin level with
+    exact decimal accumulation (impact_analysis.py:2897-2917)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("zone_id"),
+        F.col("l_linenumber").alias("wind_threshold"),
+        F.col("l_quantity").alias("exposure"),
+    )
+    long_df = li.groupBy("zone_id", "wind_threshold").agg(
+        F.max("exposure").alias("exposure")
+    )
+    per_zone = cci.cci_from_long(long_df, ["zone_id"], "wind_threshold", ["exposure"])
+    per_zone = per_zone.withColumn(
+        "cci_exposure", F.round("cci_exposure", 6).cast("decimal(18,6)")
+    )
+    return (
+        per_zone.withColumn("admin_id", F.col("zone_id") % 10)
+        .groupBy("admin_id")
+        .agg(F.sum("cci_exposure").cast("double").alias("admin_cci"))
+    )
+
+
+ORACLE_CCI_ADMIN = """
+WITH long_df AS (
+  SELECT l_orderkey AS zone_id, l_linenumber AS wind_threshold,
+         MAX(l_quantity) AS exposure
+  FROM lineitem GROUP BY 1, 2
+),
+banded AS (
+  SELECT zone_id, wind_threshold,
+         exposure - COALESCE(LEAD(exposure) OVER
+           (PARTITION BY zone_id ORDER BY wind_threshold ASC), 0.0) AS band
+  FROM long_df
+),
+per_zone AS (
+  SELECT zone_id,
+         CAST(ROUND(SUM(band * POW(CAST(wind_threshold AS DOUBLE), 2.0) * 1e-6), 6)
+              AS DECIMAL(18,6)) AS cci_exposure
+  FROM banded GROUP BY zone_id
+)
+SELECT zone_id % 10 AS admin_id, CAST(SUM(cci_exposure) AS DOUBLE) AS admin_cci
+FROM per_zone GROUP BY 1
+"""
+
+
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: value-counts diagnostics (impact_analysis.py:699)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_VALUE_COUNTS = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_first_landfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: first qualifying row per member — the landfall scan
+    (reports.py:283-293): first event with value above threshold, by time."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.first_match(
+        ev, ["user_id"], ["ts", "event_id"], F.col("value") > 147
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.col("event_id").alias("first_event"),
+    )
+
+
+ORACLE_FIRST_LANDFALL = """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+       event_id AS first_event
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE value > 147)
+WHERE rn = 1
+"""
+
+
+def q_distinct_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: metadata probe — DISTINCT + ORDER BY (snowflake_utils.py:486-521).
+    Order is asserted via an explicit rank column (the driver's compare is
+    order-insensitive)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type").distinct()
+    return d.withColumn(
+        "ord", F.row_number().over(Window.orderBy("event_type"))
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT event_type, CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS INT) AS ord
+FROM (SELECT DISTINCT event_type FROM events)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -893,6 +1168,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": q_sim_bruteforce,
     "sim_lsh_topk": q_sim_lsh,
     "dedup_embedding_cosine": q_embedding_neardup,
+    "j2_point_zone_count": q_point_zone_count,
+    "j3_j5_zone_assignment": q_zone_assignment,
+    "j10_lookup_join": q_lookup_join,
+    "j13_prev_forecast_delta": q_prev_forecast_delta,
+    "a13_cci_admin_rollup": q_cci_admin_rollup,
+    "a14_value_counts": q_value_counts,
+    "w2_first_landfall": q_first_landfall,
+    "s6_distinct_ordered": q_distinct_ordered,
 }
 
 ORACLES: dict[str, str] = {
@@ -927,4 +1210,12 @@ ORACLES: dict[str, str] = {
     "sim_bruteforce_topk": ORACLE_SIM_BRUTE,
     "sim_lsh_topk": _sim_lsh_oracle(),
     "dedup_embedding_cosine": _embedding_neardup_oracle(),
+    "j2_point_zone_count": ORACLE_POINT_ZONE,
+    "j3_j5_zone_assignment": ORACLE_ZONE_ASSIGN,
+    "j10_lookup_join": ORACLE_LOOKUP,
+    "j13_prev_forecast_delta": ORACLE_PREV_DELTA,
+    "a13_cci_admin_rollup": ORACLE_CCI_ADMIN,
+    "a14_value_counts": ORACLE_VALUE_COUNTS,
+    "w2_first_landfall": ORACLE_FIRST_LANDFALL,
+    "s6_distinct_ordered": ORACLE_DISTINCT,
 }
