@@ -1,0 +1,328 @@
+"""The three pipeline modes — initialize / update / patch — composed from
+the operator library (SURVEY.md §3 lifecycle, main_pipeline.py:816-828).
+
+Domain mapping onto the driver's fixture tables (TESTDATA.md): the `events`
+table plays the forecast fact stream — `user_id` is the tile key,
+`event_type` the ensemble member (8 members, the FULL_ENSEMBLE_SIZE
+analog of impact_analysis.py:185-188), and `value` the wind intensity.
+"Member hits tile at threshold t" ≡ `value >= t`, which makes thresholds
+nested by construction — the same exceedance-envelope property the CCI
+differencing relies on (impact_analysis.py:2617-2740).
+
+Every view is written with dynamic partition overwrite (the F9
+prefix-delete replacement) partitioned by (storm, forecast_compact
+[, wind_threshold]) so re-runs are idempotent and stale partitions can't
+survive. Idempotency across runs is the F11 anti-join against the run log.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aos_spark.io.readers import read_sf_table
+from aos_spark.io.writers import write_view
+from aos_spark.ops import cci, probability, rollup, severity, spatial_assign
+from aos_spark.pipeline import control
+
+WIND_THRESHOLDS = [50, 100, 150]
+ENSEMBLE_SIZE = 8
+KEY_THRESHOLD = 100  # KEY_FOR_EXPECTED analog (reports.py:67)
+
+# tile → plane coordinates for the admin zone assignment (deterministic,
+# key-derived — the quadkey-center formula analog)
+def _tile_points(tiles: DataFrame, key: str = "tile_id") -> DataFrame:
+    return tiles.withColumn("cx", (F.col(key) * 7.0) % 6000.0).withColumn(
+        "cy", (F.col(key) % 97) * 10.0
+    )
+
+
+def _zones_df(spark: SparkSession) -> DataFrame:
+    from aos_spark.queries import ZONES
+
+    return spark.createDataFrame(
+        ZONES, "zone_id INT, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE"
+    )
+
+
+def base_layer_path(warehouse: str) -> str:
+    return os.path.join(warehouse, "base", "tiles")
+
+
+def admin_layer_path(warehouse: str) -> str:
+    return os.path.join(warehouse, "base", "admin")
+
+
+BASE_SUM_COLS = ["population", "built_surface"]
+BASE_AVG_COLS = ["rwi"]
+
+
+def initialize(spark: SparkSession, sf_dir: str, warehouse: str, country: str = "AA") -> DataFrame:
+    """Base-layer build (initialize_pipeline → save_mercator_and_admin_views,
+    main_pipeline.py:384-419, impact_analysis.py:1505-1584).
+
+    Produces the tile base layer (metrics per tile + admin assignment) and
+    the admin rollup with empty-region preservation, then flips the
+    registry flag. One shuffle for the metric agg; the zone dim broadcasts.
+    """
+    ev = read_sf_table(spark, sf_dir, "events")
+    base = ev.groupBy(F.col("user_id").alias("tile_id")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("population"),
+        F.count(F.lit(1)).cast("double").alias("built_surface"),
+        F.avg(F.col("value").cast("decimal(18,2)")).cast("double").alias("rwi"),
+    )
+
+    pts = _tile_points(base.select("tile_id"))
+    items = pts.select(
+        F.col("tile_id").alias("item_id"),
+        "cx",
+        "cy",
+        (F.col("cx") - 50.0).alias("bxmin"),
+        (F.col("cx") + 50.0).alias("bxmax"),
+        (F.col("cy") - 50.0).alias("bymin"),
+        (F.col("cy") + 50.0).alias("bymax"),
+    )
+    assigned = spatial_assign.assign_zones_3step(items, _zones_df(spark)).select(
+        F.col("item_id").alias("tile_id"), F.col("zone_id").alias("admin_id")
+    )
+    layer = base.join(assigned, "tile_id", "left").withColumn("country", F.lit(country))
+    write_view(layer, base_layer_path(warehouse), partition_cols=["country"])
+
+    _write_admin_layer(spark, warehouse, country)
+    control.upsert_country(spark, warehouse, country, initialized=True)
+    return layer
+
+
+def _write_admin_layer(spark: SparkSession, warehouse: str, country: str) -> None:
+    """A4+J9: admin rollup of the base layer, empty admins preserved."""
+    layer = spark.read.parquet(base_layer_path(warehouse)).filter(
+        F.col("country") == country
+    )
+    agg = rollup.agg_with_null_contract(
+        layer.withColumn("population", F.col("population").cast("decimal(18,2)"))
+        .withColumn("built_surface", F.col("built_surface").cast("decimal(18,2)"))
+        .withColumn("rwi", F.col("rwi").cast("decimal(18,6)")),
+        ["admin_id"],
+        sum_cols=["population", "built_surface"],
+        avg_cols=["rwi"],
+        optional_sum_cols=[],
+    )
+    zones = _zones_df(spark).select(F.col("zone_id").alias("admin_id"))
+    out = rollup.rollup_preserving_empty(
+        zones, agg, ["admin_id"], zero_fill_cols=["population", "built_surface"]
+    )
+    out = out.select(
+        "admin_id",
+        F.col("population").cast("double").alias("population"),
+        F.col("built_surface").cast("double").alias("built_surface"),
+        F.col("rwi").cast("double").alias("rwi"),
+    ).withColumn("country", F.lit(country))
+    write_view(out, admin_layer_path(warehouse), partition_cols=["country"])
+
+
+def _member_hits(ev: DataFrame) -> DataFrame:
+    """(tile_id, member, wind_threshold) hit triples — the J1 equivalent.
+    One scan fans out to all thresholds via an array literal (no per-
+    threshold loop, F1 collapsed into a grouping column)."""
+    thresholds = F.array(*[F.lit(t) for t in WIND_THRESHOLDS])
+    return (
+        ev.select(
+            F.col("user_id").alias("tile_id"),
+            F.col("event_type").alias("member"),
+            F.explode(F.filter(thresholds, lambda t: F.col("value") >= t)).alias(
+                "wind_threshold"
+            ),
+        )
+        .distinct()
+    )
+
+
+def update(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse: str,
+    storm: str,
+    forecast_time: str,
+    *,
+    rewrite: bool = False,
+) -> dict:
+    """The main analytical job (update_storms → run_complete_impact_analysis,
+    main_pipeline.py:556-767). Returns a status dict.
+
+    Chain per (storm, forecast): F11 idempotency gate → member-hit triples →
+    A1 probability (fixed denominator) → A2 expected impacts → tile view →
+    A3 admin view → W3/W4 CCI → A5 severity → report JSON → run log.
+    """
+    t0 = time.time()
+    cand = spark.createDataFrame(
+        [(storm, forecast_time)], "storm STRING, forecast_time STRING"
+    )
+    if not rewrite:
+        from aos_spark.ops.filters import new_work_antijoin
+
+        todo = new_work_antijoin(
+            cand, control.latest_run_status(spark, warehouse), ["storm", "forecast_time"]
+        )
+        if todo.count() == 0:
+            return {"status": "SKIPPED", "storm": storm, "forecast_time": forecast_time}
+
+    run_id = control.log_run_start(spark, warehouse, storm, forecast_time)
+    try:
+        ev = read_sf_table(spark, sf_dir, "events")
+        base = spark.read.parquet(base_layer_path(warehouse))
+        hits = _member_hits(ev)
+
+        # A1: probability per (tile, threshold) — count members / 8, tiles
+        # with no hits at a threshold get probability 0 via the left join
+        prob = hits.groupBy("tile_id", "wind_threshold").agg(
+            (F.countDistinct("member") / F.lit(float(ENSEMBLE_SIZE))).alias("probability")
+        )
+        thresholds_df = spark.createDataFrame(
+            [(t,) for t in WIND_THRESHOLDS], "wind_threshold INT"
+        )
+        tiles_x_th = base.crossJoin(F.broadcast(thresholds_df))
+        tile_view = tiles_x_th.join(prob, ["tile_id", "wind_threshold"], "left").fillna(
+            {"probability": 0.0}
+        )
+        # A2: expected impacts
+        for c in BASE_SUM_COLS + BASE_AVG_COLS:
+            tile_view = tile_view.withColumn(f"E_{c}", F.col(c) * F.col("probability"))
+        tile_view = tile_view.select(
+            "tile_id",
+            "admin_id",
+            "wind_threshold",
+            "probability",
+            *[f"E_{c}" for c in BASE_SUM_COLS + BASE_AVG_COLS],
+        ).withColumn("storm", F.lit(storm)).withColumn(
+            "forecast_compact", F.lit(forecast_time)
+        )
+        write_view(
+            tile_view,
+            os.path.join(warehouse, "views", "tiles"),
+            partition_cols=["storm", "forecast_compact", "wind_threshold"],
+        )
+
+        # A3: admin rollup of expected impacts (null contract: E_rwi optional)
+        dec = tile_view
+        for c in BASE_SUM_COLS:
+            dec = dec.withColumn(f"E_{c}", F.col(f"E_{c}").cast("decimal(18,6)"))
+        admin_view = rollup.agg_with_null_contract(
+            dec,
+            ["admin_id", "wind_threshold"],
+            sum_cols=[f"E_{c}" for c in BASE_SUM_COLS],
+            avg_cols=[],
+            optional_sum_cols=["E_rwi"],
+        )
+        admin_view = admin_view.select(
+            "admin_id",
+            "wind_threshold",
+            *[F.col(f"E_{c}").cast("double").alias(f"E_{c}") for c in BASE_SUM_COLS],
+            "E_rwi",
+        ).withColumn("storm", F.lit(storm)).withColumn(
+            "forecast_compact", F.lit(forecast_time)
+        )
+        write_view(
+            admin_view,
+            os.path.join(warehouse, "views", "admin"),
+            partition_cols=["storm", "forecast_compact", "wind_threshold"],
+        )
+
+        # W3/W4: CCI from the threshold-long tile view
+        long_df = tile_view.select(
+            "tile_id", "wind_threshold", (F.col("E_population")).alias("exposure")
+        )
+        cci_view = cci.cci_from_long(long_df, ["tile_id"], "wind_threshold", ["exposure"])
+        cci_view = cci_view.withColumn("storm", F.lit(storm)).withColumn(
+            "forecast_compact", F.lit(forecast_time)
+        )
+        write_view(
+            cci_view,
+            os.path.join(warehouse, "views", "cci"),
+            partition_cols=["storm", "forecast_compact"],
+        )
+
+        # A5: severity per member
+        sev_in = hits.join(base, "tile_id").select(
+            F.col("member"),
+            F.col("wind_threshold").alias("threshold"),
+            F.col("population").cast("decimal(18,2)").alias("exposure"),
+        )
+        sev = severity.member_severity(sev_in, "member", "threshold", ["exposure"])
+        sev = sev.withColumn(
+            "total_exposure", F.col("total_exposure").cast("double")
+        ).withColumn("storm", F.lit(storm)).withColumn(
+            "forecast_compact", F.lit(forecast_time)
+        )
+        write_view(
+            sev,
+            os.path.join(warehouse, "views", "severity"),
+            partition_cols=["storm", "forecast_compact"],
+        )
+
+        # report (driver-side JSON, incl. previous-forecast deltas)
+        from aos_spark.report.assemble import build_report, save_report
+
+        report = build_report(
+            spark, warehouse, storm, forecast_time, tile_view, admin_view, ev
+        )
+        save_report(warehouse, storm, forecast_time, report)
+
+        control.log_run_complete(
+            spark, warehouse, run_id, success=True, runtime_seconds=time.time() - t0
+        )
+        control.signal_pipeline_complete(spark, warehouse, storm, forecast_time)
+        return {
+            "status": "SUCCESS",
+            "storm": storm,
+            "forecast_time": forecast_time,
+            "runtime_seconds": round(time.time() - t0, 3),
+        }
+    except Exception as e:
+        control.log_run_complete(
+            spark,
+            warehouse,
+            run_id,
+            success=False,
+            runtime_seconds=time.time() - t0,
+            error=str(e)[:500],
+        )
+        raise
+
+
+PATCHABLE = set(BASE_SUM_COLS + BASE_AVG_COLS)
+
+
+def patch(
+    spark: SparkSession,
+    warehouse: str,
+    country: str,
+    column: str,
+    custom: DataFrame,
+) -> None:
+    """Targeted column backfill (patch_pipeline → patch_country_layer,
+    main_pipeline.py:425-459, impact_analysis.py:1189-1466): replace one
+    metric column from a custom (tile_id, value) table, rewrite the base
+    layer, re-aggregate every admin view.
+    """
+    if column not in PATCHABLE:
+        raise ValueError(f"column {column!r} not patchable; allowed: {sorted(PATCHABLE)}")
+    layer = spark.read.parquet(base_layer_path(warehouse)).filter(
+        F.col("country") == country
+    )
+    patched = (
+        layer.join(
+            custom.select("tile_id", F.col("value").alias("__new")), "tile_id", "left"
+        )
+        .withColumn(column, F.coalesce(F.col("__new"), F.col(column)))
+        .drop("__new")
+    )
+    # write to a temp subtree then swap via dynamic overwrite of the
+    # country partition (cannot overwrite the path being read)
+    patched.persist()
+    patched.count()
+    write_view(patched, base_layer_path(warehouse), partition_cols=["country"])
+    patched.unpersist()
+    _write_admin_layer(spark, warehouse, country)

@@ -1,0 +1,105 @@
+"""Structured Streaming formulation of the reference's poll loop.
+
+The reference has no streaming engine: a 6-hour cron polls the catalog,
+an anti-join skips processed (storm, forecast) pairs, and each forecast is
+a complete immutable batch (snowflake/README.md:263-312, SURVEY §2.8).
+The idiomatic Spark mapping is `readStream` + `Trigger.AvailableNow`:
+the checkpoint replaces storms.json/run-log dedup (exactly-once per input
+file), and late data needs no watermark because a forecast batch is
+immutable — but a watermarked windowed aggregation is provided for the
+event-time analytics the batch engine exposes (A1-style member counts per
+window).
+
+Everything here processes incrementally: a re-run with the same checkpoint
+reads only NEW files — the Structured-Streaming equivalent of F11.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, input_dir: str, schema: str = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-source stream over a directory of parquet drops (the catalog-
+    poll analog; each new file = one new forecast batch)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def windowed_member_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed aggregation: distinct-ish member activity per
+    (window, user) — the streaming face of the A1 probability count.
+    approx_count_distinct is used because exact distinct over an unbounded
+    stream needs per-key state; the batch engine provides the exact path."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("user_id"))
+        .agg(
+            F.approx_count_distinct("event_type").alias("n_members"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_members",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available, then stop (the cron-poll
+    replacement). Append mode: only watermark-closed windows are emitted."""
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_impact(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    batch_fn,
+) -> None:
+    """foreachBatch bridge: each micro-batch (one forecast drop) runs an
+    arbitrary batch job — the way the full impact pipeline (jobs.update)
+    rides the streaming checkpoint for idempotency (SURVEY §2.8 mapping)."""
+    stream = read_event_stream(spark, input_dir)
+
+    def _wrap(batch_df: DataFrame, batch_id: int) -> None:
+        batch_fn(batch_df, batch_id, warehouse)
+
+    q = (
+        stream.writeStream.foreachBatch(_wrap)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
