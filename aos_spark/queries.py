@@ -867,6 +867,79 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
 """
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(d, max_hamming=3, band_bits=16)
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB reproduction of the 64-bit simhash: per-token md5 (first 8
+    bytes, big-endian = first 16 hex chars), bit-majority accumulation,
+    band-bucket candidate join, popcount verification. Docs with no tokens
+    get signature 0 (they band together), matching the UDF."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(nt, '\\s+')) AS tok
+  FROM norm WHERE nt <> ''),
+th AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                  ELSE 0 END) AS hsig
+  FROM bits GROUP BY doc_id),
+sigall AS (
+  SELECT d.doc_id, CAST(COALESCE(s.hsig, 0) AS UBIGINT) AS ush
+  FROM documents d LEFT JOIN sig s USING (doc_id)),
+banded AS (
+  SELECT doc_id, ush, b.band, CAST((ush >> (b.band * 16)) & 65535 AS BIGINT) AS band_key
+  FROM sigall CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.ush AS ua, y.ush AS ub
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ua, ub)) <= {max_hamming}
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the DRIVER GATE: binary payload column →
+    Arrow-batched mapInPandas feature extraction (deterministic fake decode
+    kernel — the real decoder is a stubbed import, aos_spark/llm/multimodal.py).
+    The oracle reproduces the fake kernel (md5-derived features), proving the
+    batch plumbing end-to-end, not just in unit tests."""
+    from aos_spark.llm import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+    return MM.extract_image_features(media, fake=True)
+
+
+ORACLE_MULTIMODAL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       CAST('0x' || substring(md5(COALESCE(text, '')), 1, 2) AS INT) / 255.0 AS mean_luma,
+       substring(md5(COALESCE(text, '')), 1, 16) AS phash
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Spatial-assignment tier (J2, J3→J5) over axis-aligned zones — the numeric
 # core of the reference's spatial joins (tiles ARE boxes; SURVEY §4.3).
@@ -1176,6 +1249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_value_counts": q_value_counts,
     "w2_first_landfall": q_first_landfall,
     "s6_distinct_ordered": q_distinct_ordered,
+    "dedup_simhash": q_simhash,
+    "multimodal_image_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1218,4 +1293,6 @@ ORACLES: dict[str, str] = {
     "a14_value_counts": ORACLE_VALUE_COUNTS,
     "w2_first_landfall": ORACLE_FIRST_LANDFALL,
     "s6_distinct_ordered": ORACLE_DISTINCT,
+    "dedup_simhash": _simhash_oracle(),
+    "multimodal_image_features": ORACLE_MULTIMODAL,
 }
