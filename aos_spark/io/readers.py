@@ -49,3 +49,91 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def read_first_available(spark: SparkSession, sources: list, reader=None):
+    """S14's 3-tier source-priority cascade (custom ▸ cache ▸ API fetch,
+    impact_analysis.py:484-705) as driver logic: return the DataFrame from
+    the first source that exists/succeeds; None when every tier is empty.
+
+    ``sources`` items are either path strings (read with ``reader`` or
+    read_table) or zero-arg callables returning a DataFrame (the API tier).
+    """
+    import os
+
+    for src in sources:
+        if callable(src):
+            out = src()
+            if out is not None:
+                return out
+            continue
+        if os.path.exists(src.removeprefix("file://")):
+            return (reader or read_table)(spark, src)
+    return None
+
+
+# required non-id columns per custom point kind (custom_data/README.md:66-223,
+# impact_analysis.py:399-411)
+CUSTOM_POINT_REQUIRED: dict[str, list[str]] = {
+    "schools": ["latitude", "longitude"],
+    "health_centers": ["latitude", "longitude", "amenity"],
+    "shelters": ["latitude", "longitude"],
+    "wash": ["latitude", "longitude", "wash_type"],
+}
+
+
+def load_custom_points_csv(
+    spark: SparkSession, path: str, kind: str
+) -> DataFrame | None:
+    """S15: custom point-CSV loader — required-column validation (hard error
+    on an invalid present file, NOT silent fallback: impact_analysis.py:399-411),
+    'id' aliasing to the kind's canonical id column, and deterministic
+    sequential id autogen (``{kind}_{row_number by lat,lon}`` replaces the
+    reference's positional ``{kind}_{i}`` — same shape, order-stable under
+    distribution)."""
+    import os
+
+    from pyspark.sql import Window
+
+    if not os.path.exists(path.removeprefix("file://")):
+        return None
+    id_col = "school_id_giga" if kind == "schools" else "osm_id"
+    df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    required = CUSTOM_POINT_REQUIRED[kind]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"custom {kind} CSV at {path!r} is missing required columns: {missing}"
+        )
+    if id_col not in df.columns:
+        if "id" in df.columns:
+            df = df.withColumnRenamed("id", id_col)
+        else:
+            w = Window.orderBy("latitude", "longitude")
+            df = df.withColumn(
+                id_col,
+                F.concat(F.lit(f"{kind}_"), (F.row_number().over(w) - 1).cast("string")),
+            )
+    return df.withColumn(id_col, F.col(id_col).cast("string"))
+
+
+def load_custom_tiles_csv(spark: SparkSession, path: str) -> DataFrame | None:
+    """S16: custom tile-metric CSV — tile_id FORCED to string (quadkeys have
+    significant leading digits and must never be parsed numeric,
+    impact_analysis.py:435-478 / SURVEY §1.3)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    if not os.path.exists(path.removeprefix("file://")):
+        return None
+    inferred = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    if "tile_id" not in inferred.columns:
+        raise ValueError(f"custom tiles CSV at {path!r} lacks a tile_id column")
+    # re-read with tile_id pinned to string BEFORE parsing — a cast after an
+    # integer infer would have already dropped leading zeros
+    fields = [
+        T.StructField(f.name, T.StringType() if f.name == "tile_id" else f.dataType, True)
+        for f in inferred.schema.fields
+    ]
+    return spark.read.option("header", "true").schema(T.StructType(fields)).csv(path)

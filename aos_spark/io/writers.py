@@ -36,6 +36,51 @@ def write_view(
     writer.save(path)
 
 
+GEOSIGHT_DEDUP_KEY = ["storm", "forecast_time", "wind_threshold", "geom_id"]
+
+# metric allow-list mirrors geosight/admin_related_table.py:36-49 — columns
+# outside it never leave the engine
+GEOSIGHT_ALLOWED_METRICS = [
+    "E_population",
+    "E_built_surface",
+    "E_rwi",
+    "probability",
+]
+
+
+def export_geosight_rows(
+    df: DataFrame,
+    send_batch,
+    batch_size: int = 500,
+) -> None:
+    """S22: GeoSight related-table export — dedup on the 4-tuple natural key
+    (geosight/admin_related_table.py:26-49), project to the metric
+    allow-list, then push via foreachPartition so each executor ships its
+    own batches (no driver collect; REST fan-out scales with partitions).
+
+    ``send_batch(rows: list[dict]) -> None`` is the transport callback (the
+    HTTP client in production, a recorder in tests).
+    """
+    from pyspark.sql import functions as F2
+
+    keep = GEOSIGHT_DEDUP_KEY + [
+        c for c in GEOSIGHT_ALLOWED_METRICS if c in df.columns
+    ]
+    deduped = df.select(*keep).dropDuplicates(GEOSIGHT_DEDUP_KEY)
+
+    def _part(rows) -> None:
+        batch = []
+        for r in rows:
+            batch.append(r.asDict())
+            if len(batch) >= batch_size:
+                send_batch(batch)
+                batch = []
+        if batch:
+            send_batch(batch)
+
+    deduped.foreachPartition(_part)
+
+
 def export_filename_compat(
     df: DataFrame,
     out_dir: str,

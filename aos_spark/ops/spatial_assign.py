@@ -62,6 +62,66 @@ def _overlap_area(prefix: str = "") -> F.Column:
     return ix * iy
 
 
+def bbox_union(df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """A12: spatial union aggregate, bbox formulation — min/max over the
+    box bounds (ST_UNION_AGG at snowflake_utils.py:603 / union_all at
+    impact_analysis.py:1158; exact-polygon union stays in the WKT UDF tier,
+    but every consumer in the reference only uses the union for a DISTANCE
+    pre-filter, where the bbox is the correct conservative object)."""
+    aggs = [
+        F.min("xmin").alias("xmin"),
+        F.max("xmax").alias("xmax"),
+        F.min("ymin").alias("ymin"),
+        F.max("ymax").alias("ymax"),
+    ]
+    return df.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def zones_in_range(
+    zones: DataFrame,
+    envelopes: DataFrame,
+    buffer: float,
+) -> DataFrame:
+    """S8/J12: the country-pruning pre-filter — keep zones (countries) whose
+    bbox is within ``buffer`` of the ENVELOPE UNION's bbox (the reference's
+    1,500 km ST_DWITHIN shipped into Snowflake, snowflake_utils.py:590-616).
+
+    This is the explicit cheap pre-join Catalyst cannot invent (SURVEY §4.1):
+    the envelope union collapses to ONE broadcast row, so pruning costs one
+    scan of the (tiny) zone dim — no data ever moves for out-of-range zones.
+    Conservative: bbox distance ≤ true distance, so no false negatives.
+    """
+    u = bbox_union(envelopes).select(
+        F.col("xmin").alias("uxmin"),
+        F.col("xmax").alias("uxmax"),
+        F.col("ymin").alias("uymin"),
+        F.col("ymax").alias("uymax"),
+    )
+    joined = zones.crossJoin(F.broadcast(u))
+    dx = F.greatest(
+        F.col("uxmin") - F.col("xmax"), F.col("xmin") - F.col("uxmax"), F.lit(0.0)
+    )
+    dy = F.greatest(
+        F.col("uymin") - F.col("ymax"), F.col("ymin") - F.col("uymax"), F.lit(0.0)
+    )
+    return joined.filter(dx * dx + dy * dy <= buffer * buffer).drop(
+        "uxmin", "uxmax", "uymin", "uymax"
+    )
+
+
+def view_zoom_for_span(span_col) -> F.Column:
+    """S21: the span→view-zoom case ladder (impact_analysis.py:1166-1167):
+    11 if span < 0.5, 10 if < 1, 9 if < 2, 8 if < 4, else 7."""
+    s = F.col(span_col) if isinstance(span_col, str) else span_col
+    return (
+        F.when(s < 0.5, 11)
+        .when(s < 1.0, 10)
+        .when(s < 2.0, 9)
+        .when(s < 4.0, 8)
+        .otherwise(7)
+    )
+
+
 def assign_zones_3step(
     items: DataFrame,
     zones: DataFrame,

@@ -1,0 +1,155 @@
+"""Tests for the source/sink gap-fillers: CSV loaders (S15/S16), source
+cascade (S14), bbox-union pre-filter (S8/J12/A12), view-zoom ladder (S21),
+GeoSight export (S22), filename-compat export (S10/S11)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aos_spark.io import readers, writers
+from aos_spark.ops import spatial_assign
+
+
+# -- S15 / S16 ---------------------------------------------------------------
+
+
+def test_custom_points_csv_autogen_ids(spark, tmp_path):
+    p = tmp_path / "AAA_schools.csv"
+    p.write_text("latitude,longitude,name\n1.0,2.0,a\n3.0,4.0,b\n")
+    df = readers.load_custom_points_csv(spark, str(p), "schools")
+    rows = {r["name"]: r["school_id_giga"] for r in df.collect()}
+    assert rows == {"a": "schools_0", "b": "schools_1"}
+
+
+def test_custom_points_csv_id_alias_and_validation(spark, tmp_path):
+    p = tmp_path / "AAA_wash.csv"
+    p.write_text("id,latitude,longitude,wash_type\nw9,1.0,2.0,well\n")
+    df = readers.load_custom_points_csv(spark, str(p), "wash")
+    assert df.first()["osm_id"] == "w9"
+
+    bad = tmp_path / "AAA_health_centers.csv"
+    bad.write_text("latitude,longitude\n1.0,2.0\n")  # missing amenity
+    with pytest.raises(ValueError, match="amenity"):
+        readers.load_custom_points_csv(spark, str(bad), "health_centers")
+
+    assert readers.load_custom_points_csv(spark, str(tmp_path / "nope.csv"), "schools") is None
+
+
+def test_custom_tiles_csv_string_tile_id(spark, tmp_path):
+    p = tmp_path / "tiles.csv"
+    # leading-zero quadkey must survive as a string
+    p.write_text("tile_id,population\n0231,100.5\n1203,7.0\n")
+    df = readers.load_custom_tiles_csv(spark, str(p))
+    assert df.schema["tile_id"].dataType.simpleString() == "string"
+    assert {r["tile_id"] for r in df.collect()} == {"0231", "1203"}
+
+
+# -- S14 ---------------------------------------------------------------------
+
+
+def test_source_cascade_prefers_first_existing(spark, tmp_path):
+    cache = tmp_path / "cache.parquet"
+    spark.range(3).write.parquet(str(cache))
+    called = []
+
+    def api_tier():
+        called.append(1)
+        return spark.range(99)
+
+    out = readers.read_first_available(
+        spark, [str(tmp_path / "custom.parquet"), str(cache), api_tier]
+    )
+    assert out.count() == 3 and not called  # cache hit; API never called
+
+    out2 = readers.read_first_available(spark, [str(tmp_path / "a"), api_tier])
+    assert out2.count() == 99 and called
+
+
+# -- S8 / J12 / A12 ----------------------------------------------------------
+
+
+def test_bbox_union_and_range_prefilter(spark):
+    envs = spark.createDataFrame(
+        [(1, 0.0, 10.0, 0.0, 10.0), (2, 5.0, 20.0, 5.0, 15.0)],
+        "envelope_id INT, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE",
+    )
+    u = spatial_assign.bbox_union(envs).first()
+    assert (u["xmin"], u["xmax"], u["ymin"], u["ymax"]) == (0.0, 20.0, 0.0, 15.0)
+
+    zones = spark.createDataFrame(
+        [
+            ("NEAR", 25.0, 30.0, 0.0, 5.0),    # 5 from union edge
+            ("FAR", 100.0, 110.0, 0.0, 5.0),   # 80 away
+            ("INSIDE", 2.0, 3.0, 2.0, 3.0),    # distance 0
+        ],
+        "country STRING, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE",
+    )
+    kept = {
+        r["country"]
+        for r in spatial_assign.zones_in_range(zones, envs, buffer=10.0).collect()
+    }
+    assert kept == {"NEAR", "INSIDE"}
+
+
+def test_view_zoom_ladder(spark):
+    df = spark.createDataFrame(
+        [(0.3,), (0.7,), (1.5,), (3.0,), (9.0,)], "span DOUBLE"
+    ).withColumn("zoom", spatial_assign.view_zoom_for_span("span"))
+    assert [r["zoom"] for r in df.orderBy("span").collect()] == [11, 10, 9, 8, 7]
+
+
+# -- S22 ---------------------------------------------------------------------
+
+
+def test_geosight_export_dedup_and_batching(spark, tmp_path):
+    sink = tmp_path / "sent.jsonl"
+    df = spark.createDataFrame(
+        [
+            ("S1", "20240101000000", 50, "g1", 10.0, 0.5),
+            ("S1", "20240101000000", 50, "g1", 10.0, 0.5),  # dup of the 4-key
+            ("S1", "20240101000000", 64, "g1", 4.0, 0.25),
+            ("S1", "20240101000000", 50, "g2", 7.0, 0.75),
+        ],
+        "storm STRING, forecast_time STRING, wind_threshold INT, geom_id STRING, "
+        "E_population DOUBLE, probability DOUBLE",
+    )
+
+    path = str(sink)
+
+    def send_batch(rows):
+        with open(path, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+
+    writers.export_geosight_rows(df.coalesce(1), send_batch, batch_size=2)
+    sent = [json.loads(line) for line in open(path)]
+    assert len(sent) == 3  # dedup on the 4-tuple
+    keys = {(r["storm"], r["forecast_time"], r["wind_threshold"], r["geom_id"]) for r in sent}
+    assert len(keys) == 3
+    assert all(set(r) <= {"storm", "forecast_time", "wind_threshold", "geom_id",
+                          "E_population", "probability"} for r in sent)
+
+
+# -- S10/S11 filename-compat export -----------------------------------------
+
+
+def test_export_filename_compat(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("AAA", "S1", 50, 1, 0.5), ("AAA", "S1", 64, 2, 0.25), ("BBB", "S1", 50, 3, 1.0)],
+        "country STRING, storm STRING, wind INT, tile INT, prob DOUBLE",
+    )
+    written = writers.export_filename_compat(
+        df, str(tmp_path / "exp"), ["country", "storm", "wind"], fmt="csv"
+    )
+    names = {os.path.basename(w) for w in written}
+    assert names == {"AAA_S1_50", "AAA_S1_64", "BBB_S1_50"}
+    # each export holds only the non-key columns
+    import glob
+
+    files = glob.glob(str(tmp_path / "exp" / "AAA_S1_50" / "*.csv"))
+    header = open(files[0]).readline().strip()
+    assert header == "tile,prob"
