@@ -143,53 +143,51 @@ def assign_zones_3step(
        tie → lowest zone_id.
 
     Returns (item_key, zone_id, method ∈ {'center','overlap','nearest'}).
-    """
-    z = F.broadcast(zones)
-    itemw = Window.partitionBy(item_key)
 
-    # step 1 — center containment
+    Physical strategy: ONE broadcast cross join (zone side is always tiny —
+    admin regions / envelopes) + ONE per-item window. The three steps become
+    a priority ordering instead of three joins + two anti-joins: step
+    semantics and tie-breaks are identical, but the item side is scanned,
+    shuffled, and windowed exactly once — the shape that survives a 100×
+    scale-up of the item side.
+    """
     in_zone = (
         (F.col("cx") >= F.col("xmin"))
         & (F.col("cx") <= F.col("xmax"))
         & (F.col("cy") >= F.col("ymin"))
         & (F.col("cy") <= F.col("ymax"))
     )
-    s1 = (
-        items.join(z, in_zone)
-        .withColumn("__rn", F.row_number().over(itemw.orderBy("zone_id")))
-        .filter(F.col("__rn") == 1)
-        .select(item_key, "zone_id", F.lit("center").alias("method"))
-    )
-
-    # step 2 — max overlap area among the rest
-    rest1 = items.join(s1.select(item_key), item_key, "left_anti")
-    s2 = (
-        rest1.join(z, _overlap_area() > 0)
-        .withColumn("__area", _overlap_area())
-        .withColumn(
-            "__rn",
-            F.row_number().over(itemw.orderBy(F.col("__area").desc(), F.col("zone_id"))),
-        )
-        .filter(F.col("__rn") == 1)
-        .select(item_key, "zone_id", F.lit("overlap").alias("method"))
-    )
-
-    # step 3 — nearest zone center among the remainder (zone side is tiny:
-    # a plain broadcast cross join + per-item argmin, no shuffle of items)
-    rest2 = rest1.join(s2.select(item_key), item_key, "left_anti")
     zcx = (F.col("xmin") + F.col("xmax")) / 2
     zcy = (F.col("ymin") + F.col("ymax")) / 2
     d2 = (F.col("cx") - zcx) * (F.col("cx") - zcx) + (F.col("cy") - zcy) * (
         F.col("cy") - zcy
     )
-    s3 = (
-        rest2.crossJoin(z)
-        .withColumn("__d2", d2)
+    scored = (
+        items.crossJoin(F.broadcast(zones))
+        .withColumn("__area", _overlap_area())
         .withColumn(
-            "__rn",
-            F.row_number().over(itemw.orderBy(F.col("__d2"), F.col("zone_id"))),
+            "__priority",
+            F.when(in_zone, 0).when(F.col("__area") > 0, 1).otherwise(2),
         )
-        .filter(F.col("__rn") == 1)
-        .select(item_key, "zone_id", F.lit("nearest").alias("method"))
+        .withColumn(
+            # within a priority class, the class's own ranking key:
+            # center → zone_id (keep-first), overlap → area desc, nearest → d²
+            "__key",
+            F.when(F.col("__priority") == 0, F.col("zone_id").cast("double"))
+            .when(F.col("__priority") == 1, -F.col("__area"))
+            .otherwise(d2),
+        )
     )
-    return s1.unionByName(s2).unionByName(s3)
+    w = Window.partitionBy(item_key).orderBy("__priority", "__key", "zone_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            item_key,
+            "zone_id",
+            F.element_at(
+                F.array(F.lit("center"), F.lit("overlap"), F.lit("nearest")),
+                F.col("__priority") + 1,
+            ).alias("method"),
+        )
+    )
