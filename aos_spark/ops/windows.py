@@ -44,6 +44,39 @@ def first_match(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization as pure window ops: a new session starts
+    when the gap to the previous event exceeds ``gap_seconds``; session id =
+    running count of session starts. One shuffle (by key), two window
+    passes over it — the batch face of the stateful streaming operator in
+    aos_spark/streaming/jobs.py."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    starts = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    with_sid = df.withColumn("__start", starts).withColumn(
+        "session_id",
+        F.sum("__start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return with_sid.groupBy(*key_cols, "session_id").agg(*aggs)
+
+
 def dedup_keep_first(
     df: DataFrame,
     keys: list[str],

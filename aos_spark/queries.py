@@ -163,6 +163,122 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + revenue agg + top-K — the
+    multi-join planning path (join reordering + broadcast of the filtered
+    dim) that the storm pipeline's country × storm × view joins exercise."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "o_orderpriority", F.round("revenue", 4).alias("revenue"), "rank")
+    )
+
+
+ORACLE_Q3 = """
+WITH out AS (
+  SELECT l_orderkey, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey, o_orderpriority
+)
+SELECT l_orderkey, o_orderpriority, ROUND(revenue, 4) AS revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS INT) AS rank
+FROM out QUALIFY rank <= 10
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way snowflake join (fact + 4 dims, dims broadcast)
+    with a co-location predicate — the deepest join tree in the gate."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return out.select("n_name", F.round("revenue", 4).alias("revenue"))
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch face of the stateful streaming
+    operator): lag → session-start flags → running-sum session ids →
+    per-session aggregates. 6-hour gap on the events stream."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.sessionize(
+        ev, ["user_id"], ts_col="ts", gap_seconds=6 * 3600, value_col="value"
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 21600
+              THEN 1 ELSE 0 END AS start_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sid AS (
+  SELECT user_id, ts, value,
+         SUM(start_flag) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sid GROUP BY user_id, session_id
+"""
+
+
 def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S7/A11: catalog scan — COUNT(DISTINCT member) + latest-forecast probe."""
     ev = _t(spark, sf_dir, "events")
@@ -1251,6 +1367,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s6_distinct_ordered": q_distinct_ordered,
     "dedup_simhash": q_simhash,
     "multimodal_image_features": q_multimodal_features,
+    "q3_shipping_priority": q_shipping_priority,
+    "q5_regional_revenue": q_regional_revenue,
+    "sessionize_events": q_sessionize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1295,4 +1414,7 @@ ORACLES: dict[str, str] = {
     "s6_distinct_ordered": ORACLE_DISTINCT,
     "dedup_simhash": _simhash_oracle(),
     "multimodal_image_features": ORACLE_MULTIMODAL,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_regional_revenue": ORACLE_Q5,
+    "sessionize_events": ORACLE_SESSIONIZE,
 }

@@ -81,6 +81,75 @@ def run_available_now(
     q.awaitTermination()
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events INT, total_value DOUBLE"
+)
+SESSION_STATE_SCHEMA = (
+    "start_epoch DOUBLE, last_epoch DOUBLE, n_events INT, total_value DOUBLE"
+)
+
+
+def sessionize_stream(
+    stream: DataFrame, gap_seconds: int = 21600
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: gap-based
+    sessions per user. The open session lives in per-key state across
+    micro-batches; a session is emitted when a later event arrives more
+    than ``gap_seconds`` after it (batch face with identical semantics:
+    ops/windows.sessionize).
+
+    This is the (b)-tier custom-operator pattern from the build brief —
+    semantics Spark's built-ins can't express incrementally (session
+    windows with arbitrary per-session aggregates) as an Arrow-batched
+    stateful map, state bounded at one open session per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        events = pd.concat(list(pdfs), ignore_index=True)
+        events = events.sort_values("ts")
+        epochs = events["ts"].astype("int64") / 1e9
+        values = events["value"].fillna(0.0)
+
+        if state.exists:
+            start_e, last_e, n, tot = state.get
+        else:
+            start_e = last_e = None
+            n, tot = 0, 0.0
+
+        out_rows = []
+        for e, v in zip(epochs, values):
+            if last_e is not None and e - last_e > gap_seconds:
+                out_rows.append((key[0], start_e, last_e, n, tot))
+                start_e, n, tot = e, 0, 0.0
+            if start_e is None:
+                start_e = e
+            last_e = e
+            n += 1
+            tot += float(v)
+        state.update((float(start_e), float(last_e), int(n), float(tot)))
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out_rows],
+                    "session_start": pd.to_datetime([r[1] for r in out_rows], unit="s"),
+                    "session_end": pd.to_datetime([r[2] for r in out_rows], unit="s"),
+                    "n_events": [r[3] for r in out_rows],
+                    "total_value": [r[4] for r in out_rows],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_foreach_batch_impact(
     spark: SparkSession,
     input_dir: str,

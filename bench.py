@@ -30,8 +30,11 @@ def main() -> None:
         sf = None
 
     spark = get_spark("aos-bench", master=f"local[{cpus}]")
-    # warmup: JVM + parquet footer reads
+    # warmup: JVM + parquet footer reads + Python/Arrow UDF worker pool
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

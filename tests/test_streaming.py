@@ -65,6 +65,63 @@ def test_available_now_drains_and_incremental_rerun(spark, dirs):
     assert dup == 0
 
 
+def test_stateful_sessionize_across_batches(spark, dirs, tmp_path):
+    """applyInPandasWithState: the open session survives the first
+    micro-batch in state and is emitted when a later drop breaches the gap."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "sess_in")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(in_dir)
+
+    def drop(tag, rows):
+        spark.createDataFrame(
+            [(i, ts, uid, "t", v, None) for i, (ts, uid, v) in enumerate(rows)],
+            sjobs.EVENTS_SCHEMA,
+        ).coalesce(1).write.parquet(os.path.join(in_dir, tag))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    # batch 1: two events 10 min apart (one open session for user 1)
+    drop("b1", [(t0, 1, 1.0), (t0 + dt.timedelta(minutes=10), 1, 2.0)])
+    stream = sjobs.read_event_stream(spark, in_dir + "/*")
+    sess = sjobs.sessionize_stream(stream, gap_seconds=3600)
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        n_after_b1 = spark.read.parquet(out_dir).count()
+    except Exception:
+        n_after_b1 = 0
+    assert n_after_b1 == 0  # session still open, held in state
+
+    # batch 2: an event 2 h later closes the first session
+    drop("b2", [(t0 + dt.timedelta(hours=2), 1, 5.0)])
+    q = (
+        sjobs.sessionize_stream(
+            sjobs.read_event_stream(spark, in_dir + "/*"), gap_seconds=3600
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2 and r["total_value"] == 3.0
+
+
 def test_foreach_batch_bridge(spark, dirs):
     """Each micro-batch reaches the batch callback exactly once across
     checkpointed re-runs."""
