@@ -105,6 +105,60 @@ def children(qk: str) -> list[str]:
     return [qk + d for d in "0123"]
 
 
+def _clip_ring_halfplane(ring, keep_west: bool, edge: float):
+    """Sutherland–Hodgman clip of one ring against the vertical line
+    lon == ``edge`` (keep lon <= edge when keep_west, else lon >= edge)."""
+    def inside(p):
+        return p[0] <= edge if keep_west else p[0] >= edge
+
+    def intersect(a, b):
+        t = (edge - a[0]) / (b[0] - a[0])
+        return (edge, a[1] + t * (b[1] - a[1]))
+
+    out = []
+    for i, cur in enumerate(ring):
+        prev = ring[i - 1]
+        if inside(cur):
+            if not inside(prev):
+                out.append(intersect(prev, cur))
+            out.append(cur)
+        elif inside(prev):
+            out.append(intersect(prev, cur))
+    return out
+
+
+def split_antimeridian(rings) -> list:
+    """Normalize an antimeridian-crossing polygon into 1–2 non-crossing
+    ring-sets (SURVEY §7.4 known-hard #2: ECMWF envelopes near the dateline).
+
+    Detection: consecutive exterior-ring points jumping more than 180° of
+    longitude. Resolution: shift negative lons +360 (the ring then lives in
+    e.g. 170..190), clip against lon=180 into a west part (≤180, emitted
+    as-is) and an east part (≥180, emitted shifted −360).
+    """
+    rings = [[(float(px), float(py)) for px, py in ring] for ring in rings]
+    if not rings or len(rings[0]) < 2:
+        return [rings]
+    shell = rings[0]
+    crosses = any(
+        abs(shell[i][0] - shell[i - 1][0]) > 180.0 for i in range(len(shell))
+    )
+    if not crosses:
+        return [rings]
+    shifted = [
+        [((px + 360.0) if px < 0 else px, py) for px, py in ring] for ring in rings
+    ]
+    west = [r for r in (_clip_ring_halfplane(ring, True, 180.0) for ring in shifted) if len(r) >= 3]
+    east_raw = [r for r in (_clip_ring_halfplane(ring, False, 180.0) for ring in shifted) if len(r) >= 3]
+    east = [[(px - 360.0, py) for px, py in ring] for ring in east_raw]
+    out = []
+    if west and len(west[0]) >= 3:
+        out.append(west)
+    if east and len(east[0]) >= 3:
+        out.append(east)
+    return out or [rings]
+
+
 def polygon_cover(
     polygon_rings: Iterable,
     zoom: int,
@@ -132,6 +186,16 @@ def polygon_cover(
     rings = [[(float(px), float(py)) for px, py in ring] for ring in polygon_rings]
     if not rings or len(rings[0]) < 3:
         return []
+
+    # antimeridian-crossing polygons split into ≤2 normal ones; dedupe the
+    # merged cover (a tile can touch both halves at the seam)
+    parts = split_antimeridian(rings)
+    if len(parts) > 1:
+        merged: dict[str, bool] = {}
+        for part in parts:
+            for qk, full in polygon_cover(part, zoom, min_full_zoom=min_full_zoom):
+                merged[qk] = merged.get(qk, False) or full
+        return sorted(merged.items())
 
     lons = [p[0] for p in rings[0]]
     lats = [p[1] for p in rings[0]]

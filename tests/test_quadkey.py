@@ -71,3 +71,25 @@ def test_polygon_cover_mixed_zoom_is_smaller():
     leaves = qk.expand_cover(mixed, zoom)
     assert len(mixed) < len(leaves)  # interior collapsed to prefixes
     assert all(len(k) <= zoom for k in mixed)
+
+
+def test_antimeridian_crossing_cover():
+    """A box crossing the dateline (175°E → 175°W) must cover tiles on both
+    sides of the seam and nothing in the mid-Pacific gap or Greenwich side."""
+    from aos_spark.geo.quadkey import expand_cover, point_to_quadkey, polygon_cover
+
+    ring = [(175.0, -10.0), (-175.0, -10.0), (-175.0, 10.0), (175.0, 10.0), (175.0, -10.0)]
+    cover = polygon_cover([ring], zoom=6)
+    leaves = set(expand_cover(cover, 6))
+    assert point_to_quadkey(0.0, 179.0, 6) in leaves      # west of seam
+    assert point_to_quadkey(0.0, -179.0, 6) in leaves     # east of seam
+    assert point_to_quadkey(0.0, 0.0, 6) not in leaves    # Greenwich
+    assert point_to_quadkey(0.0, 150.0, 6) not in leaves  # outside west edge
+    assert point_to_quadkey(0.0, -150.0, 6) not in leaves # outside east edge
+
+
+def test_non_crossing_polygon_not_split():
+    from aos_spark.geo.quadkey import split_antimeridian
+
+    ring = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0), (-10.0, -10.0)]
+    assert len(split_antimeridian([ring])) == 1
