@@ -36,6 +36,25 @@ def write_view(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table for co-located joins: two tables bucketed on
+    their join key with the same bucket count join WITHOUT an exchange —
+    the shuffle is paid once at write time instead of per query. This is
+    the 100 TB answer for the repeatedly-joined fact tables (tiles × admin
+    assignment, lineitem × orders): `tests/test_bucketing.py` asserts the
+    exchange-free plan."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 GEOSIGHT_DEDUP_KEY = ["storm", "forecast_time", "wind_threshold", "geom_id"]
 
 # metric allow-list mirrors geosight/admin_related_table.py:36-49 — columns

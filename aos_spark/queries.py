@@ -1056,6 +1056,52 @@ FROM documents
 """
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus pre-assigned to inverted lists (nearest of k
+    deterministic centroids), queries probe nprobe lists. The third ANN
+    tier next to brute force (exact) and hyperplane LSH."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(e, queries, k=10, n_centroids=8, nprobe=2)
+
+
+ORACLE_SIM_IVF = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, v AS cvec, vnorm AS cnorm
+  FROM vecs ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, v, vnorm, centroid_id FROM (
+    SELECT x.vec_id, x.v, x.vnorm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.cvec) / (x.vnorm * c.cnorm) DESC,
+                      c.centroid_id) AS rn
+    FROM vecs x CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, vnorm AS qn FROM vecs WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, qn, centroid_id FROM (
+    SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cvec) / (q.qn * c.cnorm) DESC,
+                      c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qv, a.v) / (p.qn * a.vnorm) AS cosine
+  FROM assign a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Spatial-assignment tier (J2, J3→J5) over axis-aligned zones — the numeric
 # core of the reference's spatial joins (tiles ARE boxes; SURVEY §4.3).
@@ -1370,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q_shipping_priority,
     "q5_regional_revenue": q_regional_revenue,
     "sessionize_events": q_sessionize,
+    "sim_ivf_topk": q_sim_ivf,
 }
 
 ORACLES: dict[str, str] = {
@@ -1417,4 +1464,5 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": ORACLE_Q3,
     "q5_regional_revenue": ORACLE_Q5,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "sim_ivf_topk": ORACLE_SIM_IVF,
 }
