@@ -1,0 +1,64 @@
+"""Skew mitigation helpers.
+
+AQE skew-join splitting is on by default (session.py) and is the first
+line of defense. These helpers cover the two cases AQE cannot fix:
+
+1. a skewed high-cardinality aggregation whose partial aggregate does not
+   reduce (e.g. exact distinct counting per hot key) — ``salted_distinct_count``
+   pre-splits the hot key across R salt partitions and merges;
+2. a shuffle join where one side's hot keys overwhelm single tasks and the
+   other side is small enough to replicate — ``salted_join`` explodes the
+   small side R ways so each hot-key partition joins locally.
+
+Both are semantics-preserving rewrites: results are verified equal to the
+unsalted plans in tests/test_skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """COUNT(DISTINCT x) per key without funneling each hot key through a
+    single task: phase 1 dedups (key, salt, x) where salt = hash(x) % R —
+    the hot key's distinct set is partitioned R ways — phase 2 sums the
+    per-salt distinct counts (disjoint by construction, so the sum is
+    exact, not approximate)."""
+    salted = df.withColumn("__salt", F.pmod(F.hash(F.col(distinct_col)), F.lit(n_salts)))
+    per_salt = (
+        salted.select(*keys, "__salt", distinct_col)
+        .distinct()
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return per_salt.groupBy(*keys).agg(F.sum("__c").alias(out_col))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has hot keys: big rows get a random-ish salt
+    derived from a UNIQUE column-free expression (monotonically increasing
+    id is nondeterministic across retries, so we hash the whole row), and
+    ``small`` is exploded once per salt value. Each (key, salt) bucket is
+    then uniform. Use when the small side is too big to broadcast outright
+    but cheap to replicate R times."""
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    small_s = small.withColumn("__salt", F.explode(salts))
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")
