@@ -27,8 +27,13 @@ def recency_filter(df: DataFrame, ts_col: str, as_of, days: int) -> DataFrame:
     """Keep rows whose ts is within ``days`` before ``as_of`` (F4).
 
     Reference: (today - forecast_date).days < time_delta (main_pipeline.py:642).
+    Expressed as a RANGE predicate on the raw timestamp —
+    datediff(as_of, date(ts)) < days  ≡  ts >= midnight of (as_of − days + 1)
+    — so it reaches the parquet scan as a PushedFilter / row-group skip,
+    which the datediff form (a function of the column) cannot.
     """
-    return df.filter(F.datediff(F.lit(as_of).cast("date"), F.col(ts_col).cast("date")) < days)
+    cutoff = F.date_add(F.lit(as_of).cast("date"), -(days - 1)).cast("timestamp")
+    return df.filter(F.col(ts_col) >= cutoff)
 
 
 def new_work_antijoin(

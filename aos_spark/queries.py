@@ -1056,6 +1056,38 @@ FROM documents
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (rows below 20% of their
+    group's average), planned as an aggregate + self-join re-use of the
+    fact table; the subquery decorrelation path in Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg(F.col("l_quantity").cast("decimal(18,2)")) * 0.2)
+        .cast("double")
+        .alias("qty_cut")
+    )
+    out = (
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+    return out.select(F.round("avg_yearly", 4).alias("avg_yearly"))
+
+
+ORACLE_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0 AS DOUBLE), 4) AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) * 0.2 AS DOUBLE)
+  FROM lineitem WHERE l_partkey = l.l_partkey
+)
+"""
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus pre-assigned to inverted lists (nearest of k
     deterministic centroids), queries probe nprobe lists. The third ANN
@@ -1417,6 +1449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_regional_revenue": q_regional_revenue,
     "sessionize_events": q_sessionize,
     "sim_ivf_topk": q_sim_ivf,
+    "q17_small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -1465,4 +1498,5 @@ ORACLES: dict[str, str] = {
     "q5_regional_revenue": ORACLE_Q5,
     "sessionize_events": ORACLE_SESSIONIZE,
     "sim_ivf_topk": ORACLE_SIM_IVF,
+    "q17_small_quantity_revenue": ORACLE_Q17,
 }
