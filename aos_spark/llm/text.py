@@ -93,6 +93,36 @@ def quality_score() -> Column:
     return F.round(penalized, 6)
 
 
+# BPE-ish pre-tokenization pattern (letter runs / digit runs / punctuation
+# runs, each with an optional leading space) — the GPT-2-style split without
+# lookahead so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+"
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Token count under the BPE-ish regex — a closer proxy for LLM token
+    budgets than whitespace splitting (runs JVM-side via regexp_count)."""
+    return F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)), F.lit(0)
+    )
+
+
+ROLLING_BASE = 31
+ROLLING_PRIME = 1_000_000_007
+
+
+def rolling_fingerprint(hashed_tokens: Column) -> Column:
+    """Polynomial rolling hash over a MATERIALIZED array of token hashes:
+    fold acc ← (acc·B + h) mod P with acc₀ = 0. Order-sensitive (unlike the
+    md5 content fingerprint) so token transpositions change the print;
+    reproducible in any engine with a list fold."""
+    return F.aggregate(
+        hashed_tokens,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLLING_BASE + h) % ROLLING_PRIME,
+    )
+
+
 def fingerprint(text_col: str = "text", width: int = 16) -> Column:
     """Deterministic document fingerprint: normalize (lowercase, collapse
     whitespace/punct) then hash — robust to formatting-only edits. Uses md5

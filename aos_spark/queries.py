@@ -1088,6 +1088,60 @@ WHERE l_quantity < (
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (letter/digit/punct runs) next to the
+    whitespace count — the LLM token-budget proxy."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+ORACLE_BPE_TOKENS = rf"""
+SELECT doc_id,
+       CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens,
+       CAST(COALESCE(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')), 0) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint over token
+    hashes (vs the md5 content fingerprint, which is order-insensitive to
+    nothing but formatting)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = D.ensure_min_partitions(d).select(
+        "doc_id", F.split(D.normalized_text("text"), r"\s+").alias("__tokens")
+    )
+    hashed = toks.select(
+        "doc_id", F.transform("__tokens", D.shingle_hash).alias("__hashed")
+    )
+    return hashed.select(
+        "doc_id", TX.rolling_fingerprint(F.col("__hashed")).alias("rolling_fp")
+    )
+
+
+ORACLE_ROLLING_FP = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_transform(t, s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)) AS h
+  FROM toks)
+SELECT doc_id,
+       CASE WHEN len(h) = 0 THEN 0
+            ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                             (acc, x) -> (acc * {TX.ROLLING_BASE} + x) % {TX.ROLLING_PRIME})
+       END AS rolling_fp
+FROM hashed
+"""
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus pre-assigned to inverted lists (nearest of k
     deterministic centroids), queries probe nprobe lists. The third ANN
@@ -1450,6 +1504,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize,
     "sim_ivf_topk": q_sim_ivf,
     "q17_small_quantity_revenue": q_small_quantity_revenue,
+    "text_bpe_tokens": q_bpe_tokens,
+    "text_rolling_fingerprint": q_rolling_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -1499,4 +1555,6 @@ ORACLES: dict[str, str] = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "sim_ivf_topk": ORACLE_SIM_IVF,
     "q17_small_quantity_revenue": ORACLE_Q17,
+    "text_bpe_tokens": ORACLE_BPE_TOKENS,
+    "text_rolling_fingerprint": ORACLE_ROLLING_FP,
 }
