@@ -170,10 +170,16 @@ def update(
             return {"status": "SKIPPED", "storm": storm, "forecast_time": forecast_time}
 
     run_id = control.log_run_start(spark, warehouse, storm, forecast_time)
+    cached = []
     try:
         ev = read_sf_table(spark, sf_dir, "events")
         base = spark.read.parquet(base_layer_path(warehouse))
-        hits = _member_hits(ev)
+        # the hit set feeds probability AND severity; the tile view feeds
+        # its own sink, the admin rollup, the CCI, and the report — cache
+        # both for the storm job instead of recomputing per action
+        # (the structural CSE the reference lacks, SURVEY §4.1)
+        hits = _member_hits(ev).persist()
+        cached.append(hits)
 
         # A1: probability per (tile, threshold) — count members / 8, tiles
         # with no hits at a threshold get probability 0 via the left join
@@ -199,6 +205,8 @@ def update(
         ).withColumn("storm", F.lit(storm)).withColumn(
             "forecast_compact", F.lit(forecast_time)
         )
+        tile_view = tile_view.persist()
+        cached.append(tile_view)
         write_view(
             tile_view,
             os.path.join(warehouse, "views", "tiles"),
@@ -290,6 +298,9 @@ def update(
             error=str(e)[:500],
         )
         raise
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 PATCHABLE = set(BASE_SUM_COLS + BASE_AVG_COLS)
