@@ -41,9 +41,11 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
-        # floor-divide to microseconds — matches DuckDB's truncation of
-        # TIMESTAMP_NS to its native micros TIMESTAMP
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # exact integer division to microseconds — matches DuckDB's integer
+        # truncation of TIMESTAMP_NS to its native micros TIMESTAMP. A double
+        # `/ 1000` would round: ns epochs (~1.7e18) exceed 2^53, so the ±128 ns
+        # float error can shift the floored microsecond.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

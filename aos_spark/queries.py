@@ -130,10 +130,16 @@ FROM rolled QUALIFY rank_in_group <= 5
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the agg-dict family A3/A6 with exact decimal sums."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,4)")
+    # Decimal-DOMAIN arithmetic (not cast-after-double-multiply): the source
+    # columns are 2-decimal-valued doubles, so casting each FACTOR to decimal
+    # is tie-free in both engines, and every subsequent multiply/sum is exact
+    # decimal — eliminating the Spark-vs-DuckDB tie-rounding divergence that
+    # a per-row CAST(double_product AS DECIMAL) hits (VERDICT r1 #1).
+    e = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc1 = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+    tax1 = (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
+    disc_price = e * disc1          # decimal(19,4), exact
+    charge = (e * disc1) * tax1     # decimal(24,6), exact
     out = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -153,8 +159,11 @@ ORACLE_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
        {_dsum_sql('l_quantity')} AS sum_qty,
        {_dsum_sql('l_extendedprice')} AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order,
        ROUND({_dsum_sql('l_quantity')} / COUNT(*), 6) AS avg_qty,
        ROUND({_dsum_sql('l_extendedprice')} / COUNT(*), 6) AS avg_price
@@ -266,8 +275,8 @@ WITH flagged AS (
 ),
 sid AS (
   SELECT user_id, ts, value,
-         SUM(start_flag) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(start_flag) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

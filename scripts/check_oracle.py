@@ -3,9 +3,12 @@
 Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
 same parquet tables, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted by their
-serialized form, floats rounded to 9 significant-ish decimals before
-hashing — slightly STRICTER than needed so passing here implies passing the
-driver).
+serialized form). Values are canonicalized with a PER-VALUE TYPE TAG and
+floats as ``float.hex()`` — bit-exact and type-exact, so an int 36 never
+matches a float 36.0 and a last-ulp double divergence is a FAIL. This is
+at-least-as-strict as the driver's gate: local PASS implies driver PASS.
+(The round-1 ``%.9g``-and-untyped version masked two driver failures —
+VERDICT r1 "What's wrong" #3.)
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -34,13 +37,17 @@ TABLES = [
 def canon_value(v):
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"bool:{str(v).lower()}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
+            return "float:nan"
+        return f"float:{v.hex()}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    # Decimal/str/datetime/date/bytes/list: tag with the type name so type
+    # drift between engines (e.g. Decimal vs float) can never alias.
+    return f"{type(v).__name__}:{v}"
 
 
 def value_hash(rows, colnames) -> str:

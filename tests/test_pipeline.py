@@ -115,6 +115,29 @@ def test_patch_column_and_admin_reagg(spark, warehouse):
     assert admin.agg(F.sum("population")).first()[0] >= 3 * 123456.0
 
 
+def test_patch_never_reads_its_own_overwrite(spark, warehouse):
+    """patch() must materialize to a temp subtree before overwriting the base
+    layer — persist() is not a barrier (eviction → recompute reads the
+    half-overwritten path). Verify full round-trip integrity: row count
+    unchanged, un-patched rows byte-identical, temp subtree cleaned up."""
+    before = {
+        r["tile_id"]: (r["population"], r["built_surface"], r["rwi"])
+        for r in spark.read.parquet(jobs.base_layer_path(warehouse)).collect()
+    }
+    target = sorted(before)[0]
+    custom = spark.createDataFrame([(target, 77.0)], "tile_id BIGINT, value DOUBLE")
+    jobs.patch(spark, warehouse, "AA", "rwi", custom)
+    after = {
+        r["tile_id"]: (r["population"], r["built_surface"], r["rwi"])
+        for r in spark.read.parquet(jobs.base_layer_path(warehouse)).collect()
+    }
+    assert set(after) == set(before)
+    assert after[target][2] == 77.0
+    untouched = {t: v for t, v in before.items() if t != target}
+    assert {t: after[t] for t in untouched} == untouched
+    assert not os.path.exists(os.path.join(warehouse, "tmp", "patch_AA_rwi"))
+
+
 def test_patch_rejects_unknown_column(spark, warehouse):
     custom = spark.createDataFrame([(1, 1.0)], "tile_id BIGINT, value DOUBLE")
     with pytest.raises(ValueError, match="not patchable"):
