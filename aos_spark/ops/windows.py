@@ -15,13 +15,16 @@ from pyspark.sql import functions as F
 def lead_segments(
     df: DataFrame,
     partition_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     point_cols: list[str],
 ) -> DataFrame:
     """Pair each row with its successor within the partition (W1): for every
     ``point_cols`` c, adds ``c_next = lead(c)``; rows with no successor are
-    dropped (a track of n points yields n-1 segments)."""
-    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    dropped (a track of n points yields n-1 segments). Pass a LIST of order
+    columns when the primary key can tie (lead over a tied order is
+    nondeterministic)."""
+    order_cols = order_col if isinstance(order_col, list) else [order_col]
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     out = df
     for c in point_cols:
         out = out.withColumn(f"{c}_next", F.lead(c).over(w))

@@ -32,11 +32,31 @@ WIND_THRESHOLDS = [50, 100, 150]
 ENSEMBLE_SIZE = 8
 KEY_THRESHOLD = 100  # KEY_FOR_EXPECTED analog (reports.py:67)
 
+FACILITY_KINDS = ["schools", "health_centers", "shelters", "wash"]
+FACILITY_BUFFER = 2.0  # plane-unit analog of the 150 m facility buffer
+                       # (BUFFER_DISTANCE_METERS, impact_analysis.py:175)
+
 # tile → plane coordinates for the admin zone assignment (deterministic,
 # key-derived — the quadkey-center formula analog)
 def _tile_points(tiles: DataFrame, key: str = "tile_id") -> DataFrame:
     return tiles.withColumn("cx", (F.col(key) * 7.0) % 6000.0).withColumn(
         "cy", (F.col(key) % 97) * 10.0
+    )
+
+
+def _facilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility point sets (schools / health centers / shelters / WASH)
+    derived deterministically from the customer dim — the analog of the
+    fetch_schools/fetch_health_centers/fetch_shelters/fetch_wash location
+    caches (impact_analysis.py:2810-2846). Integer-derived plane coordinates
+    keep the derivation exactly reproducible in the SQL oracle."""
+    c = read_sf_table(spark, sf_dir, "customer")
+    kinds = F.array(*[F.lit(k) for k in FACILITY_KINDS])
+    return c.select(
+        F.col("c_custkey").alias("facility_id"),
+        F.element_at(kinds, (F.col("c_custkey") % 4 + 1).cast("int")).alias("kind"),
+        ((F.col("c_custkey") * 131) % 6000).cast("double").alias("fx"),
+        ((F.col("c_custkey") * 17) % 970).cast("double").alias("fy"),
     )
 
 
@@ -270,11 +290,135 @@ def update(
             partition_cols=["storm", "forecast_compact"],
         )
 
+        # J2×4 + S11: per-facility probability views (schools / health
+        # centers / shelters / WASH) — one row per facility per threshold,
+        # probability = hit members / fixed ensemble size, zero-hit
+        # facilities kept at 0.0 (create_*_view_from_envelopes,
+        # impact_analysis.py:1620-1717, saved at :2809-2840). A member's
+        # "envelope" in the events domain is the bbox union (A12) of its hit
+        # tiles; facility hit = buffered point-in-bbox. The envelope dim is
+        # members × thresholds ≤ 24 rows → broadcast; facilities never
+        # shuffle.
+        fac = _facilities(spark, sf_dir)
+        boxes = _tile_points(hits, "tile_id").select(
+            "member",
+            "wind_threshold",
+            (F.col("cx") - 50.0).alias("xmin"),
+            (F.col("cx") + 50.0).alias("xmax"),
+            (F.col("cy") - 50.0).alias("ymin"),
+            (F.col("cy") + 50.0).alias("ymax"),
+        )
+        env = spatial_assign.bbox_union(boxes, ["member", "wind_threshold"])
+        b = F.lit(FACILITY_BUFFER)
+        in_env = (
+            (F.col("fx") + b >= F.col("xmin"))
+            & (F.col("fx") - b <= F.col("xmax"))
+            & (F.col("fy") + b >= F.col("ymin"))
+            & (F.col("fy") - b <= F.col("ymax"))
+        )
+        fac_hits = (
+            fac.join(F.broadcast(env), in_env)
+            .select("facility_id", "kind", "member", "wind_threshold")
+            .persist()
+        )
+        cached.append(fac_hits)
+        fac_view = (
+            fac.crossJoin(F.broadcast(thresholds_df))
+            .join(
+                fac_hits.groupBy("facility_id", "wind_threshold").agg(
+                    (F.countDistinct("member") / F.lit(float(ENSEMBLE_SIZE))).alias(
+                        "probability"
+                    )
+                ),
+                ["facility_id", "wind_threshold"],
+                "left",
+            )
+            .fillna({"probability": 0.0})
+            .select("facility_id", "kind", "wind_threshold", "probability")
+            .withColumn("storm", F.lit(storm))
+            .withColumn("forecast_compact", F.lit(forecast_time))
+        )
+        write_view(
+            fac_view,
+            os.path.join(warehouse, "views", "facilities"),
+            partition_cols=["kind", "storm", "forecast_compact", "wind_threshold"],
+        )
+
+        # track severity view: per (member, threshold) — facility counts per
+        # kind + tile-metric sums under the member's envelope
+        # (create_tracks_view_from_envelopes, impact_analysis.py:2038-2091).
+        kind_counts = (
+            fac_hits.groupBy("member", "wind_threshold")
+            .pivot("kind", FACILITY_KINDS)
+            .agg(F.count(F.lit(1)))
+        )
+        for k in FACILITY_KINDS:
+            kind_counts = kind_counts.withColumnRenamed(k, f"severity_{k}")
+        tile_sums = (
+            hits.join(base, "tile_id")
+            .groupBy("member", "wind_threshold")
+            .agg(
+                F.sum(F.col("population").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("severity_population"),
+                F.sum(F.col("built_surface").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("severity_built_surface"),
+            )
+        )
+        track_view = (
+            env.select("member", "wind_threshold")
+            .join(kind_counts, ["member", "wind_threshold"], "left")
+            .join(tile_sums, ["member", "wind_threshold"], "left")
+            .fillna({f"severity_{k}": 0 for k in FACILITY_KINDS})
+            .withColumn("storm", F.lit(storm))
+            .withColumn("forecast_compact", F.lit(forecast_time))
+        )
+        write_view(
+            track_view,
+            os.path.join(warehouse, "views", "tracks"),
+            partition_cols=["storm", "forecast_compact", "wind_threshold"],
+        )
+
+        # W1: track-segment view — each member's event sequence paired with
+        # its successor (consecutive-point polyline segments,
+        # impact_analysis.py:2922-2927 / reports.py:224-254)
+        from aos_spark.ops import windows as win_ops
+
+        trk = _tile_points(
+            ev.select(
+                F.col("event_type").alias("member"),
+                "ts",
+                "event_id",
+                F.col("user_id").alias("tile_id"),
+            ),
+            "tile_id",
+        )
+        seg = win_ops.lead_segments(
+            trk, ["member"], ["ts", "event_id"], ["cx", "cy"]
+        ).select(
+            "member",
+            "ts",
+            "cx",
+            "cy",
+            "cx_next",
+            "cy_next",
+        )
+        seg = seg.withColumn("storm", F.lit(storm)).withColumn(
+            "forecast_compact", F.lit(forecast_time)
+        )
+        write_view(
+            seg,
+            os.path.join(warehouse, "views", "track_segments"),
+            partition_cols=["storm", "forecast_compact"],
+        )
+
         # report (driver-side JSON, incl. previous-forecast deltas)
         from aos_spark.report.assemble import build_report, save_report
 
         report = build_report(
-            spark, warehouse, storm, forecast_time, tile_view, admin_view, ev
+            spark, warehouse, storm, forecast_time, tile_view, admin_view, ev,
+            fac_view=fac_view,
         )
         save_report(warehouse, storm, forecast_time, report)
 

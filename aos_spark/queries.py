@@ -1307,6 +1307,102 @@ UNION ALL SELECT item_id, zone_id, 'nearest' AS method FROM s3
 """
 
 
+FACILITY_KINDS = ["schools", "health_centers", "shelters", "wash"]
+
+
+def q_facility_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2×4 + A12: the per-facility probability view family from the update
+    job as a standalone oracle-checked query — one row per facility per
+    threshold, probability = members whose envelope reaches the (buffered)
+    facility / fixed ensemble size, zero-hit facilities kept at 0.0
+    (create_school_view_from_envelopes, impact_analysis.py:1620-1717; the
+    member envelope is the A12 bbox union of the member's hit tiles).
+
+    All coordinates are integer-derived so Spark and DuckDB agree exactly.
+    Plan shape: the envelope dim is members × thresholds (≤ 24 rows) →
+    broadcast nested-loop on the range predicate; facilities never shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    thresholds = [50, 100, 150]
+    th_df = spark.createDataFrame([(t,) for t in thresholds], "wind_threshold INT")
+    th_arr = F.array(*[F.lit(t) for t in thresholds])
+    hits = ev.select(
+        F.col("user_id").alias("tile_id"),
+        F.col("event_type").alias("member"),
+        F.explode(F.filter(th_arr, lambda t: F.col("value") >= t)).alias(
+            "wind_threshold"
+        ),
+    ).distinct()
+    env = hits.groupBy("member", "wind_threshold").agg(
+        F.min((F.col("tile_id") * 7) % 6000 - 50).alias("xmin"),
+        F.max((F.col("tile_id") * 7) % 6000 + 50).alias("xmax"),
+        F.min((F.col("tile_id") % 97) * 10 - 50).alias("ymin"),
+        F.max((F.col("tile_id") % 97) * 10 + 50).alias("ymax"),
+    )
+    kinds = F.array(*[F.lit(k) for k in FACILITY_KINDS])
+    fac = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("facility_id"),
+        F.element_at(kinds, (F.col("c_custkey") % 4 + 1).cast("int")).alias("kind"),
+        ((F.col("c_custkey") * 131) % 6000).alias("fx"),
+        ((F.col("c_custkey") * 17) % 970).alias("fy"),
+    )
+    in_env = (
+        (F.col("fx") + 2 >= F.col("xmin"))
+        & (F.col("fx") - 2 <= F.col("xmax"))
+        & (F.col("fy") + 2 >= F.col("ymin"))
+        & (F.col("fy") - 2 <= F.col("ymax"))
+    )
+    nhit = (
+        fac.join(F.broadcast(env), in_env)
+        .groupBy("facility_id", "wind_threshold")
+        .agg(F.countDistinct("member").alias("n_members"))
+    )
+    return (
+        fac.crossJoin(F.broadcast(th_df))
+        .join(nhit, ["facility_id", "wind_threshold"], "left")
+        .select(
+            "facility_id",
+            "kind",
+            "wind_threshold",
+            (F.coalesce(F.col("n_members"), F.lit(0)) / F.lit(8.0)).alias(
+                "probability"
+            ),
+        )
+    )
+
+
+ORACLE_FACILITY_PROB = """
+WITH th(wind_threshold) AS (VALUES (50), (100), (150)),
+hits AS (
+  SELECT DISTINCT user_id AS tile_id, event_type AS member, wind_threshold
+  FROM events, th WHERE value >= wind_threshold
+),
+env AS (
+  SELECT member, wind_threshold,
+         MIN((tile_id * 7) % 6000 - 50) AS xmin, MAX((tile_id * 7) % 6000 + 50) AS xmax,
+         MIN((tile_id % 97) * 10 - 50) AS ymin, MAX((tile_id % 97) * 10 + 50) AS ymax
+  FROM hits GROUP BY 1, 2
+),
+fac AS (
+  SELECT c_custkey AS facility_id,
+         CASE c_custkey % 4 WHEN 0 THEN 'schools' WHEN 1 THEN 'health_centers'
+              WHEN 2 THEN 'shelters' ELSE 'wash' END AS kind,
+         (c_custkey * 131) % 6000 AS fx, (c_custkey * 17) % 970 AS fy
+  FROM customer
+),
+nhit AS (
+  SELECT facility_id, wind_threshold, COUNT(DISTINCT member) AS n_members
+  FROM fac JOIN env
+    ON fx + 2 >= xmin AND fx - 2 <= xmax AND fy + 2 >= ymin AND fy - 2 <= ymax
+  GROUP BY 1, 2
+)
+SELECT f.facility_id, f.kind, t.wind_threshold,
+       COALESCE(n_members, 0) / 8.0 AS probability
+FROM fac f CROSS JOIN th t
+LEFT JOIN nhit n ON n.facility_id = f.facility_id AND n.wind_threshold = t.wind_threshold
+"""
+
+
 def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10: small-dim lookup joins (dict .map → broadcast hash join), two
     hops: customer → nation → region (impact_analysis.py:1999-2000)."""
@@ -1499,6 +1595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_topk": q_sim_lsh,
     "dedup_embedding_cosine": q_embedding_neardup,
     "j2_point_zone_count": q_point_zone_count,
+    "j2_facility_probability": q_facility_probability,
     "j3_j5_zone_assignment": q_zone_assignment,
     "j10_lookup_join": q_lookup_join,
     "j13_prev_forecast_delta": q_prev_forecast_delta,
@@ -1550,6 +1647,7 @@ ORACLES: dict[str, str] = {
     "sim_lsh_topk": _sim_lsh_oracle(),
     "dedup_embedding_cosine": _embedding_neardup_oracle(),
     "j2_point_zone_count": ORACLE_POINT_ZONE,
+    "j2_facility_probability": ORACLE_FACILITY_PROB,
     "j3_j5_zone_assignment": ORACLE_ZONE_ASSIGN,
     "j10_lookup_join": ORACLE_LOOKUP,
     "j13_prev_forecast_delta": ORACLE_PREV_DELTA,

@@ -84,11 +84,14 @@ def build_report(
     tile_view: DataFrame,
     admin_view: DataFrame,
     events: DataFrame,
+    fac_view: DataFrame | None = None,
     key_threshold: int = 100,
     ensemble_size: int = 8,
 ) -> dict:
     """Assemble the flat report dict: per-threshold totals (A6), top-K tiles
     (A8), max active threshold (A9), landfall stats (A10/W2), per-admin rows,
+    vulnerability breakdowns (A7/F8, reports.py:393-462), per-facility-type
+    top-5 lists and expected-impact counts (reports.py:106-143,705-736),
     deltas vs the previous forecast (J13)."""
     # A6 — ceil'd expected totals per threshold (NULL-safe)
     totals = {
@@ -159,6 +162,101 @@ def build_report(
         if r["admin_id"] is not None
     }
 
+    # A7/F8 — vulnerability section at the key threshold. Poverty bands come
+    # from actual RWI (E_rwi / probability, reports.py:440-462); the
+    # urban/rural split uses actual built-surface density as the settlement-
+    # class analog (the domain has no SMOD layer; same de-expected formula,
+    # reports.py:416-439). None-vs-0 contract: no banding data at all → None
+    # ("N/A"); data present but an empty band → 0 (confirmed zero).
+    from aos_spark.ops.vulnerability import band_sums, poverty_band, urban_rural_class
+
+    key_tiles = tile_view.filter(
+        (F.col("wind_threshold") == key_threshold) & (F.col("probability") > 0)
+    )
+    vulnerability: dict = {}
+    rwi_bands = {
+        r["band"]: r
+        for r in band_sums(
+            key_tiles.filter(F.col("E_rwi").isNotNull()),
+            poverty_band(),
+            "band",
+            ["E_population", "E_built_surface"],
+        ).collect()
+    }
+    for band, label in [("poverty", "poverty"), ("severe_poverty", "severe")]:
+        for metric, mlabel in [("E_population", "pop"), ("E_built_surface", "built_surface")]:
+            vulnerability[f"expected_{mlabel}_{label}"] = (
+                _optional_ceil(rwi_bands[band][metric])
+                if band in rwi_bands
+                else (0 if rwi_bands else None)
+            )
+    ur_bands = {
+        r["band"]: r
+        for r in band_sums(
+            key_tiles.withColumn("E_smod_class", F.col("E_built_surface")).filter(
+                F.col("E_smod_class").isNotNull()
+            ),
+            urban_rural_class(),
+            "band",
+            ["E_population", "E_built_surface"],
+        ).collect()
+    }
+    for band in ("urban", "rural"):
+        for metric, mlabel in [("E_population", "pop"), ("E_built_surface", "built_surface")]:
+            vulnerability[f"expected_{mlabel}_{band}"] = (
+                _optional_ceil(ur_bands[band][metric])
+                if band in ur_bands
+                else (0 if ur_bands else None)
+            )
+
+    # per-facility-type top-5 + expected impacted-facility counts
+    # (reports.py:705-736: nlargest(5, probability) at the key threshold,
+    # falling back to the lowest available threshold; expected count =
+    # ceil(Σ probability); kind with no facility data at all → None)
+    top_facilities: dict = {}
+    expected_facilities: dict = {}
+    if fac_view is not None:
+        from pyspark.sql import Window
+
+        from aos_spark.pipeline.jobs import FACILITY_KINDS
+
+        ths = sorted(
+            r["wind_threshold"]
+            for r in fac_view.select("wind_threshold").distinct().collect()
+        )
+        key_th = key_threshold if key_threshold in ths else (ths[0] if ths else None)
+        if key_th is not None:
+            kf = fac_view.filter(F.col("wind_threshold") == key_th)
+            w = Window.partitionBy("kind").orderBy(
+                F.col("probability").desc(), "facility_id"
+            )
+            top_rows = (
+                kf.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= TOP_K)
+                .collect()
+            )
+            sums = {
+                r["kind"]: r
+                for r in kf.groupBy("kind")
+                .agg(F.sum("probability").alias("p"))
+                .collect()
+            }
+            for kind in FACILITY_KINDS:
+                rows = sorted(
+                    (r for r in top_rows if r["kind"] == kind),
+                    key=lambda r: r["__rn"],
+                )
+                top_facilities[kind] = [
+                    {
+                        "facility_id": int(r["facility_id"]),
+                        "probability": r["probability"],
+                    }
+                    for r in rows
+                ]
+                expected_facilities[f"expected_{kind}"] = (
+                    _optional_ceil(sums[kind]["p"]) if kind in sums else None
+                )
+
     report = {
         "storm": storm,
         "forecast_time": forecast_time,
@@ -178,6 +276,9 @@ def build_report(
         "top_tiles": top_tiles,
         "landfall": landfall,
         "admin_rows": admin_rows,
+        "vulnerability": vulnerability,
+        "top_facilities": top_facilities,
+        "expected_facilities": expected_facilities,
     }
 
     # J13 — change vs previous forecast (6 h earlier), if that report exists
@@ -191,6 +292,11 @@ def build_report(
                 deltas[f"{th}:{k}"] = (
                     None if v is None or pv is None else v - pv
                 )
+        # change_{kind} analog (reports.py:694-703): facility-count deltas
+        prev_fac = prev.get("expected_facilities", {})
+        for k, v in report["expected_facilities"].items():
+            pv = prev_fac.get(k)
+            deltas[f"facilities:{k}"] = None if v is None or pv is None else v - pv
     report["deltas_vs_previous"] = deltas
     report["has_previous"] = prev is not None
     return report

@@ -59,6 +59,39 @@ def test_update_writes_views_and_logs(spark, warehouse):
     assert row["runtime_seconds"] > 0
 
 
+def test_update_writes_facility_and_track_views(spark, warehouse):
+    """View-family parity with impact_analysis.py:2809-2840,2922-2927: the
+    four facility view families, the track severity view, and the
+    track-segment view all exist per (storm, forecast [, threshold])."""
+    fac = spark.read.parquet(os.path.join(warehouse, "views", "facilities"))
+    assert set(r["kind"] for r in fac.select("kind").distinct().collect()) == set(
+        jobs.FACILITY_KINDS
+    )
+    assert set(
+        r["wind_threshold"] for r in fac.select("wind_threshold").distinct().collect()
+    ) == set(jobs.WIND_THRESHOLDS)
+    # one row per facility per threshold; probability in [0, 1]
+    n_fac = fac.select("facility_id").distinct().count()
+    assert fac.count() == n_fac * len(jobs.WIND_THRESHOLDS)
+    assert (
+        fac.filter((F.col("probability") < 0) | (F.col("probability") > 1)).count() == 0
+    )
+
+    tracks = spark.read.parquet(os.path.join(warehouse, "views", "tracks"))
+    for k in jobs.FACILITY_KINDS:
+        assert f"severity_{k}" in tracks.columns
+    assert "severity_population" in tracks.columns
+    # at most one row per (member, threshold), members bounded by ensemble
+    assert tracks.count() <= jobs.ENSEMBLE_SIZE * len(jobs.WIND_THRESHOLDS)
+
+    seg = spark.read.parquet(os.path.join(warehouse, "views", "track_segments"))
+    # n-1 segments per member track
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    n_members = seg.select("member").distinct().count()
+    assert seg.count() == n_events - n_members
+    assert seg.filter(F.col("cx_next").isNull()).count() == 0
+
+
 def test_update_is_idempotent(spark, warehouse):
     res = jobs.update(spark, SF_DIR, warehouse, STORM, FC1)
     assert res["status"] == "SKIPPED"
@@ -84,6 +117,28 @@ def test_report_contents_and_deltas(spark, warehouse):
     for th, vals in rep1["thresholds"].items():
         for v in vals.values():
             assert v is None or isinstance(v, int)
+
+    # vulnerability section (A7/F8): all 8 band keys present; RWI exists in
+    # the base layer, so the poverty keys must be concrete ints (not None)
+    vuln = rep1["vulnerability"]
+    for mlabel in ("pop", "built_surface"):
+        for band in ("poverty", "severe", "urban", "rural"):
+            assert f"expected_{mlabel}_{band}" in vuln
+            v = vuln[f"expected_{mlabel}_{band}"]
+            assert v is None or isinstance(v, int)
+    assert isinstance(vuln["expected_pop_poverty"], int) or vuln[
+        "expected_pop_poverty"
+    ] is None  # contract shape
+    # per-facility top-5 + expected counts: all four kinds, probabilities
+    # descending within each list
+    assert set(rep1["top_facilities"]) == set(jobs.FACILITY_KINDS)
+    for kind, rows in rep1["top_facilities"].items():
+        assert len(rows) <= assemble.TOP_K
+        probs = [r["probability"] for r in rows]
+        assert probs == sorted(probs, reverse=True)
+    for kind in jobs.FACILITY_KINDS:
+        v = rep1["expected_facilities"][f"expected_{kind}"]
+        assert v is None or isinstance(v, int)
 
     # second forecast 6 h later sees the first → deltas keyed by name
     res = jobs.update(spark, SF_DIR, warehouse, STORM, FC2)
