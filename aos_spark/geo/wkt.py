@@ -309,6 +309,55 @@ def haversine_m(lat1, lon1, lat2, lon2) -> float:
     return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
 
 
+def _clamp(v, lo, hi):
+    return min(max(v, lo), hi)
+
+
+def bbox_min_gc_distance_m(box1, box2) -> float:
+    """EXACT minimum great-circle distance (meters) between two lat/lon
+    bboxes, each (lon_min, lon_max, lat_min, lat_max) — the geodesic form of
+    the country pre-filter distance (reference ST_DWITHIN on geography,
+    snowflake_utils.py:590-616). Being exact, it is trivially safe for a
+    conservative keep-if-within-radius pre-filter.
+
+    Derivation: central angle c between (φ1, λ1), (φ2, λ2) has
+    cos c = sin φ1 sin φ2 + cos φ1 cos φ2 cos Δλ. cos Δλ is maximized at the
+    coordinate-space longitude gap (Δλ ∈ [0°, 180°]); for fixed Δλ the
+    maximum of cos c over the latitude intervals is attained at an interval
+    endpoint, the equator, or the stationary partner
+    φ* = atan2(sin φ_other, cos φ_other · cos Δλ) clamped to the interval —
+    a finite candidate set, enumerated exhaustively. The longitude gap takes
+    the shorter way around (antimeridian wrap); each box itself is assumed
+    normalized to [-180, 180] without crossing the antimeridian (split such
+    boxes first).
+    """
+    x1min, x1max, y1min, y1max = box1
+    x2min, x2max, y2min, y2max = box2
+    gap_direct = max(x2min - x1max, x1min - x2max, 0.0)
+    gap_wrap = max(360.0 - (max(x1max, x2max) - min(x1min, x2min)), 0.0)
+    gap_lon = min(gap_direct, gap_wrap)
+    gap_lat = max(y2min - y1max, y1min - y2max, 0.0)
+    if gap_lon == 0.0:
+        # some meridian crosses both boxes → purely meridional gap
+        return EARTH_RADIUS_M * math.radians(gap_lat)
+    cosdl = math.cos(math.radians(gap_lon))
+    lo1, hi1 = math.radians(y1min), math.radians(y1max)
+    lo2, hi2 = math.radians(y2min), math.radians(y2max)
+    cands1 = {lo1, hi1} | ({0.0} if lo1 <= 0.0 <= hi1 else set())
+    cands2 = {lo2, hi2} | ({0.0} if lo2 <= 0.0 <= hi2 else set())
+    for p1 in list(cands1):
+        cands2.add(_clamp(math.atan2(math.sin(p1), math.cos(p1) * cosdl), lo2, hi2))
+    for p2 in list(cands2):
+        cands1.add(_clamp(math.atan2(math.sin(p2), math.cos(p2) * cosdl), lo1, hi1))
+    best = -2.0
+    for p1 in cands1:
+        for p2 in cands2:
+            g = math.sin(p1) * math.sin(p2) + math.cos(p1) * math.cos(p2) * cosdl
+            if g > best:
+                best = g
+    return EARTH_RADIUS_M * math.acos(_clamp(best, -1.0, 1.0))
+
+
 def point_polygon_distance_m(lat, lon, rings) -> float:
     """Approximate geodesic distance point→polygon boundary (0 if inside).
     Used by the 1,500-km pre-filter (reference main_pipeline.py:176-217) and

@@ -18,6 +18,7 @@ per-item argmin/argmax window partitioned by the item key.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,9 +66,11 @@ def _overlap_area(prefix: str = "") -> F.Column:
 def bbox_union(df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """A12: spatial union aggregate, bbox formulation — min/max over the
     box bounds (ST_UNION_AGG at snowflake_utils.py:603 / union_all at
-    impact_analysis.py:1158; exact-polygon union stays in the WKT UDF tier,
-    but every consumer in the reference only uses the union for a DISTANCE
-    pre-filter, where the bbox is the correct conservative object)."""
+    impact_analysis.py:1158). Exact polygon union is deliberately NOT
+    implemented: every consumer in the reference uses the union only as a
+    DISTANCE pre-filter input, where the bbox is the correct conservative
+    object (bbox distance ≤ true distance, so nothing in range is lost);
+    an exact union would add cost without changing any downstream result."""
     aggs = [
         F.min("xmin").alias("xmin"),
         F.max("xmax").alias("xmax"),
@@ -81,15 +84,25 @@ def zones_in_range(
     zones: DataFrame,
     envelopes: DataFrame,
     buffer: float,
+    *,
+    geodesic: bool = False,
 ) -> DataFrame:
     """S8/J12: the country-pruning pre-filter — keep zones (countries) whose
     bbox is within ``buffer`` of the ENVELOPE UNION's bbox (the reference's
     1,500 km ST_DWITHIN shipped into Snowflake, snowflake_utils.py:590-616).
 
+    ``geodesic=False``: planar box-gap distance, ``buffer`` in coordinate
+    units. ``geodesic=True``: boxes are lat/lon ((xmin,xmax)=lon,
+    (ymin,ymax)=lat), ``buffer`` in METERS, and the test uses the EXACT
+    minimum great-circle distance between the boxes
+    (wkt.bbox_min_gc_distance_m) — matching the reference's geography-typed
+    ST_DWITHIN instead of a degrees-as-meters approximation.
+
     This is the explicit cheap pre-join Catalyst cannot invent (SURVEY §4.1):
     the envelope union collapses to ONE broadcast row, so pruning costs one
     scan of the (tiny) zone dim — no data ever moves for out-of-range zones.
-    Conservative: bbox distance ≤ true distance, so no false negatives.
+    Conservative either way: bbox distance ≤ true zone-geometry distance,
+    so no false negatives.
     """
     u = bbox_union(envelopes).select(
         F.col("xmin").alias("uxmin"),
@@ -98,6 +111,32 @@ def zones_in_range(
         F.col("ymax").alias("uymax"),
     )
     joined = zones.crossJoin(F.broadcast(u))
+    if geodesic:
+        from pyspark.sql import types as T
+
+        from aos_spark.geo import wkt as wktlib
+
+        @F.pandas_udf(T.DoubleType())
+        def gc_m(
+            xmin: pd.Series, xmax: pd.Series, ymin: pd.Series, ymax: pd.Series,
+            uxmin: pd.Series, uxmax: pd.Series, uymin: pd.Series, uymax: pd.Series,
+        ) -> pd.Series:
+            return pd.Series(
+                [
+                    wktlib.bbox_min_gc_distance_m((a, b, c, d), (e, f, g, h))
+                    for a, b, c, d, e, f, g, h in zip(
+                        xmin, xmax, ymin, ymax, uxmin, uxmax, uymin, uymax
+                    )
+                ]
+            )
+
+        dist = gc_m(
+            F.col("xmin"), F.col("xmax"), F.col("ymin"), F.col("ymax"),
+            F.col("uxmin"), F.col("uxmax"), F.col("uymin"), F.col("uymax"),
+        )
+        return joined.filter(dist <= F.lit(float(buffer))).drop(
+            "uxmin", "uxmax", "uymin", "uymax"
+        )
     dx = F.greatest(
         F.col("uxmin") - F.col("xmax"), F.col("xmin") - F.col("uxmax"), F.lit(0.0)
     )
@@ -122,25 +161,92 @@ def view_zoom_for_span(span_col) -> F.Column:
     )
 
 
+def _exact_geom_udfs(zone_wkt: dict):
+    """Arrow-batched exact-geometry kernels for the subset of zones that are
+    TRUE polygons (J4's gpd.overlay parity, impact_analysis.py:1034-1047).
+    The parsed polygon dict is closure-captured and shipped once per executor
+    (broadcast-sized: admin zones). Both kernels short-circuit on the bbox
+    result, so Python-side geometry runs only for candidate pairs whose
+    bboxes overlap — the boundary sliver, not the full cross product."""
+    from pyspark.sql import types as T
+
+    from aos_spark.geo import wkt as wktlib
+
+    parsed = {int(z): wktlib.polygons_of(w) for z, w in zone_wkt.items()}
+
+    @F.pandas_udf(T.DoubleType())
+    def exact_area(
+        zid: pd.Series,
+        w: pd.Series,
+        s: pd.Series,
+        e: pd.Series,
+        n: pd.Series,
+        bbox_area: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for z, w_, s_, e_, n_, a in zip(zid, w, s, e, n, bbox_area):
+            polys = parsed.get(int(z))
+            if polys is None:
+                out.append(float(a))  # rectangular zone: bbox overlap IS exact
+            elif a <= 0.0:
+                out.append(0.0)  # polygon ⊆ its bbox: disjoint bboxes → 0
+            else:
+                out.append(
+                    float(
+                        sum(
+                            wktlib.rect_clip_area((w_, s_, e_, n_), rings)
+                            for rings in polys
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BooleanType())
+    def exact_center(
+        zid: pd.Series, cx: pd.Series, cy: pd.Series, bbox_in: pd.Series
+    ) -> pd.Series:
+        out = []
+        for z, x, y, b in zip(zid, cx, cy, bbox_in):
+            polys = parsed.get(int(z))
+            if polys is None:
+                out.append(bool(b))
+            elif not b:
+                out.append(False)  # center outside bbox → outside polygon
+            else:
+                out.append(wktlib.point_in_any_polygon(float(x), float(y), polys))
+        return pd.Series(out)
+
+    return exact_center, exact_area
+
+
 def assign_zones_3step(
     items: DataFrame,
     zones: DataFrame,
     item_key: str = "item_id",
+    zone_wkt: dict | None = None,
 ) -> DataFrame:
     """J3→J4→J5: assign every item box to exactly one zone.
 
     items: (item_key, cx, cy, bxmin, bxmax, bymin, bymax) — center + box.
     zones: (zone_id, xmin, xmax, ymin, ymax) — broadcast side.
+    zone_wkt: optional {zone_id: polygon WKT} for zones that are TRUE
+    polygons (non-rectangular admin regions). For those zones, step 1 tests
+    the center against the exact polygon and step 2 measures the exact
+    rect×polygon clip area (wkt.rect_clip_area — the gpd.overlay parity,
+    impact_analysis.py:1034-1047); their (xmin..ymax) row must be the
+    polygon's bbox. Zones without a WKT entry stay on the pure-Catalyst
+    bbox math, which is exact for rectangles.
 
     1. center-within-zone; ties (overlapping zones) → lowest zone_id
        (the reference's drop_duplicates keep-first made deterministic,
        impact_analysis.py:1031).
-    2. unassigned items → zone with the largest box-overlap area
+    2. unassigned items → zone with the largest overlap area
        (gpd.overlay + idxmax, impact_analysis.py:1034-1047); tie → lowest
        zone_id.
     3. still unassigned (ocean tiles) → nearest zone center by squared
        euclidean distance (sjoin_nearest, impact_analysis.py:1049-1064);
-       tie → lowest zone_id.
+       tie → lowest zone_id. (For WKT zones the bbox center stands in for
+       the centroid — the fallback tier only breaks open-ocean ties.)
 
     Returns (item_key, zone_id, method ∈ {'center','overlap','nearest'}).
 
@@ -149,9 +255,11 @@ def assign_zones_3step(
     a priority ordering instead of three joins + two anti-joins: step
     semantics and tie-breaks are identical, but the item side is scanned,
     shuffled, and windowed exactly once — the shape that survives a 100×
-    scale-up of the item side.
+    scale-up of the item side. The exact-geometry tier adds one Arrow batch
+    pass whose per-row cost collapses to a dict lookup away from polygon
+    bboxes.
     """
-    in_zone = (
+    bbox_in = (
         (F.col("cx") >= F.col("xmin"))
         & (F.col("cx") <= F.col("xmax"))
         & (F.col("cy") >= F.col("ymin"))
@@ -164,10 +272,34 @@ def assign_zones_3step(
     )
     scored = (
         items.crossJoin(F.broadcast(zones))
-        .withColumn("__area", _overlap_area())
+        .withColumn("__bbox_in", bbox_in)
+        .withColumn("__bbox_area", _overlap_area())
+    )
+    if zone_wkt:
+        exact_center, exact_area = _exact_geom_udfs(zone_wkt)
+        scored = scored.withColumn(
+            "__in",
+            exact_center(F.col("zone_id"), F.col("cx"), F.col("cy"), F.col("__bbox_in")),
+        ).withColumn(
+            "__area",
+            exact_area(
+                F.col("zone_id"),
+                F.col("bxmin"),
+                F.col("bymin"),
+                F.col("bxmax"),
+                F.col("bymax"),
+                F.col("__bbox_area"),
+            ),
+        )
+    else:
+        scored = scored.withColumn("__in", F.col("__bbox_in")).withColumn(
+            "__area", F.col("__bbox_area")
+        )
+    scored = (
+        scored
         .withColumn(
             "__priority",
-            F.when(in_zone, 0).when(F.col("__area") > 0, 1).otherwise(2),
+            F.when(F.col("__in"), 0).when(F.col("__area") > 0, 1).otherwise(2),
         )
         .withColumn(
             # within a priority class, the class's own ranking key:

@@ -95,6 +95,39 @@ def test_bbox_union_and_range_prefilter(spark):
     assert kept == {"NEAR", "INSIDE"}
 
 
+def test_range_prefilter_geodesic(spark):
+    """S8 geodesic form: buffer in METERS against exact great-circle box
+    distance (reference ST_DWITHIN on geography). 1° lon at the equator is
+    ~111.2 km; at 60°N it is ~55.6 km — the planar form can't tell these
+    apart, the geodesic form must."""
+    envs = spark.createDataFrame(
+        [(1, 0.0, 1.0, 59.0, 60.0)],
+        "envelope_id INT, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE",
+    )
+    zones = spark.createDataFrame(
+        [
+            ("CLOSE_HIGH_LAT", 3.0, 4.0, 59.0, 60.0),   # 2° lon gap at ~60N ≈ 112 km
+            ("FAR_EQUATOR", 3.0, 4.0, -1.0, 0.0),       # ≥ 59° of latitude away
+        ],
+        "country STRING, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE",
+    )
+    kept = {
+        r["country"]
+        for r in spatial_assign.zones_in_range(
+            zones, envs, buffer=1_500_000.0, geodesic=True
+        ).collect()
+    }
+    assert kept == {"CLOSE_HIGH_LAT"}
+    # wider radius reaches the equator zone too (~6,600 km)
+    kept_wide = {
+        r["country"]
+        for r in spatial_assign.zones_in_range(
+            zones, envs, buffer=7_000_000.0, geodesic=True
+        ).collect()
+    }
+    assert kept_wide == {"CLOSE_HIGH_LAT", "FAR_EQUATOR"}
+
+
 def test_view_zoom_ladder(spark):
     df = spark.createDataFrame(
         [(0.3,), (0.7,), (1.5,), (3.0,), (9.0,)], "span DOUBLE"

@@ -80,3 +80,49 @@ def test_haversine():
     assert W.point_polygon_distance_m(5, 5, W.polygons_of(SQUARE)[0]) == 0.0
     d = W.point_polygon_distance_m(0, 20, W.polygons_of(SQUARE)[0])
     assert abs(d - W.haversine_m(0, 20, 0, 10)) < 5_000
+
+
+def test_bbox_min_gc_distance_exact_cases():
+    # overlapping boxes → 0
+    assert W.bbox_min_gc_distance_m((0, 10, 0, 10), (5, 15, 5, 15)) == 0.0
+    # pure meridional gap: 10° of latitude
+    d = W.bbox_min_gc_distance_m((0, 10, 0, 10), (5, 15, 20, 30))
+    assert abs(d - W.haversine_m(10, 5, 20, 5)) < 1.0
+    # same-latitude separation at 60°N: true geodesic, not the parallel arc
+    d = W.bbox_min_gc_distance_m((-1, 0, 60, 60), (90, 91, 60, 60))
+    assert abs(d - W.haversine_m(60, 0, 60, 90)) < 1.0
+
+
+def test_bbox_min_gc_distance_never_exceeds_sampled(subtests=None):
+    """Conservative-pre-filter property (VERDICT r1 #10): the box distance
+    must never exceed the distance between ANY sampled point pair — so a
+    keep-if-within-radius filter can never reject a zone whose exact
+    geometry is in range."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    for _ in range(40):
+        b1 = _rand_box(rng)
+        b2 = _rand_box(rng)
+        dmin = W.bbox_min_gc_distance_m(b1, b2)
+        sampled = min(
+            W.haversine_m(p1[1], p1[0], p2[1], p2[0])
+            for p1, p2 in itertools.product(_grid(b1), _grid(b2))
+        )
+        assert dmin <= sampled + 1e-6, (b1, b2, dmin, sampled)
+
+
+def _rand_box(rng):
+    x = rng.uniform(-170, 160)
+    y = rng.uniform(-80, 70)
+    return (x, x + rng.uniform(0.1, 10), y, y + rng.uniform(0.1, 10))
+
+
+def _grid(box, n=7):
+    xmin, xmax, ymin, ymax = box
+    return [
+        (xmin + (xmax - xmin) * i / (n - 1), ymin + (ymax - ymin) * j / (n - 1))
+        for i in range(n)
+        for j in range(n)
+    ]
