@@ -1,0 +1,74 @@
+"""Tests for the dedup operators — focused on the shingle document-frequency
+cap that bounds the n-gram Jaccard self-join at corpus scale."""
+
+from __future__ import annotations
+
+from aos_spark.llm.dedup import exact_dedup, ngram_jaccard_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_cap_noop_below_threshold(spark):
+    """With no shingle over the cap, capped and uncapped results are equal."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base + " today"),  # near-dup of 1
+        (3, "completely different content about spark query planning engines"),
+        (4, "completely different content about spark query planning models"),
+    ]
+    df = _docs(spark, rows)
+    uncapped = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=1000).collect()
+    }
+    assert uncapped == capped
+    assert any(p[0] == 1 and p[1] == 2 for p in capped)
+
+
+def test_ngram_cap_bounds_hot_shingle_blowup(spark):
+    """30 docs sharing only a boilerplate sentence: uncapped, every pair is a
+    candidate (C(30,2)=435 at threshold 0); capped below 30, the hot shingles
+    are dropped before the self-join and no boilerplate-only pair survives."""
+    boiler = "click here to subscribe to our newsletter for updates"
+    rows = [
+        (i, f"unique document number {i} body text alpha{i} beta{i} gamma{i}. " + boiler)
+        for i in range(30)
+    ]
+    df = _docs(spark, rows)
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=None)
+    assert uncapped.count() == 435  # every pair shares the boilerplate shingles
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=5)
+    # boilerplate shingles have df=30 > 5 -> dropped pre-join; the per-doc
+    # unique words never co-occur, so the candidate set (and output) is empty
+    assert capped.count() == 0
+
+
+def test_ngram_cap_keeps_genuine_neardups(spark):
+    """A genuine near-dup pair shares mostly rare shingles, so it survives a
+    cap that suppresses the boilerplate-driven candidates. (The cap can only
+    UNDERcount n_common — denominators keep full shingle counts — so the
+    effective threshold is conservative; 0.3 here corresponds to ~0.9
+    uncapped similarity for this pair.)"""
+    boiler = "click here to subscribe to our newsletter for updates"
+    near_a = "storm surge flooded the coastal road and the harbor district overnight"
+    rows = [(i, f"doc {i} filler words alpha{i} beta{i}. " + boiler) for i in range(20)]
+    rows += [(100, near_a + ". " + boiler), (101, near_a + " again. " + boiler)]
+    df = _docs(spark, rows)
+    pairs = ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(100, 101)]
+
+
+def test_exact_dedup_counts(spark):
+    df = _docs(
+        spark,
+        [(1, "Hello, World!"), (2, "hello world"), (3, "other text")],
+    )
+    out = {r.keeper_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
