@@ -31,6 +31,39 @@ def topk_per_group(
     )
 
 
+def topk_global(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    k: int = TOP_K_FACILITIES,
+) -> DataFrame:
+    """Global top-k with a rank column, WITHOUT a partition-less window
+    (which single-tasks the whole input; Spark 4's EliminateWindowPartitions
+    folds literal partition keys, so a dummy group column doesn't help).
+
+    Shape: orderBy().limit(k) = TakeOrderedAndProject (distributed per-
+    partition top-k + driver merge), then rank the k survivors by an
+    ordering self-join (rank = #rows at-or-before; O(k²) on k rows).
+    Requires (order_col, tiebreak_col) to be unique per row — the same
+    determinism contract row_number needs for a stable rank."""
+    top = (
+        df.orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc())
+        .limit(k)
+        .persist()
+    )
+    probe = top.select(
+        F.col(order_col).alias("__o"), F.col(tiebreak_col).alias("__t")
+    )
+    at_or_before = (F.col("__o") > F.col(order_col)) | (
+        (F.col("__o") == F.col(order_col)) & (F.col("__t") <= F.col(tiebreak_col))
+    )
+    return (
+        top.join(probe, at_or_before)
+        .groupBy(*top.columns)
+        .agg(F.count(F.lit(1)).cast("int").alias("rank_in_group"))
+    )
+
+
 def max_active_threshold(
     df: DataFrame,
     threshold_col: str,

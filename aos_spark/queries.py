@@ -83,9 +83,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         admin, ["admin_id"], sum_cols=["E_exposure"], avg_cols=[], optional_sum_cols=[]
     )
     rolled = rolled.withColumn("E_exposure", F.round(F.col("E_exposure").cast("double"), 4))
-    ranked = topk.topk_per_group(
-        rolled.withColumn("__g", F.lit(1)), ["__g"], "E_exposure", "admin_id", k=5
-    )
+    ranked = topk.topk_global(rolled, "E_exposure", "admin_id", k=5)
     return ranked.select("admin_id", "E_exposure", "rank_in_group")
 
 
@@ -186,11 +184,31 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    # top-10 via orderBy().limit() = TakeOrderedAndProject — a distributed
+    # per-partition top-K + driver merge, NOT a single-task global window
+    # (which would funnel the whole agg output through one task at scale).
+    # Rank over the 10 survivors by ordering self-join (rank = #rows at or
+    # before this one): O(K²) on K=10 rows, zero window operators — a
+    # partition-less WindowExec would single-task even this tiny frame, and
+    # Spark 4 folds away constant partition keys (EliminateWindowPartitions).
+    # persist the 10-row frame so the upstream join+agg runs once, not once
+    # per self-join side
+    top = out.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10).persist()
+    a, b = top.alias("a"), top.alias("b")
+    precedes = (F.col("b.revenue") > F.col("a.revenue")) | (
+        (F.col("b.revenue") == F.col("a.revenue"))
+        & (F.col("b.l_orderkey") <= F.col("a.l_orderkey"))
+    )
     return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("l_orderkey", "o_orderpriority", F.round("revenue", 4).alias("revenue"), "rank")
+        a.join(b, precedes)
+        .groupBy("a.l_orderkey", "a.o_orderpriority", "a.revenue")
+        .agg(F.count(F.lit(1)).cast("int").alias("rank"))
+        .select(
+            F.col("l_orderkey"),
+            F.col("o_orderpriority"),
+            F.round("revenue", 4).alias("revenue"),
+            "rank",
+        )
     )
 
 
@@ -1547,8 +1565,16 @@ def q_distinct_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive)."""
     ev = _t(spark, sf_dir, "events")
     d = ev.select("event_type").distinct()
-    return d.withColumn(
-        "ord", F.row_number().over(Window.orderBy("event_type"))
+    # rank by ordering self-join (ord = #distinct types <= this one): the
+    # post-distinct cardinality is tiny so O(K²) is nil, and unlike a global
+    # window this keeps every operator distributed (Spark 4 folds constant
+    # partition keys, so there is no cheap non-empty partition spec).
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("b.event_type") <= F.col("a.event_type"))
+        .groupBy("a.event_type")
+        .agg(F.count(F.lit(1)).cast("int").alias("ord"))
+        .select(F.col("event_type"), "ord")
     )
 
 

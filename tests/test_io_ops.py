@@ -25,6 +25,22 @@ def test_custom_points_csv_autogen_ids(spark, tmp_path):
     assert rows == {"a": "schools_0", "b": "schools_1"}
 
 
+def test_sequential_ids_multi_partition(spark):
+    """Dense global ordering from range-partition + per-partition offsets:
+    ids must equal the rank by the order columns regardless of input
+    partitioning (the partition-less-window replacement, VERDICT r1 #5)."""
+    import random
+
+    vals = list(range(100))
+    random.Random(7).shuffle(vals)
+    df = spark.createDataFrame(
+        [(float(v), float(-v)) for v in vals], ["latitude", "longitude"]
+    ).repartition(8)
+    out = readers.sequential_ids(df, "p_", ["latitude", "longitude"], parts=5)
+    got = {r["latitude"]: r["__seq_id"] for r in out.collect()}
+    assert got == {float(v): f"p_{v}" for v in range(100)}
+
+
 def test_custom_points_csv_id_alias_and_validation(spark, tmp_path):
     p = tmp_path / "AAA_wash.csv"
     p.write_text("id,latitude,longitude,wash_type\nw9,1.0,2.0,well\n")
