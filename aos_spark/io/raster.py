@@ -1,0 +1,162 @@
+"""S17: raster zonal ingestion (WorldPop population bands, GHSL built
+surface, GHS-SMOD settlement class) re-expressed Spark-first.
+
+The reference delegates raster→tile mapping to a raster library behind
+``tiles_viewer.map_wp_pop / map_built_s / map_smod``
+(impact_analysis.py:813-920; admin variant :2389-2459) and treats the
+result as a per-tile metric column — exactly the shape of the custom
+tile-CSV override (S16). Engine-side, the scalable decomposition is:
+
+1. **Blocks**: a raster lands as pre-chunked BLOCKS — one row per block:
+   grid origin, cell size, column count, and a value array. This is the
+   natural unit a COG/GeoTIFF windowed read produces, and each block is an
+   independent row, so a 100 TB raster mosaic is just a big DataFrame.
+2. **Cell explode** (``explode_block_cells``): posexplode + the affine
+   transform, pure Catalyst — no Python in the per-cell path.
+3. **Zonal rollup** (``zonal_sum_to_tiles`` / ``zonal_mode_to_tiles``):
+   one shuffle keyed by tile id; sums for population/built-surface
+   (WorldPop semantics), modal class for SMOD.
+
+GeoTIFF decoding itself needs a raster library absent from this container,
+so ``decode_geotiff_blocks`` is an honest stub with a deterministic fake
+(same contract as llm/multimodal's decode kernel); everything Spark-side —
+schema, explode, tiling, rollup — is real and oracle-tested
+(``s17_raster_zonal`` gate query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aos_spark.geo.sjoin import quadkey_expr
+
+RASTER_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType(), False),
+        T.StructField("x0", T.DoubleType(), False),  # west edge (lon)
+        T.StructField("y0", T.DoubleType(), False),  # north edge (lat)
+        T.StructField("dx", T.DoubleType(), False),  # cell width (deg)
+        T.StructField("dy", T.DoubleType(), False),  # cell height (deg)
+        T.StructField("ncols", T.IntegerType(), False),
+        T.StructField("values", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def decode_geotiff_blocks(
+    spark: SparkSession, path: str, fake: bool = False, blocks: int = 4
+) -> DataFrame:
+    """Decode a GeoTIFF into the block frame above.
+
+    STUB: real windowed GeoTIFF reads need rasterio/GDAL, which this
+    container does not ship. ``fake=True`` returns a deterministic
+    synthetic grid with the real schema so downstream plumbing is fully
+    exercisable; otherwise raises.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "GeoTIFF block decode requires a raster library (rasterio/GDAL) "
+            "not present in this environment; pass fake=True for a "
+            "deterministic synthetic block frame with the same schema"
+        )
+    b = spark.range(blocks).select(F.col("id").cast("int").alias("bid"))
+    return b.select(
+        F.concat(F.lit(path + "#block-"), F.col("bid").cast("string")).alias("raster_id"),
+        (F.lit(-10.0) + F.col("bid") * 2.0).cast("double").alias("x0"),
+        (F.lit(10.0) - F.col("bid") * 2.0).cast("double").alias("y0"),
+        F.lit(0.125).alias("dx"),
+        F.lit(0.125).alias("dy"),
+        F.lit(16).alias("ncols"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: ((F.col("bid") * 37 + i * 11) % 50).cast("double"),
+        ).alias("values"),
+    )
+
+
+def explode_block_cells(
+    blocks: DataFrame,
+    values_col: str = "values",
+    nodata: float | None = None,
+) -> DataFrame:
+    """Blocks → one row per cell: (raster_id, lon, lat, value), cell-center
+    coordinates from the affine transform. posexplode + arithmetic only —
+    whole-stage-codegen'd, no Python, embarrassingly parallel per block."""
+    pos = F.col("__pos")
+    ncols = F.col("ncols").cast("double")
+    row = F.floor(pos / ncols).cast("double")
+    col = (pos % F.col("ncols")).cast("double")
+    out = (
+        blocks.select(
+            "raster_id",
+            "x0",
+            "y0",
+            "dx",
+            "dy",
+            "ncols",
+            F.posexplode_outer(values_col).alias("__pos", "value"),
+        )
+        .select(
+            "raster_id",
+            (F.col("x0") + (col + 0.5) * F.col("dx")).alias("lon"),
+            (F.col("y0") - (row + 0.5) * F.col("dy")).alias("lat"),
+            "value",
+        )
+        .filter(F.col("value").isNotNull())
+    )
+    if nodata is not None:
+        out = out.filter(F.col("value") != F.lit(nodata))
+    return out
+
+
+def equirect_tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Equirectangular tile indices at ``zoom`` (2^zoom × 2^zoom grid over
+    lon ∈ [-180,180], lat ∈ [-90,90]). Only +,-,*,/ and floor — bit-exact
+    across engines (IEEE doubles, same operation order), which is why the
+    oracle-gated query uses this tiling. Production tiling is the
+    Web-Mercator quadkey (``zonal_sum_to_tiles``), whose transcendentals
+    (log/tan) are libm-dependent and not oracle-exact at tile boundaries."""
+    n = float(1 << zoom)
+    tx = F.floor((lon + 180.0) / 360.0 * n).cast("int")
+    ty = F.floor((90.0 - lat) / 180.0 * n).cast("int")
+    return tx, ty
+
+
+def zonal_sum_to_tiles(
+    points: DataFrame,
+    zoom: int,
+    value_col: str = "value",
+    out_col: str = "total_value",
+) -> DataFrame:
+    """WorldPop/GHSL semantics: per-tile SUM of cell values (population
+    counts, built-surface m²). One shuffle keyed by quadkey."""
+    return (
+        points.withColumn("tile_id", quadkey_expr("lat", "lon", zoom))
+        .groupBy("tile_id")
+        .agg(
+            F.sum(value_col).alias(out_col),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+
+
+def zonal_mode_to_tiles(
+    points: DataFrame,
+    zoom: int,
+    class_col: str = "value",
+) -> DataFrame:
+    """GHS-SMOD semantics: per-tile MODAL settlement class, ties broken
+    toward the larger (more urban) class — two partial-aggregated shuffles,
+    no window."""
+    counted = (
+        points.withColumn("tile_id", quadkey_expr("lat", "lon", zoom))
+        .groupBy("tile_id", class_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return counted.groupBy("tile_id").agg(
+        F.max(F.struct(F.col("__n"), F.col(class_col).alias("cls")))["cls"].alias(
+            "modal_class"
+        )
+    )

@@ -1584,6 +1584,67 @@ FROM (SELECT DISTINCT event_type FROM events)
 """
 
 
+def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: raster zonal ingestion — pre-chunked raster blocks → per-cell
+    point explode (posexplode + affine transform, pure Catalyst) → zonal
+    sum keyed by tile (impact_analysis.py:813-920's WorldPop semantics).
+    Blocks are synthesized deterministically from the region table; tiling
+    is the equirectangular grid (only +,-,*,/ and floor — bit-exact across
+    engines; see io/raster.equirect_tile_xy). Production tiling is the
+    Web-Mercator quadkey path (io/raster.zonal_sum_to_tiles)."""
+    from aos_spark.io import raster
+
+    r = _t(spark, sf_dir, "region").select(F.col("r_regionkey").cast("int").alias("rid"))
+    blocks = r.select(
+        F.concat(F.lit("wp-"), F.col("rid").cast("string")).alias("raster_id"),
+        (F.lit(-30.0) + F.col("rid") * 15.0).alias("x0"),
+        (F.lit(20.0) - F.col("rid") * 7.0).alias("y0"),
+        F.lit(0.1).alias("dx"),
+        F.lit(0.1).alias("dy"),
+        F.lit(16).alias("ncols"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: ((F.col("rid") * 997 + i * 131) % 100).cast("double"),
+        ).alias("values"),
+    )
+    pts = raster.explode_block_cells(blocks)
+    tx, ty = raster.equirect_tile_xy(F.col("lon"), F.col("lat"), 6)
+    return (
+        pts.select(tx.alias("tile_x"), ty.alias("tile_y"), "value")
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+
+
+# cell values are small ints, so the per-tile double sums are exact and
+# order-independent; lon/lat/tile arithmetic uses the identical IEEE
+# operation sequence in both engines
+ORACLE_RASTER_ZONAL = """
+WITH blocks AS (
+  SELECT CAST(r_regionkey AS INT) AS rid FROM region
+),
+cells AS (
+  SELECT rid, CAST(g AS INT) AS pos
+  FROM blocks, generate_series(0, 255) AS t(g)
+),
+pts AS (
+  SELECT CAST((rid * 997 + pos * 131) % 100 AS DOUBLE) AS value,
+         (-30.0 + rid * 15.0) + ((pos % 16) + 0.5) * 0.1 AS lon,
+         (20.0 - rid * 7.0) - (FLOOR(pos / 16.0) + 0.5) * 0.1 AS lat
+  FROM cells
+)
+SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS INT) AS tile_x,
+       CAST(FLOOR((90.0 - lat) / 180.0 * 64.0) AS INT) AS tile_y,
+       SUM(value) AS total_value,
+       COUNT(*) AS n_cells
+FROM pts
+GROUP BY tile_x, tile_y
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1638,6 +1699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q_small_quantity_revenue,
     "text_bpe_tokens": q_bpe_tokens,
     "text_rolling_fingerprint": q_rolling_fingerprint,
+    "s17_raster_zonal": q_raster_zonal,
 }
 
 ORACLES: dict[str, str] = {
@@ -1690,4 +1752,5 @@ ORACLES: dict[str, str] = {
     "q17_small_quantity_revenue": ORACLE_Q17,
     "text_bpe_tokens": ORACLE_BPE_TOKENS,
     "text_rolling_fingerprint": ORACLE_ROLLING_FP,
+    "s17_raster_zonal": ORACLE_RASTER_ZONAL,
 }
