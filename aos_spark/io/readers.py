@@ -34,8 +34,75 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
         return ()
 
 
+def jdbc_reader_options(
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    **extra: str,
+) -> dict[str, str]:
+    """Option map for a Spark JDBC read — the warehouse-pushdown story the
+    reference hand-writes as parameterized SQL (snowflake_utils.py:326-424)
+    expressed through Spark's JDBC source instead: Catalyst pushes filters
+    and column pruning into the generated SELECT (JDBCRelation is a
+    PrunedFilteredScan), so ``read_jdbc(...).filter(col('track_id') == s)``
+    ships the WHERE to the database exactly like the reference's
+    ``WHERE TRACK_ID = %s``.
+
+    ``table`` xor ``query``: use ``table`` plus DataFrame filters when you
+    want Spark's pushdown; use ``query`` for warehouse-side SQL Spark can't
+    express (e.g. ST_ASWKT(geo) projections). The partition trio
+    (partition_column/lower_bound/upper_bound) with num_partitions splits
+    the read into parallel range queries — without it a JDBC read is a
+    single connection, a non-starter for large tables."""
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table/query is required")
+    opts: dict[str, str] = {"url": url, "fetchsize": str(fetchsize)}
+    if table is not None:
+        opts["dbtable"] = table
+    else:
+        opts["query"] = query
+    trio = (partition_column, lower_bound, upper_bound)
+    if any(v is not None for v in trio):
+        if any(v is None for v in trio) or num_partitions is None:
+            raise ValueError(
+                "partitioned JDBC reads need partition_column, lower_bound, "
+                "upper_bound AND num_partitions together"
+            )
+        if query is not None:
+            raise ValueError("partitionColumn requires dbtable, not query")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def read_jdbc(spark: SparkSession, url: str, **kwargs) -> DataFrame:
+    """S1–S7 over a live warehouse: ``spark.read.format('jdbc')`` with the
+    options built by ``jdbc_reader_options`` (needs the database's JDBC
+    driver jar on the Spark classpath)."""
+    return spark.read.format("jdbc").options(**jdbc_reader_options(url, **kwargs)).load()
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with nanosecond-timestamp normalization."""
+    """spark.read.parquet with nanosecond-timestamp normalization; a
+    ``jdbc:`` URI (``jdbc:<driver-url>#<table>``) routes to ``read_jdbc``."""
+    if path.startswith("jdbc:"):
+        url, _, table = path.partition("#")
+        if not table:
+            raise ValueError(
+                "jdbc paths need a '#table' suffix, e.g. "
+                "'jdbc:postgresql://host/db#tc_tracks'"
+            )
+        return read_jdbc(spark, url, table=table)
     nanos = _nano_ts_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

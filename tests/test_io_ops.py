@@ -25,6 +25,62 @@ def test_custom_points_csv_autogen_ids(spark, tmp_path):
     assert rows == {"a": "schools_0", "b": "schools_1"}
 
 
+def test_jdbc_reader_options():
+    opts = readers.jdbc_reader_options(
+        "jdbc:postgresql://h/db",
+        table="tc_tracks",
+        partition_column="ensemble_member",
+        lower_bound=0,
+        upper_bound=51,
+        num_partitions=8,
+    )
+    assert opts["dbtable"] == "tc_tracks"
+    assert (opts["partitionColumn"], opts["lowerBound"], opts["upperBound"]) == (
+        "ensemble_member",
+        "0",
+        "51",
+    )
+    assert opts["numPartitions"] == "8"
+    assert opts["fetchsize"] == "10000"
+
+    q = readers.jdbc_reader_options("jdbc:x://h/db", query="SELECT 1 AS one")
+    assert q["query"] == "SELECT 1 AS one"
+
+    with pytest.raises(ValueError, match="exactly one"):
+        readers.jdbc_reader_options("jdbc:x://h/db")
+    with pytest.raises(ValueError, match="exactly one"):
+        readers.jdbc_reader_options("jdbc:x://h/db", table="t", query="q")
+    with pytest.raises(ValueError, match="together"):
+        readers.jdbc_reader_options(
+            "jdbc:x://h/db", table="t", partition_column="c", num_partitions=4
+        )
+    with pytest.raises(ValueError, match="dbtable"):
+        readers.jdbc_reader_options(
+            "jdbc:x://h/db",
+            query="SELECT 1",
+            partition_column="c",
+            lower_bound=0,
+            upper_bound=1,
+            num_partitions=2,
+        )
+
+
+def test_read_table_routes_jdbc(spark, monkeypatch):
+    seen = {}
+
+    def fake_read_jdbc(sp, url, **kw):
+        seen.update(url=url, **kw)
+        return "sentinel"
+
+    monkeypatch.setattr(readers, "read_jdbc", fake_read_jdbc)
+    out = readers.read_table(spark, "jdbc:postgresql://h/db#tc_envelopes")
+    assert out == "sentinel"
+    assert seen == {"url": "jdbc:postgresql://h/db", "table": "tc_envelopes"}
+
+    with pytest.raises(ValueError, match="#table"):
+        readers.read_table(spark, "jdbc:postgresql://h/db")
+
+
 def test_sequential_ids_multi_partition(spark):
     """Dense global ordering from range-partition + per-partition offsets:
     ids must equal the rank by the order columns regardless of input
