@@ -101,12 +101,20 @@ def hyperplane_bucket(
     hyperplanes — a deterministic Catalyst expression (the planes are
     literals folded into the plan; no UDF, no nondeterminism)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0)
+    # ONE F.expr call instead of n_planes*dim F.lit calls: building the
+    # plane arrays with per-element Column objects costs a py4j round-trip
+    # per literal (~10 s of pure DRIVER time for 8×64 at plan-build),
+    # while a single SQL string parses server-side in milliseconds. The
+    # arithmetic is identical (repr() round-trips doubles exactly).
+    terms = []
     for i, p in enumerate(planes):
-        plane_arr = F.array(*[F.lit(x) for x in p])
-        d = dot_expr(F.col(vec_col), plane_arr)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+        arr = "array(" + ",".join(f"{x!r}D" for x in p) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def ivf_assign(
