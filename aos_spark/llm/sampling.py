@@ -1,0 +1,85 @@
+"""Deterministic corpus sampling and splitting for training-data curation.
+
+Everything here is HASH-derived, never RNG-derived: a row's assignment is a
+pure function of its id (+ a salt), so splits are reproducible across runs,
+engines, cluster sizes, and partitionings — the property that matters when
+a 100 TB corpus is re-materialized and the val set must not drift into
+train. Buckets come from the md5 prefix (cross-engine reproducible, see
+queries.py oracle rules); all expressions are pure Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10))
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex chars of
+    (salt || id) as an integer, mod n_buckets. Uniform, engine-portable."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10)
+    return h.cast("bigint") % n_buckets
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a train/val/test (or any weighted) split column. Weights are
+    integer percentages summing to 100; assignment is per-row hash bucket,
+    so it is stable under any repartitioning or re-run."""
+    if sum(w for _, w in splits) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = hash_bucket(id_col, 100, salt)
+    expr = None
+    edge = 0
+    for name, w in splits[:-1]:
+        edge += w
+        expr = (
+            F.when(bucket < edge, F.lit(name))
+            if expr is None
+            else expr.when(bucket < edge, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(splits[-1][0])) if expr is not None else F.lit(splits[-1][0])
+    return df.withColumn(out_col, expr)
+
+
+def fraction_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Keep ~fraction of rows, deterministically (hash threshold — a pushed
+    filter, no shuffle, no RNG). Resolution is 1/n_buckets."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_bucket(id_col, n_buckets, salt) < int(round(fraction * n_buckets)))
+
+
+def stratified_exact_n(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum: the n smallest hashes in
+    each group — a deterministic stand-in for per-stratum reservoir
+    sampling. The window is PARTITIONED by the strata (one shuffle keyed by
+    stratum; skewed strata are bounded by n output rows each)."""
+    h = hash_bucket(id_col, 1 << 62, salt)
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__h", "__rn")
+    )

@@ -1645,6 +1645,73 @@ GROUP BY tile_x, tile_y
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected-component clusters (llm/dedup.dup_clusters):
+    the end-to-end "which docs are the same group" resolution over the
+    n-gram Jaccard pair generator. Iterative min-label propagation on the
+    Spark side; the oracle computes the same closure with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.35)
+    return D.dup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= 0.35
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (llm/sampling): per
+    (split, lang) doc counts and char totals. Assignment is a pure function
+    of doc_id, so the same rows land in the same split in any engine."""
+    from aos_spark.llm import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.deterministic_split(d, "doc_id")
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_SAMPLE_SPLIT = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1700,6 +1767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_bpe_tokens,
     "text_rolling_fingerprint": q_rolling_fingerprint,
     "s17_raster_zonal": q_raster_zonal,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_split_stats": q_sample_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1753,4 +1822,6 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": ORACLE_BPE_TOKENS,
     "text_rolling_fingerprint": ORACLE_ROLLING_FP,
     "s17_raster_zonal": ORACLE_RASTER_ZONAL,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "sample_split_stats": ORACLE_SAMPLE_SPLIT,
 }

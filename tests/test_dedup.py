@@ -65,6 +65,19 @@ def test_ngram_cap_keeps_genuine_neardups(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(100, 101)]
 
 
+def test_dup_clusters_chain_and_components(spark):
+    """A 4-node chain (diameter 3) must converge to one cluster labeled by
+    its min id; a separate pair forms its own cluster; docs not in any pair
+    don't appear."""
+    from aos_spark.llm.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_exact_dedup_counts(spark):
     df = _docs(
         spark,
