@@ -1712,6 +1712,72 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → LEFT SEMI join with an extra
+    non-equi predicate (late-shipping lineitems), then a count per
+    priority. Exercises Catalyst's semi-join planning: the equi key drives
+    a hash semi-join, the date inequality rides along as a join condition —
+    no subquery materialization. (The synthetic lineitem lacks
+    commit/receipt dates, so "late" = shipped >70 days after order date.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 70 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_PRIORITY_SEMIJOIN = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 70 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-subquery HAVING (orders whose total
+    quantity exceeds a threshold) joined back to orders + a broadcast
+    customer dim. The heavy agg runs ONCE over lineitem and its survivors
+    drive the join — no correlated re-aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+ORACLE_LARGE_VOLUME = f"""
+WITH big AS (
+  SELECT l_orderkey, {_dsum_sql('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_dsum_sql('l_quantity')} > 250.0
+)
+SELECT c_name, o_orderkey, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1769,6 +1835,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s17_raster_zonal": q_raster_zonal,
     "dedup_clusters": q_dedup_clusters,
     "sample_split_stats": q_sample_split,
+    "q4_priority_semijoin": q_priority_semijoin,
+    "q18_large_volume_orders": q_large_volume_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -1824,4 +1892,6 @@ ORACLES: dict[str, str] = {
     "s17_raster_zonal": ORACLE_RASTER_ZONAL,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "sample_split_stats": ORACLE_SAMPLE_SPLIT,
+    "q4_priority_semijoin": ORACLE_PRIORITY_SEMIJOIN,
+    "q18_large_volume_orders": ORACLE_LARGE_VOLUME,
 }
