@@ -81,6 +81,25 @@ def run_available_now(
     q.awaitTermination()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming face of llm/dedup.exact_dedup
+    and the W5 keep-first semantics: drop rows whose key was already seen
+    within the watermark horizon (`dropDuplicatesWithinWatermark`), so
+    per-key state is bounded by the watermark instead of growing forever —
+    the property that keeps this runnable on an unbounded 100 TB/day feed.
+    Exactly-once per input file composes with the checkpoint (S12/F11)."""
+    if key_cols is None:
+        key_cols = ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
     "n_events INT, total_value DOUBLE"

@@ -143,3 +143,38 @@ def test_foreach_batch_bridge(spark, dirs):
     )
     assert sum(n for _, n in calls) == 0, f"reprocessed {calls}"
     assert total_first > 0
+
+
+def test_streaming_dedup_within_watermark(spark, dirs, tmp_path):
+    """Duplicate event_ids across two drops in the same micro-batch run are
+    emitted once; state stays bounded by the watermark."""
+    import shutil
+
+    ddir = str(tmp_path / "dedup_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    os.makedirs(ddir)
+    from aos_spark.io.readers import read_sf_table
+
+    ev = read_sf_table(spark, SF_DIR, "events").filter(
+        F.to_date("ts") == "2024-01-10"
+    )
+    n = ev.count()
+    ev.coalesce(1).write.parquet(os.path.join(ddir, "a"))
+    ev.coalesce(1).write.parquet(os.path.join(ddir, "b"))  # exact duplicates
+
+    stream = sjobs.read_event_stream(spark, ddir + "/*")
+    deduped = sjobs.dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    shutil.rmtree(ddir)
