@@ -1778,6 +1778,45 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops/asof): every event matched to the user's most recent
+    at-or-before 'purchase' signal. Spark side is the union-and-carry
+    formulation (one key shuffle, linear — no per-key range blowup); the
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the gate checks our
+    composition against a first-class engine implementation of the same
+    semantics."""
+    from aos_spark.ops import asof
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signal"))
+    )
+    out = asof.asof_join(left, right, on="ts", by=["user_id"], value_cols=["signal"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "signal",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+    )
+
+
+ORACLE_ASOF = """
+WITH r AS (
+  SELECT user_id, ts, MAX(value) AS signal
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       r.signal AS signal,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1837,6 +1876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split_stats": q_sample_split,
     "q4_priority_semijoin": q_priority_semijoin,
     "q18_large_volume_orders": q_large_volume_orders,
+    "asof_join_events": q_asof_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1894,4 +1934,5 @@ ORACLES: dict[str, str] = {
     "sample_split_stats": ORACLE_SAMPLE_SPLIT,
     "q4_priority_semijoin": ORACLE_PRIORITY_SEMIJOIN,
     "q18_large_volume_orders": ORACLE_LARGE_VOLUME,
+    "asof_join_events": ORACLE_ASOF,
 }
