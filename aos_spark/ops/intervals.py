@@ -1,0 +1,65 @@
+"""Range (interval) join — match points to the intervals containing them.
+
+Spark plans a raw `p BETWEEN lo AND hi` join as a BroadcastNestedLoopJoin
+(fine for a tiny interval dim — see j2) or, when neither side broadcasts, a
+cartesian product — a non-starter at scale. The scalable formulation is
+BUCKETIZATION: quantize the domain into fixed-width buckets, explode each
+interval to the buckets it spans, map each point to its single bucket, and
+equi-join on the bucket id before applying the exact range predicate. The
+join becomes a hash join keyed by bucket — shuffle proportional to
+|points| + Σ interval-spans/width, no pairwise blowup.
+
+Bucket width trades duplication for selectivity: ~ the median interval
+width is a good default (each interval lands in 1–2 buckets; each point
+probes one). The same trick at 2-D is the quadkey cover join (geo/sjoin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketized_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    start <= value <= end, via the bucket equi-join above. Output columns =
+    points ⋈ intervals (bucket id dropped). ``how`` supports 'inner' and
+    'left' (left keeps unmatched points with NULL interval columns via an
+    anti-join union)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = float(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
+    matched = (
+        pt.join(iv, "__bucket", "inner")
+        .filter(
+            (F.col(value_col) >= F.col(start_col))
+            & (F.col(value_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+    if how == "inner":
+        return matched
+    if how == "left":
+        missing = pt.drop("__bucket").join(
+            matched.select(*points.columns), points.columns, "left_anti"
+        )
+        return matched.unionByName(missing, allowMissingColumns=True)
+    raise ValueError(f"unsupported how: {how!r}")

@@ -1817,6 +1817,37 @@ FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (ops/intervals): events matched to the value intervals
+    containing them, per-interval count + decimal-exact sum. Spark side is
+    the bucketized equi-join (hash join keyed by bucket — the scale path;
+    a raw BETWEEN join is a nested loop); the oracle is the plain range
+    predicate join, checking the bucketization introduces no gain/loss at
+    bucket boundaries."""
+    from aos_spark.ops import intervals
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 7.0).alias("lo"),
+        (F.col("n_nationkey") * 7.0 + 20.0).alias("hi"),
+    )
+    joined = intervals.bucketized_range_join(ev, n, "value", "lo", "hi", 16.0)
+    return joined.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("sum_value"),
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT n_nationkey, COUNT(*) AS n_events,
+       {_dsum_sql('value', 6)} AS sum_value
+FROM nation JOIN events
+  ON value >= n_nationkey * 7.0 AND value <= n_nationkey * 7.0 + 20.0
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1877,6 +1908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_semijoin": q_priority_semijoin,
     "q18_large_volume_orders": q_large_volume_orders,
     "asof_join_events": q_asof_join,
+    "range_join_events": q_range_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1935,4 +1967,5 @@ ORACLES: dict[str, str] = {
     "q4_priority_semijoin": ORACLE_PRIORITY_SEMIJOIN,
     "q18_large_volume_orders": ORACLE_LARGE_VOLUME,
     "asof_join_events": ORACLE_ASOF,
+    "range_join_events": ORACLE_RANGE_JOIN,
 }
