@@ -1848,6 +1848,110 @@ GROUP BY 1
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report composing the text tier: doc counts,
+    whitespace + BPE-ish token totals, decimal-exact mean quality, and the
+    high-quality share — the summary a curation pipeline emits per corpus
+    snapshot. One partial-agg'd groupBy over a single codegen'd scan."""
+    d = _t(spark, sf_dir, "documents")
+    scored = (
+        TX.quality_features(d)
+        .withColumn("quality", TX.quality_score())
+        .withColumn("bpe", TX.bpe_ish_token_count())
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_quality"),
+    )
+
+
+ORACLE_CORPUS_STATS = rf"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]]', '', 'g')) AS n_punct,
+         CAST(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+         len(string_split_regex(lower(text), '\b(and|is|of|the|to)\b')) - 1 AS stop_hits,
+         COALESCE(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')), 0) AS bpe
+  FROM documents
+),
+ratios AS (
+  SELECT lang, n_tokens, bpe,
+         ROUND(n_alpha / GREATEST(n_chars, 1), 6) AS alpha_ratio,
+         ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+         ROUND(stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio
+  FROM feats
+),
+scored AS (
+  SELECT lang, n_tokens, bpe,
+         ROUND(CASE WHEN punct_ratio > 0.3 THEN 0.5 ELSE 1.0 END *
+               (0.4 * LEAST(stopword_ratio * 4, 1.0)
+                + 0.4 * alpha_ratio
+                + 0.2 * LEAST(n_tokens / 100.0, 1.0)), 6) AS quality
+  FROM ratios
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_quality,
+       CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_quality
+FROM scored GROUP BY lang
+"""
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (ops/sketches): build the d×w=4×64 sketch over
+    event_type in one map-combined shuffle, then estimate each distinct
+    key's frequency (min over its d counters). Deterministic md5 hashing
+    makes the whole sketch reproducible in the oracle — the gate checks
+    counter-for-counter equality of a probabilistic data structure."""
+    from aos_spark.ops import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.cms_build(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    return sketches.cms_estimate(sk, keys, "event_type")
+
+
+ORACLE_CMS = """
+WITH ex AS (
+  SELECT event_type AS key, CAST(g AS INT) AS hrow
+  FROM events, generate_series(0, 3) t(g)
+),
+sketch AS (
+  SELECT hrow,
+         CAST('0x' || substring(md5(CAST(hrow AS VARCHAR) || ':' || key), 1, 8) AS BIGINT)
+           % 64 AS bucket,
+         COUNT(*) AS counter
+  FROM ex GROUP BY 1, 2
+),
+pr AS (
+  SELECT key, CAST(g AS INT) AS hrow,
+         CAST('0x' || substring(md5(CAST(g AS VARCHAR) || ':' || key), 1, 8) AS BIGINT)
+           % 64 AS bucket
+  FROM (SELECT DISTINCT event_type AS key FROM events), generate_series(0, 3) t(g)
+)
+SELECT key AS event_type,
+       CAST(MIN(COALESCE(counter, 0)) AS BIGINT) AS est_count
+FROM pr LEFT JOIN sketch USING (hrow, bucket)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1909,6 +2013,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_orders": q_large_volume_orders,
     "asof_join_events": q_asof_join,
     "range_join_events": q_range_join,
+    "corpus_language_stats": q_corpus_stats,
+    "sketch_cms_estimate": q_cms_estimate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1968,4 +2074,6 @@ ORACLES: dict[str, str] = {
     "q18_large_volume_orders": ORACLE_LARGE_VOLUME,
     "asof_join_events": ORACLE_ASOF,
     "range_join_events": ORACLE_RANGE_JOIN,
+    "corpus_language_stats": ORACLE_CORPUS_STATS,
+    "sketch_cms_estimate": ORACLE_CMS,
 }
