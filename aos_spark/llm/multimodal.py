@@ -85,6 +85,55 @@ def extract_image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("clipped", T.BooleanType(), True),
+    ]
+)
+
+
+def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
+    """Audio decode kernel — STUB (no audio library in this container).
+    The fake path derives rms/clipping deterministically from the payload
+    digest so the plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library not present in this "
+            "container; run with fake=True for the deterministic test kernel"
+        )
+    digest = hashlib.md5(payload or b"").digest()
+    return {"rms": digest[1] / 255.0, "clipped": digest[2] > 240}
+
+
+def extract_audio_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
+    """mapInPandas audio features over the binary payload column (same
+    Arrow-batch contract as the image kernel); rows of other kinds are
+    filtered before the Python boundary so only audio bytes cross it."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_audio(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
+                    "duration_s": pdf["duration_s"].values,
+                    "rms": [f["rms"] for f in feats],
+                    "clipped": [f["clipped"] for f in feats],
+                }
+            )
+
+    return (
+        df.filter("kind = 'audio'")
+        .select("media_id", "payload", "duration_s")
+        .mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def sample_frames(df: DataFrame, every_s: float = 1.0, *, fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled
     timestamp. The frame grab itself is the stubbed kernel; the row fan-out,

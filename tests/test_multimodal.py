@@ -45,3 +45,18 @@ def test_sample_frames_fanout(spark, media):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="image library"):
         MM.decode_image(b"bytes", fake=False)
+
+
+def test_extract_audio_features(spark, media):
+    rows = {r["media_id"]: r for r in MM.extract_audio_features(media, fake=True).collect()}
+    assert set(rows) == {"aud1"}  # only audio rows cross the Python boundary
+    assert rows["aud1"]["duration_s"] == 2.0
+    assert 0.0 <= rows["aud1"]["rms"] <= 1.0
+    assert isinstance(rows["aud1"]["clipped"], bool)
+    again = {r["media_id"]: r for r in MM.extract_audio_features(media, fake=True).collect()}
+    assert again["aud1"]["rms"] == rows["aud1"]["rms"]
+
+
+def test_audio_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError, match="audio library"):
+        MM.decode_audio(b"bytes", fake=False)
