@@ -47,6 +47,11 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name, fn in QUERIES.items():
         for timings in (cold, warm):
+            # operators that persist() intermediate frames would otherwise be
+            # flattered on the 2nd run: the cache manager matches canonicalized
+            # plans, so an identical fresh DataFrame silently reuses the cold
+            # run's cache. Clear it so warm measures plan execution, not cache.
+            spark.catalog.clearCache()
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
