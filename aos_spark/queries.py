@@ -1952,6 +1952,69 @@ GROUP BY 1
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (llm/dedup.cross_contamination_pairs):
+    split the corpus by the deterministic hash bucket (train = the large
+    side, held-out = the small side), then find held-out docs leaking into
+    train via the banded-LSH cross join. The held-out banded frame
+    broadcasts; the training corpus never shuffles."""
+    from aos_spark.llm import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id", 100, "split")
+    corpus = d.filter(b < 80)
+    heldout = d.filter(b >= 80)
+    return D.cross_contamination_pairs(corpus, heldout, threshold=0.3)
+
+
+def _contamination_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+    rows = num_hashes // bands
+    prime = D.MINHASH_PRIME
+    sig_items = ", ".join(
+        f"list_aggregate(list_transform(hashed, h -> (h * {a} + {b}) % {prime}), 'min')"
+        for a, b in D.minhash_params(num_hashes)
+    )
+    band_structs = ", ".join(
+        f"struct_pack(band := {bi}, "
+        f"band_key := array_to_string(sig[{bi * rows + 1}:{bi * rows + rows}], '|'))"
+        for bi in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+split AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+),
+hashed_t AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)) AS hashed
+  FROM sh),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM hashed_t),
+banded AS (
+  SELECT doc_id, shingles, UNNEST([{band_structs}], recursive := true) FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.shingles AS sh_a, y.shingles AS sh_b
+  FROM banded x
+  JOIN split sx ON x.doc_id = sx.doc_id AND sx.bucket < 80
+  JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+  JOIN split sy ON y.doc_id = sy.doc_id AND sy.bucket >= 80
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_inter,
+         len(sh_a) + len(sh_b) - len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_union
+  FROM cand
+)
+SELECT id_a, id_b, ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+FROM verified WHERE ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) >= {threshold}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2015,6 +2078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_events": q_range_join,
     "corpus_language_stats": q_corpus_stats,
     "sketch_cms_estimate": q_cms_estimate,
+    "decontamination_pairs": q_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -2076,4 +2140,5 @@ ORACLES: dict[str, str] = {
     "range_join_events": ORACLE_RANGE_JOIN,
     "corpus_language_stats": ORACLE_CORPUS_STATS,
     "sketch_cms_estimate": ORACLE_CMS,
+    "decontamination_pairs": _contamination_oracle(),
 }

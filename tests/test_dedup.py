@@ -78,6 +78,28 @@ def test_dup_clusters_chain_and_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_cross_contamination_finds_planted_leak(spark):
+    """A held-out doc duplicated (lightly edited) into the training corpus
+    must surface as a cross pair; unrelated docs must not."""
+    from aos_spark.llm.dedup import cross_contamination_pairs
+
+    eval_text = (
+        "what is the capital of france paris is the capital and largest "
+        "city of france located on the seine river"
+    )
+    train = _docs(
+        spark,
+        [
+            (1, eval_text + " indeed"),  # leaked near-copy
+            (2, "completely unrelated training document about spark internals"),
+            (3, "another unrelated document about tropical cyclone forecasting"),
+        ],
+    )
+    heldout = _docs(spark, [(100, eval_text), (101, "benchmark question about chemistry")])
+    pairs = cross_contamination_pairs(train, heldout, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 100)]
+
+
 def test_exact_dedup_counts(spark):
     df = _docs(
         spark,
