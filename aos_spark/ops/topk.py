@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aos_spark.cache import persist_tracked
+
 TOP_K_FACILITIES = 5
 
 
@@ -46,10 +48,8 @@ def topk_global(
     ordering self-join (rank = #rows at-or-before; O(k²) on k rows).
     Requires (order_col, tiebreak_col) to be unique per row — the same
     determinism contract row_number needs for a stable rank."""
-    top = (
-        df.orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc())
-        .limit(k)
-        .persist()
+    top = persist_tracked(
+        df.orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc()).limit(k)
     )
     probe = top.select(
         F.col(order_col).alias("__o"), F.col(tiebreak_col).alias("__t")

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aos_spark.cache import persist_tracked
 from aos_spark.llm import dedup as D
 from aos_spark.llm import similarity as SIM
 from aos_spark.llm import text as TX
@@ -193,7 +194,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 4 folds away constant partition keys (EliminateWindowPartitions).
     # persist the 10-row frame so the upstream join+agg runs once, not once
     # per self-join side
-    top = out.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10).persist()
+    top = persist_tracked(
+        out.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+    )
     a, b = top.alias("a"), top.alias("b")
     precedes = (F.col("b.revenue") > F.col("a.revenue")) | (
         (F.col("b.revenue") == F.col("a.revenue"))

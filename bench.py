@@ -24,6 +24,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from aos_spark.cache import release_tracked
 from aos_spark.queries import QUERIES
 from aos_spark.session import get_spark
 
@@ -50,7 +51,9 @@ def main() -> None:
             # operators that persist() intermediate frames would otherwise be
             # flattered on the 2nd run: the cache manager matches canonicalized
             # plans, so an identical fresh DataFrame silently reuses the cold
-            # run's cache. Clear it so warm measures plan execution, not cache.
+            # run's cache. Release tracked persists and clear the rest so warm
+            # measures plan execution, not cache.
+            release_tracked()
             spark.catalog.clearCache()
             t0 = time.time()
             try:

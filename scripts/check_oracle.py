@@ -25,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb
 
+from aos_spark.cache import release_tracked
 from aos_spark.queries import ORACLES, QUERIES
 from aos_spark.session import get_spark
 
@@ -77,6 +78,7 @@ def main() -> int:
             sdf = QUERIES[name](spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_tracked()  # free operator-internal persists per query
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1

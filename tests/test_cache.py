@@ -1,0 +1,25 @@
+"""Tracked-persist hygiene: operators register their internal persists;
+release_tracked frees every one (bench/check_oracle call it per query)."""
+
+from pyspark.sql import functions as F
+
+from aos_spark.cache import persist_tracked, release_tracked
+from aos_spark.llm import dedup as D
+
+
+def test_release_tracked_unpersists(spark):
+    df = persist_tracked(spark.range(10).withColumn("x", F.col("id") * 2))
+    df.count()
+    assert df.storageLevel.useMemory
+    assert release_tracked() == 1
+    assert not df.storageLevel.useMemory
+
+
+def test_operators_register_persists(spark):
+    release_tracked()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert release_tracked() >= 1
