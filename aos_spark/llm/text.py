@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aos_spark.cache import persist_tracked
+
 # Marker-word lists for the n-gram/stopword language heuristic. Deliberately
 # tiny and deterministic: language ID at corpus scale is a scoring pass, and
 # the contract (argmax of per-language marker hits, ties → 'und') is what the
@@ -129,3 +131,112 @@ def fingerprint(text_col: str = "text", width: int = 16) -> Column:
     so an external system (and the DuckDB oracle) can reproduce it."""
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
     return F.substring(F.md5(F.trim(normalized)), 1, width)
+
+
+# PII patterns, RE2-safe by construction (no lookaround, no backrefs, ASCII
+# classes only) so Java regex (Spark) and RE2 (DuckDB) match identically.
+# Order matters for redaction: emails first (they contain digits and dots
+# that the narrower patterns could clip), then IPs, then the dashed-digit
+# shapes. The SSN (3-2-4) and phone (3-3-4) shapes cannot overlap.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII counts (n_email, n_ip, n_ssn, n_phone — counted on
+    the ORIGINAL text) plus a ``redacted`` column with every match replaced
+    by an angle-bracket placeholder. Pure Catalyst regexp_count /
+    regexp_replace — whole-stage codegen, linear scan, no shuffle."""
+    t = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+        )
+    redacted = t
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return out.withColumn("redacted", redacted)
+
+
+def gram_occurrences(tokens: Column, n: int) -> Column:
+    """ALL word n-gram occurrences (order kept, duplicates kept — unlike
+    shingles) from a MATERIALIZED token-array column; empty array below n
+    tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", table A1): the fraction of n-gram
+    occurrences taken by the single most frequent n-gram (``top_{n}gram_
+    frac``, occurrence-fraction variant) and the duplicated-n-gram fraction
+    (``dup_{n}gram_frac`` = 1 − distinct/total). High values mark boiler-
+    plate and degenerate repetition for corpus filtering.
+
+    Shape: one explode per gram size over a shared materialized token
+    frame, then a two-level aggregate keyed by (doc, gram) — linear in
+    corpus size and distributed (no per-document O(len²) higher-order-
+    function scan), so a single pathological long document cannot stall a
+    task. Docs shorter than n grams get 0.0."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")),
+            r"\s+",
+        ).alias("__tokens"),
+    )
+    # both gram sizes explode the same token frame; tag and union so the
+    # tokenize pass runs once and both counts share one shuffle
+    toks = persist_tracked(toks)
+    exploded = None
+    for kind, n in (("top", top_n), ("dup", dup_n)):
+        part = toks.select(
+            "id",
+            F.lit(kind).alias("kind"),
+            F.explode_outer(gram_occurrences(F.col("__tokens"), n)).alias("gram"),
+        )
+        exploded = part if exploded is None else exploded.union(part)
+    stats = (
+        exploded.filter(F.col("gram").isNotNull())
+        .groupBy("id", "kind", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id", "kind")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    top_frac = F.round(F.col("top_c").cast("double") / F.col("total"), 6)
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("total"), 6
+    )
+    top = stats.filter(F.col("kind") == "top").select("id", top_frac.alias("__top"))
+    dup = stats.filter(F.col("kind") == "dup").select("id", dup_frac.alias("__dup"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(top, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__top", F.lit(0.0)).alias(f"top_{top_n}gram_frac"),
+            F.coalesce("__dup", F.lit(0.0)).alias(f"dup_{dup_n}gram_frac"),
+        )
+    )

@@ -847,6 +847,96 @@ FROM documents
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (llm/text.pii_features). The synthetic
+    corpus is digit-free, so deterministic PII derived from doc_id is
+    prepended first — the gate then checks the regex COUNTS and the md5 of
+    the fully REDACTED text, so a single mis-replaced character fails."""
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return TX.pii_features(seeded).select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_ssn",
+        "n_phone",
+        F.substring(F.md5("redacted"), 1, 16).alias("redacted_fp"),
+    )
+
+
+def _pii_oracle() -> str:
+    p = TX.PII_PATTERNS  # single source of truth for the patterns
+    redacted = "text"
+    for kind in p:
+        redacted = f"regexp_replace({redacted}, '{p[kind]}', '<{kind.upper()}>', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{p[k]}')) AS n_{k}" for k in p
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         'user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 ' ||
+         text AS text
+  FROM documents)
+SELECT doc_id,
+       {counts},
+       substring(md5({redacted}), 1, 16) AS redacted_fp
+FROM seeded
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (llm/text.repetition_stats):
+    top-2-gram occurrence fraction and duplicate-5-gram fraction per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.repetition_stats(d)
+
+
+ORACLE_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+  FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM t),
+g5 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+           THEN list_transform(range(len(t) - 4), i -> array_to_string(t[i+1:i+5], ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM t),
+c2 AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total
+       FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+c5 AS (SELECT doc_id, COUNT(*) AS n_distinct, SUM(c) AS total
+       FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(ROUND(CAST(c2.top_c AS DOUBLE) / c2.total, 6), 0.0) AS top_2gram_frac,
+       COALESCE(ROUND(1 - CAST(c5.n_distinct AS DOUBLE) / c5.total, 6), 0.0) AS dup_5gram_frac
+FROM documents d
+LEFT JOIN c2 ON d.doc_id = c2.doc_id
+LEFT JOIN c5 ON d.doc_id = c5.doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return D.exact_dedup(d)
@@ -2082,6 +2172,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_language_stats": q_corpus_stats,
     "sketch_cms_estimate": q_cms_estimate,
     "decontamination_pairs": q_contamination,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_repetition_stats": q_text_repetition,
 }
 
 ORACLES: dict[str, str] = {
@@ -2144,4 +2236,6 @@ ORACLES: dict[str, str] = {
     "corpus_language_stats": ORACLE_CORPUS_STATS,
     "sketch_cms_estimate": ORACLE_CMS,
     "decontamination_pairs": _contamination_oracle(),
+    "text_pii_scrub": _pii_oracle(),
+    "text_repetition_stats": ORACLE_REPETITION,
 }

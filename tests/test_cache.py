@@ -8,6 +8,7 @@ from aos_spark.llm import dedup as D
 
 
 def test_release_tracked_unpersists(spark):
+    release_tracked()  # drain anything registered by earlier tests
     df = persist_tracked(spark.range(10).withColumn("x", F.col("id") * 2))
     df.count()
     assert df.storageLevel.useMemory
