@@ -74,6 +74,81 @@ def cms_estimate(
     )
 
 
+HLL_P = 6  # 2^6 = 64 registers; relative error ≈ 1.04/√64 ≈ 13%
+HLL_HASH_BITS = 32
+
+
+def rho_case_sql(expr: str, q: int) -> str:
+    """ANSI-SQL CASE computing ρ(w) = leading zeros of the q-bit word
+    ``expr`` plus one (q+1 when w = 0) — pure integer comparisons, shared
+    verbatim by the Spark plan (F.expr) and the DuckDB oracle so the
+    register values are bit-identical with no log2/floor transcendental
+    edge cases."""
+    branches = " ".join(
+        f"WHEN {expr} >= {1 << (q - r)} THEN {r}" for r in range(1, q + 1)
+    )
+    return f"CASE {branches} ELSE {q + 1} END"
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """HyperLogLog register frame: (register index, max ρ) — 2^p rows max,
+    built in ONE map-side-combined shuffle of ≤2^p groups regardless of
+    input size (same scale story as the CMS above). The hash is the
+    md5-first-8-hex trick, so the sketch is deterministic and externally
+    reproducible; index = top p bits, ρ over the remaining 32−p bits.
+    Duplicate keys cannot change any register (max is idempotent), so the
+    frame needs no pre-distinct."""
+    q = HLL_HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        df.select(h.alias("__h"))
+        .select(
+            F.shiftright("__h", q).alias("register"),
+            F.col("__h").bitwiseAND(F.lit((1 << q) - 1)).alias("__w"),
+        )
+        .select("register", F.expr(rho_case_sql("__w", q)).alias("__rho"))
+        .groupBy("register")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """One-row distinct-count estimate from the register frame (Flajolet
+    et al. 2007): raw = α_m·m²/Σ2^(−M_i) with empty registers contributing
+    2⁰, and the small-range linear-counting correction m·ln(m/V) when
+    raw ≤ 2.5m and V (empty registers) > 0. Everything except the ln
+    branch is exact IEEE754 arithmetic (the 2^−M terms come from integer
+    shifts, not pow), so when V = 0 the estimate is bit-identical across
+    engines; the ln branch is within-engine deterministic only."""
+    m = 1 << p
+    regs = hll_registers(df, key_col, p)
+    agg = regs.agg(
+        # shiftleft with a column bit-count needs the SQL form (the Python
+        # wrapper only takes an int); 1<<M then exact double division gives
+        # the 2^-M terms without pow()
+        F.sum(F.lit(1.0) / F.expr("CAST(shiftleft(1, max_rho) AS DOUBLE)")).alias(
+            "__present_inv"
+        ),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    sum_inv = F.col("__present_inv") + (F.lit(m) - F.col("__n_present")).cast("double")
+    v_zero = (F.lit(m) - F.col("__n_present")).alias("v_zero")
+    raw = F.lit(alpha) * m * m / sum_inv
+    corrected = F.when(
+        (raw <= 2.5 * m) & (F.col("__n_present") < m),
+        F.lit(float(m)) * F.log(F.lit(m).cast("double") / v_zero),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        v_zero,
+        F.round(raw, 6).alias("raw_estimate"),
+        F.round(corrected, 6).alias("estimate"),
+    )
+
+
 def hot_keys(
     df: DataFrame,
     key_col: str,

@@ -2045,6 +2045,51 @@ GROUP BY 1
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate (ops/sketches.hll_*) over
+    lineitem.l_orderkey, registers + estimate checked against the oracle
+    bit-for-bit (md5 hashing, integer-CASE ρ, shift-based 2^−M — no
+    transcendental in the fired branch: l_orderkey cardinality fills all
+    64 registers, so v_zero = 0 and the ln correction is dormant). The
+    exact distinct count rides along for visible calibration."""
+    from aos_spark.ops import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = sketches.hll_estimate(li, "l_orderkey")
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
+def _hll_oracle(p: int = 6) -> str:
+    from aos_spark.ops import sketches
+
+    m, q = 1 << p, 32 - p
+    rho = sketches.rho_case_sql("w", q)  # same CASE text as the Spark plan
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM lineitem),
+words AS (SELECT h >> {q} AS register, h & {(1 << q) - 1} AS w FROM h),
+regs AS (SELECT register, MAX({rho}) AS max_rho FROM words GROUP BY 1),
+agg AS (
+  SELECT SUM(1.0 / CAST(1 << max_rho AS DOUBLE)) AS present_inv,
+         COUNT(*) AS n_present
+  FROM regs),
+est AS (
+  SELECT {m} - n_present AS v_zero,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m}
+           / (present_inv + CAST({m} - n_present AS DOUBLE)) AS raw
+  FROM agg)
+SELECT {m} AS m, v_zero, ROUND(raw, 6) AS raw_estimate,
+       ROUND(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND v_zero > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v_zero)
+                  ELSE raw END, 6) AS estimate,
+       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_exact
+FROM est
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination (llm/dedup.cross_contamination_pairs):
     split the corpus by the deterministic hash bucket (train = the large
@@ -2174,6 +2219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_pairs": q_contamination,
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition_stats": q_text_repetition,
+    "sketch_hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -2238,4 +2284,5 @@ ORACLES: dict[str, str] = {
     "decontamination_pairs": _contamination_oracle(),
     "text_pii_scrub": _pii_oracle(),
     "text_repetition_stats": ORACLE_REPETITION,
+    "sketch_hll_distinct": _hll_oracle(),
 }

@@ -54,3 +54,39 @@ def test_sketch_size_is_bounded(spark):
     df = _skewed(spark)
     sk = sketches.cms_build(df, "k")
     assert sk.count() <= sketches.DEFAULT_DEPTH * sketches.DEFAULT_WIDTH
+
+
+def test_hll_bounded_error_and_determinism(spark):
+    from aos_spark.ops import sketches
+
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    est = sketches.hll_estimate(df, "k").collect()[0]
+    # 64 registers → σ ≈ 1.04/√64 ≈ 13%; assert within 3σ of the truth
+    assert abs(est.estimate - 10_000) / 10_000 < 0.39
+    assert est.v_zero == 0  # 10k distinct fills all 64 registers
+    # duplicates cannot move any register: same sketch for 3× the rows
+    tripled = df.union(df).union(df)
+    est2 = sketches.hll_estimate(tripled, "k").collect()[0]
+    assert est2 == est
+
+
+def test_hll_small_range_correction_fires(spark):
+    from aos_spark.ops import sketches
+
+    df = spark.range(20).select(F.col("id").alias("k"))
+    est = sketches.hll_estimate(df, "k").collect()[0]
+    assert est.v_zero > 0  # 20 keys cannot fill 64 registers
+    assert est.estimate != est.raw_estimate  # linear counting kicked in
+    assert abs(est.estimate - 20) / 20 < 0.5
+
+
+def test_hll_rho_case_sql_matches_python(spark):
+    from aos_spark.ops import sketches
+
+    q = 26
+    rows = spark.sql(
+        f"SELECT w, {sketches.rho_case_sql('w', q)} AS rho FROM VALUES "
+        f"(0), (1), (2), (3), ({1 << (q - 1)}), ({(1 << q) - 1}) AS t(w)"
+    ).collect()
+    expect = {0: q + 1, 1: q, 2: q - 1, 3: q - 1, 1 << (q - 1): 1, (1 << q) - 1: 1}
+    assert {r.w: r.rho for r in rows} == expect
