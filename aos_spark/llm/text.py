@@ -7,7 +7,7 @@ so they run inside whole-stage codegen and scale linearly with input size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aos_spark.cache import persist_tracked
@@ -239,4 +239,51 @@ def repetition_stats(
             F.coalesce("__top", F.lit(0.0)).alias(f"top_{top_n}gram_frac"),
             F.coalesce("__dup", F.lit(0.0)).alias(f"dup_{dup_n}gram_frac"),
         )
+    )
+
+
+def top_terms_tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most characteristic terms per document by tf·idf, with a
+    RATIONAL idf — (N − df + 0.5)/(df + 0.5), the BM25 idf sans log — so
+    the score is pure +−·/ arithmetic and bit-identical across engines
+    (ln(x) is transcendental and differs in the last ulp between libms,
+    which would flip ranks on ties). Monotone in the same direction as
+    log-idf, so the RANKING it exists to produce is unchanged.
+
+    Shape: explode tokens → (doc, term, tf) map-combined aggregate → term
+    document frequencies (a second aggregate over the same frame) joined
+    back BROADCAST (the df table is vocabulary-sized, Zipf-bounded, tiny
+    next to the corpus) → per-doc top-k window (PARTITIONED by doc — never
+    a global window). Ties break by term ascending for determinism."""
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+                ),
+                r"\s+",
+            )
+        ).alias("term"),
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    terms = persist_tracked(terms)  # feeds tf AND df aggregates
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.select("id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
     )

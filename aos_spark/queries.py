@@ -2045,6 +2045,69 @@ GROUP BY 1
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc (llm/text.top_terms_tfidf) —
+    tf·idf with the rational BM25-style idf so scores are exact cross-
+    engine; broadcast vocabulary join, per-doc (never global) window."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.top_terms_tfidf(d, k=3)
+
+
+ORACLE_TFIDF = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS term
+  FROM documents),
+terms AS (SELECT doc_id, term FROM t WHERE term IS NOT NULL AND term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (llm/packing.pack_into_chunks): documents →
+    fixed-capacity training chunks in 8 parallel hash shards; windows are
+    partitioned by shard, never global. All-integer arithmetic — the
+    oracle reproduces the exact layout."""
+    from aos_spark.llm import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.pack_into_chunks(d, capacity=512, n_shards=8)
+
+
+def _pack_oracle(capacity: int = 512, n_shards: int = 8) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {n_shards} AS shard
+  FROM documents),
+off AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS tok_start,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS tok_end
+  FROM base)
+SELECT doc_id, n_tokens, shard, tok_start // {capacity} AS chunk_in_shard,
+       tok_start, tok_end
+FROM off
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimate (ops/sketches.hll_*) over
     lineitem.l_orderkey, registers + estimate checked against the oracle
@@ -2220,6 +2283,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition_stats": q_text_repetition,
     "sketch_hll_distinct": q_hll_distinct,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pack_context_chunks": q_pack_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -2285,4 +2350,6 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": _pii_oracle(),
     "text_repetition_stats": ORACLE_REPETITION,
     "sketch_hll_distinct": _hll_oracle(),
+    "tfidf_top_terms": ORACLE_TFIDF,
+    "pack_context_chunks": _pack_oracle(),
 }
