@@ -166,8 +166,16 @@ def sequential_ids(
     """
     if parts is None:
         parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    from aos_spark.cache import persist_tracked
+
+    # persist BEFORE collecting counts so the control table and the final
+    # plan read the SAME materialization — without it, the range
+    # partitioner's sample pass runs twice and any layout divergence
+    # between the two executions would duplicate or skip ids.
+    ranged = persist_tracked(
+        df.repartitionByRange(parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     # tiny control table: one row per partition
     counts = sorted(

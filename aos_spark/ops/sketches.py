@@ -134,12 +134,19 @@ def hll_estimate(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
         F.count(F.lit(1)).alias("__n_present"),
     )
     alpha = 0.7213 / (1 + 1.079 / m)
-    sum_inv = F.col("__present_inv") + (F.lit(m) - F.col("__n_present")).cast("double")
+    # SUM over zero register rows is NULL — coalesce so an EMPTY input
+    # yields estimate 0.0 (V = m; linear counting m·ln(m/m) = 0), not NULL.
+    present_inv = F.coalesce(F.col("__present_inv"), F.lit(0.0))
+    sum_inv = present_inv + (F.lit(m) - F.col("__n_present")).cast("double")
     v_zero = (F.lit(m) - F.col("__n_present")).alias("v_zero")
-    raw = F.lit(alpha) * m * m / sum_inv
+    raw = F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
+        F.lit(alpha) * m * m / sum_inv
+    )
     corrected = F.when(
         (raw <= 2.5 * m) & (F.col("__n_present") < m),
-        F.lit(float(m)) * F.log(F.lit(m).cast("double") / v_zero),
+        F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
+            F.lit(float(m)) * F.log(F.lit(m).cast("double") / v_zero)
+        ),
     ).otherwise(raw)
     return agg.select(
         F.lit(m).alias("m"),

@@ -2064,7 +2064,7 @@ dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term,
-         ROUND(tf * (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5), 6) AS tfidf
+         ROUND(tf * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)), 6) AS tfidf
   FROM tf JOIN dfreq USING (term) CROSS JOIN n),
 ranked AS (
   SELECT doc_id, term, tfidf,

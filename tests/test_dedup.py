@@ -78,6 +78,23 @@ def test_dup_clusters_chain_and_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_string_ids(spark):
+    """String doc ids must converge identically (ADVICE r2: the old
+    DECIMAL-cast convergence sum was NULL for non-numeric ids and stopped
+    propagation after one round, splitting a 4-node chain)."""
+    from aos_spark.llm.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-c", "doc-d"), ("x", "y")],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a", "doc-d": "doc-a",
+        "x": "x", "y": "x",
+    }
+
+
 def test_cross_contamination_finds_planted_leak(spark):
     """A held-out doc duplicated (lightly edited) into the training corpus
     must surface as a cross pair; unrelated docs must not."""

@@ -80,6 +80,18 @@ def test_hll_small_range_correction_fires(spark):
     assert abs(est.estimate - 20) / 20 < 0.5
 
 
+def test_hll_empty_input_is_zero(spark):
+    """Empty input → estimate 0.0, not NULL (ADVICE r2): V = m and the
+    linear-counting branch gives m·ln(m/m) = 0."""
+    from aos_spark.ops import sketches
+
+    df = spark.range(5).filter("id < 0").select(F.col("id").alias("k"))
+    est = sketches.hll_estimate(df, "k").collect()[0]
+    assert est.v_zero == est.m
+    assert est.raw_estimate == 0.0
+    assert est.estimate == 0.0
+
+
 def test_hll_rho_case_sql_matches_python(spark):
     from aos_spark.ops import sketches
 
