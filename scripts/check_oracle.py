@@ -72,6 +72,7 @@ def main() -> int:
 
     names = only or list(QUERIES)
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -81,6 +82,8 @@ def main() -> int:
             release_tracked()  # free operator-internal persists per query
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"spark: {e}"[:200]}
             n_fail += 1
             continue
         if name not in ORACLES:
@@ -92,6 +95,8 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"duckdb: {e}"[:200]}
             n_fail += 1
             continue
         problems = []
@@ -115,6 +120,14 @@ def main() -> int:
                 for x in sorted(dset - sset)[:3]:
                     print(f"    duck-only:  {x}")
         dt = time.time() - t0
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({dt:.1f}s)")
             n_fail += 1
@@ -122,6 +135,12 @@ def main() -> int:
             print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if not only:  # full run: persist the all-queries artifact for the judge
+        import json
+
+        out = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
+        out.write_text(json.dumps(results, indent=2) + "\n")
+        print(f"wrote {out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 
