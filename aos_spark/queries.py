@@ -2217,6 +2217,304 @@ FROM verified WHERE ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) >= {threshold}
 
 
 # --------------------------------------------------------------------------
+# Round 3: relational-surface breadth (cube/pivot/unpivot/rolling/rank/
+# histogram/set-ops), the streaming batch face (tumbling windows), and two
+# training-pipeline ops (corpus length percentiles, int8 embedding
+# quantization). Each is a single declarative plan — Catalyst picks
+# partial-agg + single-shuffle physical shapes; no Python in any hot path.
+# --------------------------------------------------------------------------
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping combinations in ONE
+    pass (one shuffle; Spark expands grouping sets map-side exactly like
+    the reference's repeated pandas groupbys collapsed into one plan).
+    grouping_id disambiguates subtotal rows from genuine NULL keys."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       {_dsum_sql('o_totalprice')} AS revenue
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: revenue per priority × order-status. The pivot values
+    are declared explicitly, so Spark skips the extra distinct-values job
+    and the plan is a single partial-agg + final-agg pair — at 100 TB the
+    pivot is exactly as cheap as the equivalent groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("rev_f"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("rev_o"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("rev_p"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_f,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_o,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form melt of three lineitem measures (DataFrame.unpivot —
+    Catalyst Expand node: one scan, rows×3 output, zero shuffle). The
+    narrow long layout is the same rewrite the CCI operator uses (W3)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+"""
+
+
+def q_rolling_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 4-order spend (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) — partitioned window, decimal accumulation so the moving
+    sum is independent of partitioning. The (date, orderkey) sort key is
+    unique per customer, so the frame is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    ord_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    roll = ord_w.rowsBetween(-3, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(ord_w).cast("int").alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(roll)
+        .cast("double")
+        .alias("rolling_spend_4"),
+        F.count(F.lit(1)).over(roll).cast("int").alias("window_n"),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend_4,
+       CAST(COUNT(*) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS INTEGER) AS window_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile/percent-rank/cume-dist assignment per priority class —
+    partitioned ranking windows with a unique (price, orderkey) sort key,
+    so peer groups are singletons and every rank function is exact and
+    identical across engines (percent_rank's division is one IEEE754 op)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+ORACLE_RANK_DIST = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 5) of l_quantity with per-bucket
+    revenue — floor-divide bucketing is pure integer-exact arithmetic
+    (no transcendental), one hash aggregation, map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / F.lit(5.0)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("bucket_revenue"),
+        )
+        .withColumn("lo", (F.col("bucket") * 5).cast("double"))
+        .withColumn("hi", ((F.col("bucket") + 1) * 5).cast("double"))
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+SELECT CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_items,
+       {_dsum_sql('l_extendedprice')} AS bucket_revenue,
+       CAST(CAST(FLOOR(l_quantity / 5.0) AS BIGINT) * 5 AS DOUBLE) AS lo,
+       CAST((CAST(FLOOR(l_quantity / 5.0) AS BIGINT) + 1) * 5 AS DOUBLE) AS hi
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_tumbling_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event windows per type — the BATCH face of the
+    Structured-Streaming job (streaming/jobs.windowed_member_counts runs
+    the same F.window aggregation over readStream with a watermark;
+    epoch-aligned tumbling windows ≡ date_trunc('hour'))."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("sum_value"),
+    )
+    return g.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+ORACLE_TUMBLING = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {_dsum_sql('value', 6)} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation via set algebra: INTERSECT (placed urgent AND
+    fulfilled orders) and EXCEPT (urgent only). Both compile to a single
+    hash-partitioned distinct + join — no driver-side sets."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    fulfilled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = urgent.intersect(fulfilled).withColumn("segment", F.lit("both"))
+    only = urgent.subtract(fulfilled).withColumn("segment", F.lit("urgent_only"))
+    return both.unionByName(only)
+
+
+ORACLE_SET_OPS = """
+SELECT o_custkey, 'both' AS segment FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT o_custkey, 'urgent_only' AS segment FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quartiles with PERCENTILE_DISC
+    semantics (smallest value whose cume_dist ≥ p) — built from a
+    partitioned cume_dist window + conditional min, so the selected value
+    is an actual corpus element (integer — bit-exact cross-engine, unlike
+    interpolated quantiles). The shape every corpus-curation cut
+    (length filtering) needs before choosing thresholds."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    cd = d.select("lang", "n_chars", F.cume_dist().over(w).alias("cd"))
+    return cd.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.when(F.col("cd") >= 0.25, F.col("n_chars"))).alias("p25_chars"),
+        F.min(F.when(F.col("cd") >= 0.50, F.col("n_chars"))).alias("p50_chars"),
+        F.min(F.when(F.col("cd") >= 0.75, F.col("n_chars"))).alias("p75_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORACLE_LENGTH_PCTL = """
+WITH cd AS (
+  SELECT lang, n_chars,
+         CUME_DIST() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cd
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       MIN(n_chars) FILTER (WHERE cd >= 0.25) AS p25_chars,
+       MIN(n_chars) FILTER (WHERE cd >= 0.50) AS p50_chars,
+       MIN(n_chars) FILTER (WHERE cd >= 0.75) AS p75_chars,
+       MAX(n_chars) AS max_chars
+FROM cd GROUP BY lang
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — per-vector
+    scale 127/max|x|, floor-clamped components. All-arithmetic (float→
+    double promotion, one division, floor) so the quantized vectors are
+    bit-identical cross-engine; at scale this is the storage/ANN-probe
+    compression step and runs as one whole-stage-codegen projection.
+    maxabs is materialized as a column BEFORE the transform lambda
+    (Catalyst does not CSE across higher-order-function boundaries)."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = e.withColumn(
+        "maxabs",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double"),
+    ).withColumn(
+        "scale",
+        F.when(F.col("maxabs") > 0, F.lit(127.0) / F.col("maxabs")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127), F.floor(x.cast("double") * F.col("scale")).cast("int")
+            ),
+        ),
+    )
+    return df.select("vec_id", "scale", q8.alias("q_int8"))
+
+
+ORACLE_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+  FROM embeddings),
+s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+  FROM m)
+SELECT vec_id, scale,
+       list_transform(embedding,
+         x -> GREATEST(-127, LEAST(127,
+                CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS INTEGER)))) AS q_int8
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2291,6 +2589,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_regional_revenue": q_regional_revenue,
     "q17_small_quantity_revenue": q_small_quantity_revenue,
     "j2_facility_probability": q_facility_probability,
+    "cube_order_stats": q_cube_order_stats,
+    "pivot_status_revenue": q_pivot_status_revenue,
+    "unpivot_metrics": q_unpivot_metrics,
+    "rolling_customer_spend": q_rolling_customer_spend,
+    "rank_distribution": q_rank_distribution,
+    "histogram_quantity": q_histogram_quantity,
+    "tumbling_event_windows": q_tumbling_event_windows,
+    "set_ops_segments": q_set_ops_segments,
+    "corpus_length_percentiles": q_corpus_length_percentiles,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2358,4 +2666,14 @@ ORACLES: dict[str, str] = {
     "sketch_hll_distinct": _hll_oracle(),
     "tfidf_top_terms": ORACLE_TFIDF,
     "pack_context_chunks": _pack_oracle(),
+    "cube_order_stats": ORACLE_CUBE,
+    "pivot_status_revenue": ORACLE_PIVOT,
+    "unpivot_metrics": ORACLE_UNPIVOT,
+    "rolling_customer_spend": ORACLE_ROLLING,
+    "rank_distribution": ORACLE_RANK_DIST,
+    "histogram_quantity": ORACLE_HISTOGRAM,
+    "tumbling_event_windows": ORACLE_TUMBLING,
+    "set_ops_segments": ORACLE_SET_OPS,
+    "corpus_length_percentiles": ORACLE_LENGTH_PCTL,
+    "embedding_quantize": ORACLE_QUANTIZE,
 }
