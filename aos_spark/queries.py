@@ -2514,6 +2514,193 @@ FROM s
 """
 
 
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable-resample shape): build the
+    dense hourly spine per event type with sequence()+explode — generated
+    distributed, never on the driver — left-join the hourly rollup onto
+    it, and forward-fill through gaps with a partitioned
+    last-ignore-nulls window. Missing hours report 0 events and carry the
+    previous hour's value."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(F.col("w.start").alias("h"), "event_type", "n_events", "sum_value")
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("h0"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.last(F.col("sum_value"), True).over(w).alias("ffill_sum_value"),
+    )
+
+
+ORACLE_GAPFILL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n_events,
+         {_dsum_sql('value', 6)} AS sum_value
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT MIN(date_trunc('hour', ts)) AS h0, MAX(date_trunc('hour', ts)) AS h1
+  FROM events),
+spine AS (
+  SELECT t.event_type, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b)
+SELECT event_type, h AS window_start,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(sum_value, 0.0) AS sum_value,
+       LAST_VALUE(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum_value
+FROM spine LEFT JOIN hourly USING (event_type, h)
+"""
+
+
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (PERCENTILE_CONT) p50/p90 of l_quantity per return
+    flag WITHOUT sorting to the driver: rank with a partitioned window,
+    then one aggregation picks the two bracketing elements and
+    interpolates v_lo + frac·(v_hi − v_lo). The index arithmetic
+    p·(n−1) and the interpolation are single IEEE754 ops, so the result
+    is bit-identical cross-engine (unlike engine-native quantile
+    implementations, whose tie/rounding conventions differ)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    cw = Window.partitionBy("l_returnflag")
+    d = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_items")]
+    for tag, p in (("p50", 0.5), ("p90", 0.9)):
+        idx = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo = F.floor(idx).cast("bigint") + 1  # 1-based rank
+        hi = F.least(lo + 1, F.col("n"))
+        frac = idx - F.floor(idx)
+        v_lo = F.min(F.when(F.col("rn") == lo, F.col("l_quantity")))
+        v_hi = F.min(F.when(F.col("rn") == hi, F.col("l_quantity")))
+        # one row per group satisfies rn==lo; frac is constant per group
+        f = F.min(F.when(F.col("rn") == lo, frac))
+        aggs.append((v_lo + f * (v_hi - v_lo)).alias(tag))
+    return d.groupBy("l_returnflag").agg(*aggs)
+
+
+ORACLE_PCTL_CONT = """
+WITH d AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem),
+e AS (
+  SELECT l_returnflag, l_quantity, rn, n,
+         0.5 * CAST(n - 1 AS DOUBLE) AS idx50,
+         0.9 * CAST(n - 1 AS DOUBLE) AS idx90
+  FROM d)
+SELECT l_returnflag, COUNT(*) AS n_items,
+       MIN(l_quantity) FILTER (WHERE rn = CAST(FLOOR(idx50) AS BIGINT) + 1)
+         + MIN(idx50 - FLOOR(idx50)) FILTER (WHERE rn = CAST(FLOOR(idx50) AS BIGINT) + 1)
+           * (MIN(l_quantity) FILTER (WHERE rn = LEAST(CAST(FLOOR(idx50) AS BIGINT) + 2, n))
+              - MIN(l_quantity) FILTER (WHERE rn = CAST(FLOOR(idx50) AS BIGINT) + 1)) AS p50,
+       MIN(l_quantity) FILTER (WHERE rn = CAST(FLOOR(idx90) AS BIGINT) + 1)
+         + MIN(idx90 - FLOOR(idx90)) FILTER (WHERE rn = CAST(FLOOR(idx90) AS BIGINT) + 1)
+           * (MIN(l_quantity) FILTER (WHERE rn = LEAST(CAST(FLOOR(idx90) AS BIGINT) + 2, n))
+              - MIN(l_quantity) FILTER (WHERE rn = CAST(FLOOR(idx90) AS BIGINT) + 1)) AS p90
+FROM e GROUP BY l_returnflag
+"""
+
+
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching with candidate generation: docs are
+    bucketed by (lang, length band) so the quadratic levenshtein kernel
+    only runs within small buckets — never corpus × corpus. Both engines
+    implement classic unit-cost edit distance, so the scores are exact."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars DIV 256").alias("lb"),
+        F.substring("text", 1, 32).alias("pfx"),
+    )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["lang", "lb"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+    )
+    return (
+        cand.select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.levenshtein("x.pfx", "y.pfx").cast("int").alias("lev"),
+        )
+        .filter(F.col("lev") <= 8)
+    )
+
+
+ORACLE_FUZZY = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars // 256 AS lb, substring(text, 1, 32) AS pfx
+  FROM documents)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(levenshtein(x.pfx, y.pfx) AS INTEGER) AS lev
+FROM b x JOIN b y ON x.lang = y.lang AND x.lb = y.lb AND x.doc_id < y.doc_id
+WHERE levenshtein(x.pfx, y.pfx) <= 8
+"""
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation accounting: per language, how much the exact-dedup
+    pass saves — one hash aggregation by content digest (the same
+    single-shuffle shape as dedup_exact), then a per-language rollup.
+    Integer-only outputs, bit-exact."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("chars"),  # identical text → identical length
+    )
+    return g.groupBy("lang").agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n_copies") * F.col("chars")).alias("chars_total"),
+        F.sum((F.col("n_copies") - 1) * F.col("chars")).alias("chars_removed"),
+    )
+
+
+ORACLE_DEDUP_SAVINGS = """
+WITH g AS (
+  SELECT lang, md5(text) AS h, COUNT(*) AS n_copies, MIN(n_chars) AS chars
+  FROM documents GROUP BY 1, 2)
+SELECT lang, SUM(n_copies) AS n_docs, COUNT(*) AS n_unique,
+       SUM(n_copies * chars) AS chars_total,
+       SUM((n_copies - 1) * chars) AS chars_removed
+FROM g GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2599,6 +2786,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_segments": q_set_ops_segments,
     "corpus_length_percentiles": q_corpus_length_percentiles,
     "embedding_quantize": q_embedding_quantize,
+    "gapfill_hourly_events": q_gapfill_hourly,
+    "percentile_cont_interp": q_percentile_cont,
+    "fuzzy_match_levenshtein": q_fuzzy_levenshtein,
+    "dedup_storage_savings": q_dedup_savings,
 }
 
 ORACLES: dict[str, str] = {
@@ -2676,4 +2867,8 @@ ORACLES: dict[str, str] = {
     "set_ops_segments": ORACLE_SET_OPS,
     "corpus_length_percentiles": ORACLE_LENGTH_PCTL,
     "embedding_quantize": ORACLE_QUANTIZE,
+    "gapfill_hourly_events": ORACLE_GAPFILL,
+    "percentile_cont_interp": ORACLE_PCTL_CONT,
+    "fuzzy_match_levenshtein": ORACLE_FUZZY,
+    "dedup_storage_savings": ORACLE_DEDUP_SAVINGS,
 }
