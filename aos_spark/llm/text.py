@@ -195,11 +195,13 @@ def repetition_stats(
     corpus size and distributed (no per-document O(len²) higher-order-
     function scan), so a single pathological long document cannot stall a
     task. Docs shorter than n grams get 0.0."""
+    # one regex pass (see top_terms_tfidf); gram sizes are ≥ 2, so the
+    # empty-doc edge ([] here vs [""] in the two-pass form) yields zero
+    # grams either way and the oracles keep the two-pass spelling
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")),
-            r"\s+",
+        F.array_remove(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
         ).alias("__tokens"),
     )
     # both gram sizes explode the same token frame; tag and union so the
@@ -260,16 +262,14 @@ def top_terms_tfidf(
     back BROADCAST (the df table is vocabulary-sized, Zipf-bounded, tiny
     next to the corpus) → per-doc top-k window (PARTITIONED by doc — never
     a global window). Ties break by term ascending for determinism."""
+    # one regex pass (split on non-alnum runs; empty edge tokens are removed
+    # by the filter below) — same token list as regexp_replace+trim+split at
+    # a third of the regex CPU; oracles keep the two-pass spelling
     terms = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(
-            F.split(
-                F.trim(
-                    F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
-                ),
-                r"\s+",
-            )
-        ).alias("term"),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+            "term"
+        ),
     ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
     terms = persist_tracked(terms)  # feeds tf AND df aggregates
     n_docs = df.select(F.col(id_col)).distinct().count()

@@ -1234,7 +1234,10 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing but formatting)."""
     d = _t(spark, sf_dir, "documents")
     toks = D.ensure_min_partitions(d).select(
-        "doc_id", F.split(D.normalized_text("text"), r"\s+").alias("__tokens")
+        "doc_id",
+        F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "").alias(
+            "__tokens"
+        ),
     )
     hashed = toks.select(
         "doc_id", F.transform("__tokens", D.shingle_hash).alias("__hashed")
@@ -1247,7 +1250,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLING_FP = rf"""
 WITH toks AS (
   SELECT doc_id,
-         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
   FROM documents),
 hashed AS (
   SELECT doc_id,
