@@ -2639,14 +2639,19 @@ FROM e GROUP BY l_returnflag
 
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching with candidate generation: docs are
-    bucketed by (lang, length band) so the quadratic levenshtein kernel
-    only runs within small buckets — never corpus × corpus. Both engines
-    implement classic unit-cost edit distance, so the scores are exact."""
+    blocked by (lang, 64-char length band) so the quadratic levenshtein
+    kernel only runs within small buckets — never corpus × corpus. The
+    banding is part of the operator contract (bounded candidates trade
+    boundary-straddling recall, exactly like LSH banding) and the oracle
+    mirrors it. The Spark side verifies with the THRESHOLD form of
+    levenshtein — banded DP with early abandon, O(k·n) per pair instead
+    of O(n²) — which returns -1 above the cutoff, filtered identically
+    to the oracle's plain `lev <= k`."""
     d = _t(spark, sf_dir, "documents")
     b = d.select(
         "doc_id",
         "lang",
-        F.expr("n_chars DIV 256").alias("lb"),
+        F.expr("n_chars DIV 64").alias("lb"),
         F.substring("text", 1, 32).alias("pfx"),
     )
     cand = (
@@ -2658,15 +2663,15 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
-            F.levenshtein("x.pfx", "y.pfx").cast("int").alias("lev"),
+            F.levenshtein("x.pfx", "y.pfx", 8).cast("int").alias("lev"),
         )
-        .filter(F.col("lev") <= 8)
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= 8))
     )
 
 
 ORACLE_FUZZY = """
 WITH b AS (
-  SELECT doc_id, lang, n_chars // 256 AS lb, substring(text, 1, 32) AS pfx
+  SELECT doc_id, lang, n_chars // 64 AS lb, substring(text, 1, 32) AS pfx
   FROM documents)
 SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        CAST(levenshtein(x.pfx, y.pfx) AS INTEGER) AS lev
@@ -2701,6 +2706,48 @@ SELECT lang, SUM(n_copies) AS n_docs, COUNT(*) AS n_unique,
        SUM(n_copies * chars) AS chars_total,
        SUM((n_copies - 1) * chars) AS chars_removed
 FROM g GROUP BY lang
+"""
+
+
+def q_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT) (ops/skew.salted_distinct_count):
+    the hot key's distinct set is split across 16 salt shards so no single
+    task owns a whole hot key — the exact-aggregation answer to skew that
+    AQE's skew-join handling can't give you for aggregates. Result is
+    EXACT (disjoint shards), verified against a plain COUNT(DISTINCT)."""
+    from aos_spark.ops import skew
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = skew.salted_distinct_count(
+        ev, ["event_type"], "user_id", out_col="n_users"
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_type.join(totals, "event_type")
+
+
+ORACLE_SKEW_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set is unordered by
+    definition, so the engine contract is array_sort(collect_set(...)) —
+    the only shuffle-order-independent (hence scale-safe and
+    cross-engine-exact) form of "aggregate to a list"."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_ARRAY_AGG = """
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderpriority
 """
 
 
@@ -2793,6 +2840,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_cont_interp": q_percentile_cont,
     "fuzzy_match_levenshtein": q_fuzzy_levenshtein,
     "dedup_storage_savings": q_dedup_savings,
+    "skew_salted_distinct": q_skew_salted_distinct,
+    "array_agg_sorted": q_array_agg_sorted,
 }
 
 ORACLES: dict[str, str] = {
@@ -2874,4 +2923,6 @@ ORACLES: dict[str, str] = {
     "percentile_cont_interp": ORACLE_PCTL_CONT,
     "fuzzy_match_levenshtein": ORACLE_FUZZY,
     "dedup_storage_savings": ORACLE_DEDUP_SAVINGS,
+    "skew_salted_distinct": ORACLE_SKEW_DISTINCT,
+    "array_agg_sorted": ORACLE_ARRAY_AGG,
 }

@@ -1,0 +1,105 @@
+"""Property tests for the round-3 relational/statistical operators: the
+interpolated-percentile construction matches numpy's linear interpolation,
+the discrete-percentile construction picks actual corpus elements, and the
+gap-fill spine is dense and forward-filled correctly."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+
+def _percentile_cont(spark, values, p):
+    """Mirror of q_percentile_cont's window+agg construction for one group."""
+    df = spark.createDataFrame([(float(v), i) for i, v in enumerate(values)], ["v", "i"])
+    w = Window.partitionBy(F.lit(1)).orderBy("v", "i")
+    cw = Window.partitionBy(F.lit(1))
+    d = df.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    idx = F.lit(p) * (F.col("n") - 1).cast("double")
+    lo = F.floor(idx).cast("bigint") + 1
+    hi = F.least(lo + 1, F.col("n"))
+    frac = idx - F.floor(idx)
+    v_lo = F.min(F.when(F.col("rn") == lo, F.col("v")))
+    v_hi = F.min(F.when(F.col("rn") == hi, F.col("v")))
+    f = F.min(F.when(F.col("rn") == lo, frac))
+    return d.agg((v_lo + f * (v_hi - v_lo)).alias("q")).collect()[0]["q"]
+
+
+def test_percentile_cont_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 3, 10, 101):
+        values = rng.uniform(-50, 50, size=n).round(3)
+        for p in (0.0, 0.25, 0.5, 0.9, 1.0):
+            got = _percentile_cont(spark, values, p)
+            want = float(np.percentile(values, p * 100, method="linear"))
+            assert abs(got - want) < 1e-9, (n, p, got, want)
+
+
+def test_corpus_length_percentiles_pick_corpus_elements(spark, sf_dir):
+    from aos_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_length_percentiles"](spark, sf_dir).collect()
+    assert rows
+    lengths = {
+        (r["lang"], r["n_chars"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "n_chars")
+        .collect()
+    }
+    for r in rows:
+        for c in ("p25_chars", "p50_chars", "p75_chars", "max_chars"):
+            assert (r["lang"], r[c]) in lengths  # discrete = actual element
+        assert r["p25_chars"] <= r["p50_chars"] <= r["p75_chars"] <= r["max_chars"]
+
+
+def test_gapfill_spine_is_dense_and_filled(spark, sf_dir):
+    from aos_spark.queries import QUERIES
+
+    rows = QUERIES["gapfill_hourly_events"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    hours = {min(r["window_start"] for r in rows), max(r["window_start"] for r in rows)}
+    lo, hi = min(hours), max(hours)
+    expect_n = int((hi - lo).total_seconds() // 3600) + 1
+    for typ, rs in by_type.items():
+        rs.sort(key=lambda r: r["window_start"])
+        # dense: every hour between the global bounds appears exactly once
+        assert len(rs) == expect_n, typ
+        for a, b in zip(rs, rs[1:]):
+            assert b["window_start"] - a["window_start"] == dt.timedelta(hours=1)
+        # forward fill: gap rows carry the previous non-gap value
+        carried = None
+        for r in rs:
+            if r["n_events"] > 0:
+                carried = r["sum_value"]
+                assert r["ffill_sum_value"] == r["sum_value"]
+            else:
+                assert r["n_events"] == 0 and r["sum_value"] == 0.0
+                assert r["ffill_sum_value"] == carried
+
+
+def test_salted_distinct_exact_on_skewed_data(spark):
+    from aos_spark.ops.skew import salted_distinct_count
+
+    # one hot key owning 90% of rows, many duplicate values
+    rows = [("hot", i % 37) for i in range(9000)] + [
+        (f"cold{i % 5}", i % 11) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in salted_distinct_count(df, ["k"], "v").collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want
