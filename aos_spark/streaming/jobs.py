@@ -100,6 +100,42 @@ def dedup_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events for the same key that happen in [left.ts, left.ts +
+    horizon]. Both sides carry watermarks and the join condition bounds
+    the time skew, so each side's join state is watermark-bounded —
+    without the interval bound a stream-stream join would buffer forever.
+    Batch face: the identical join predicate on static frames."""
+    lw = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_type"),
+    )
+    rw = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+    )
+    cond = (
+        (lw["k"] == rw["k"])
+        & (rw["r_ts"] >= lw["l_ts"])
+        & (rw["r_ts"] <= lw["l_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond).select(
+        lw["k"].alias("user_id"), "l_event_id", "r_event_id", "l_ts", "r_ts",
+        "l_type", "r_type",
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
     "n_events INT, total_value DOUBLE"

@@ -178,3 +178,57 @@ def test_streaming_dedup_within_watermark(spark, dirs, tmp_path):
     assert got.count() == n
     assert got.select("event_id").distinct().count() == n
     shutil.rmtree(ddir)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join drains to exactly the rows
+    the identical batch join produces (availableNow processes everything,
+    so no row is lost to the watermark)."""
+    import shutil
+
+    ldir, rdir = str(tmp_path / "sj_l"), str(tmp_path / "sj_r")
+    out, ckpt = str(tmp_path / "sj_out"), str(tmp_path / "sj_ckpt")
+    from aos_spark.io.readers import read_sf_table
+
+    ev = read_sf_table(spark, SF_DIR, "events")
+    left = ev.filter(F.col("event_type") == "click")
+    right = ev.filter(F.col("event_type") == "view")
+    assert left.count() > 0 and right.count() > 0
+    left.coalesce(1).write.parquet(os.path.join(ldir, "a"))
+    right.coalesce(1).write.parquet(os.path.join(rdir, "a"))
+
+    joined = sjobs.interval_join_streams(
+        sjobs.read_event_stream(spark, ldir + "/*"),
+        sjobs.read_event_stream(spark, rdir + "/*"),
+        horizon="2 hours",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .select(
+            F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b")
+        )
+    )
+    want = {(r["a"], r["b"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+    shutil.rmtree(ldir)
+    shutil.rmtree(rdir)
