@@ -2751,6 +2751,116 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the validation step before any ingest): null
+    count, distinct count, numeric/string min-max for every profiled
+    column in ONE scan — all aggregates ride a single agg node, then the
+    one-row result is exploded into the long (column, stats) form (a
+    driver-free unpivot of scalars). Numeric extremes stay numeric
+    (double→string formatting differs across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in num_cols + str_cols:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__max"))
+    for c in str_cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    row = o.agg(*aggs)
+    structs = []
+    for c in num_cols + str_cols:
+        is_num = c in num_cols
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                (F.col(f"{c}__min") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"{c}__max") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.lit(None).cast("string") if is_num else F.col(f"{c}__min")).alias("min_str"),
+                (F.lit(None).cast("string") if is_num else F.col(f"{c}__max")).alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def _profile_oracle() -> str:
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = ["COUNT(*) AS __n"]
+    for c in num_cols + str_cols:
+        aggs.append(f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__nulls")
+        aggs.append(f"COUNT(DISTINCT {c}) AS {c}__distinct")
+    for c in num_cols:
+        aggs.append(f"MIN(CAST({c} AS DOUBLE)) AS {c}__min")
+        aggs.append(f"MAX(CAST({c} AS DOUBLE)) AS {c}__max")
+    for c in str_cols:
+        aggs.append(f"MIN({c}) AS {c}__min")
+        aggs.append(f"MAX({c}) AS {c}__max")
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"SELECT '{c}' AS column, __n AS n_rows, {c}__nulls AS n_nulls,"
+            f" {c}__distinct AS n_distinct, {c}__min AS min_num,"
+            f" {c}__max AS max_num, CAST(NULL AS VARCHAR) AS min_str,"
+            f" CAST(NULL AS VARCHAR) AS max_str FROM a"
+        )
+    for c in str_cols:
+        rows.append(
+            f"SELECT '{c}', __n, {c}__nulls, {c}__distinct,"
+            f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            f" {c}__min, {c}__max FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the
+    distinct-over-window rewrite: windows can't host COUNT(DISTINCT), so
+    reduce each (type, user) to its FIRST day (one shuffle), count new
+    users per day, and run an ordinary running sum. Linear, partitioned,
+    and exact — the form that survives 100 TB where a per-day distinct
+    recount is quadratic in history length."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type", "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+ORACLE_CUM_DISTINCT = """
+WITH first AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY 1, 2),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS new_users FROM first GROUP BY 1, 2)
+SELECT event_type, day, new_users,
+       SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_users
+FROM daily
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2842,6 +2952,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_storage_savings": q_dedup_savings,
     "skew_salted_distinct": q_skew_salted_distinct,
     "array_agg_sorted": q_array_agg_sorted,
+    "profile_columns": q_profile_columns,
+    "cumulative_distinct_users": q_cumulative_distinct_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -2925,4 +3037,6 @@ ORACLES: dict[str, str] = {
     "dedup_storage_savings": ORACLE_DEDUP_SAVINGS,
     "skew_salted_distinct": ORACLE_SKEW_DISTINCT,
     "array_agg_sorted": ORACLE_ARRAY_AGG,
+    "profile_columns": _profile_oracle(),
+    "cumulative_distinct_users": ORACLE_CUM_DISTINCT,
 }
