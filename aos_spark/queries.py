@@ -2861,6 +2861,41 @@ FROM daily
 """
 
 
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact-moment correlation/covariance/stddev
+    (ops/stats.grouped_correlation): decimal moment sums make the result
+    independent of partitioning AND engine — native corr()/stddev()
+    streaming accumulators can't be cross-engine exact. sqrt is IEEE754
+    correctly-rounded, so even the derived chain is bit-identical."""
+    from aos_spark.ops import stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return stats.grouped_correlation(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+ORACLE_STATS_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_x,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_y,
+         CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xy,
+         CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xx,
+         CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_yy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+       ROUND((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS covar_xy,
+       ROUND(SQRT((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_x,
+       ROUND(SQRT((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_y,
+       ROUND(((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+             / SQRT(((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                    * ((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))), 6) AS corr_xy
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2954,6 +2989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg_sorted": q_array_agg_sorted,
     "profile_columns": q_profile_columns,
     "cumulative_distinct_users": q_cumulative_distinct_users,
+    "stats_correlation": q_stats_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -3039,4 +3075,5 @@ ORACLES: dict[str, str] = {
     "array_agg_sorted": ORACLE_ARRAY_AGG,
     "profile_columns": _profile_oracle(),
     "cumulative_distinct_users": ORACLE_CUM_DISTINCT,
+    "stats_correlation": ORACLE_STATS_CORR,
 }

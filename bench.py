@@ -73,6 +73,7 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": _total(warm),
                 "unit": "sec",
+                "n_queries": len(warm),
                 "queries": warm,
                 "sf": sf,
                 "mode": "steady_state",

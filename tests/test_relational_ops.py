@@ -103,3 +103,32 @@ def test_salted_distinct_exact_on_skewed_data(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert got == want
+
+
+def test_exact_moment_corr_agrees_with_native(spark, sf_dir):
+    """The decimal-moment correlation must agree with Spark's native corr
+    to ~1e-9 (they differ only in accumulation rounding)."""
+    from aos_spark.io.readers import read_sf_table
+    from aos_spark.ops.stats import grouped_correlation
+
+    li = read_sf_table(spark, sf_dir, "lineitem")
+    ours = {
+        r["l_returnflag"]: r
+        for r in grouped_correlation(
+            li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+        ).collect()
+    }
+    native = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("cv"),
+            F.stddev_samp("l_quantity").alias("sx"),
+        )
+        .collect()
+    }
+    for k, r in ours.items():
+        assert abs(r["corr_xy"] - native[k]["c"]) < 1e-6
+        assert abs(r["covar_xy"] - native[k]["cv"]) < 1e-3 * max(1, abs(native[k]["cv"]))
+        assert abs(r["stddev_x"] - native[k]["sx"]) < 1e-6 * max(1, native[k]["sx"])
