@@ -85,3 +85,64 @@ def chunk_fill_stats(packed: DataFrame, capacity: int = 512) -> DataFrame:
             F.col("shard_tokens").cast("double") / (n_chunks * capacity), 6
         ).alias("fill_frac"),
     )
+
+
+def sliding_window_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style sliding-window chunking: each document becomes overlapping
+    token windows of ``window_tokens`` advancing by ``stride`` (overlap =
+    window − stride). One row per chunk with its token span and re-joined
+    text.
+
+    Scale shape: tokens materialize once per document (single projection),
+    chunk starts come from a distributed ``sequence``+``explode`` — a
+    per-document fan-out, no shuffle at all until a consumer aggregates.
+    Short documents yield exactly one (possibly partial) chunk, so no text
+    is ever dropped. All-integer start/len arithmetic — the layout is
+    reproducible in any engine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_remove(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+        ).alias("__tokens"),
+    ).withColumn("n_tokens", F.size("__tokens"))
+    # last start s.t. start < n and (start==0 or start+window covers new):
+    # starts = 0, stride, 2·stride, …, ≤ max(0, n − window) rounded UP to
+    # the next stride step so the tail is covered by one final chunk
+    n_starts = F.when(
+        F.col("n_tokens") <= window_tokens, F.lit(0)
+    ).otherwise(
+        F.ceil(
+            (F.col("n_tokens") - F.lit(window_tokens)).cast("double")
+            / F.lit(stride)
+        ).cast("int")
+    )
+    chunks = toks.select(
+        "doc_id",
+        "n_tokens",
+        "__tokens",
+        F.explode(F.sequence(F.lit(0), n_starts)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    clen = F.least(F.lit(window_tokens), F.col("n_tokens") - start)
+    return (
+        chunks.withColumn("tok_start", start)
+        .withColumn("tok_len", clen)
+        .filter((F.col("tok_len") > 0) | (F.col("n_tokens") == 0))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("tok_start").cast("int").alias("tok_start"),
+            F.greatest(F.col("tok_len"), F.lit(0)).cast("int").alias("tok_len"),
+            F.array_join(
+                F.slice("__tokens", F.col("tok_start") + 1, F.greatest(clen, F.lit(0))),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -2977,6 +2977,81 @@ GROUP BY l_returnflag
 """
 
 
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (llm/packing.sliding_window_chunks): the
+    RAG/eval-prep step that turns each document into overlapping token
+    windows. Pure per-row fan-out — no shuffle until a consumer
+    aggregates; integer span arithmetic is engine-exact."""
+    from aos_spark.llm import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.sliding_window_chunks(d, window_tokens=64, stride=48)
+
+
+def _chunk_sliding_oracle(window: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         CASE WHEN len(t) <= {window} THEN 0
+              ELSE CAST(CEIL(CAST(len(t) - {window} AS DOUBLE) / {stride}) AS INT)
+         END AS n_starts
+  FROM toks),
+chunks AS (
+  SELECT doc_id, n_tokens, t,
+         UNNEST(range(n_starts + 1)) AS chunk_idx
+  FROM base)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {stride} AS INTEGER) AS tok_start,
+       CAST(GREATEST(LEAST({window}, n_tokens - chunk_idx * {stride}), 0) AS INTEGER) AS tok_len,
+       array_to_string(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + LEAST({window}, n_tokens - chunk_idx * {stride})], ' ') AS chunk_text
+FROM chunks
+WHERE LEAST({window}, n_tokens - chunk_idx * {stride}) > 0 OR n_tokens = 0
+"""
+
+
+def q_decontamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-gram decontamination (llm/dedup.exact_ngram_contamination)
+    over the same deterministic train/held-out split as the fuzzy LSH
+    variant — the two tiers a real pretraining pipeline runs together."""
+    from aos_spark.llm import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id", 100, "split")
+    corpus = d.filter(b < 80)
+    heldout = d.filter(b >= 80)
+    return D.exact_ngram_contamination(corpus, heldout, n=13)
+
+
+ORACLE_13GRAM = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(t) - 12),
+                                      i -> array_to_string(t[i+1:i+13], ' '))) AS g
+  FROM t WHERE len(t) >= 13),
+split AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS b
+  FROM t),
+ex AS (SELECT doc_id, unnest(g) AS g FROM sh)
+SELECT tr.doc_id AS train_id, ho.doc_id AS heldout_id, COUNT(*) AS n_shared_ngrams
+FROM ex tr
+JOIN split st ON tr.doc_id = st.doc_id AND st.b < 80
+JOIN ex ho ON tr.g = ho.g
+JOIN split s2 ON ho.doc_id = s2.doc_id AND s2.b >= 80
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3073,6 +3148,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_correlation": q_stats_correlation,
     "q10_returned_item_customers": q_returned_item_customers,
     "q12_shipmode_priority": q_shipmode_priority,
+    "chunk_sliding_window": q_chunk_sliding,
+    "decontamination_13gram": q_decontamination_13gram,
 }
 
 ORACLES: dict[str, str] = {
@@ -3161,4 +3238,6 @@ ORACLES: dict[str, str] = {
     "stats_correlation": ORACLE_STATS_CORR,
     "q10_returned_item_customers": ORACLE_Q10,
     "q12_shipmode_priority": ORACLE_Q12,
+    "chunk_sliding_window": _chunk_sliding_oracle(),
+    "decontamination_13gram": ORACLE_13GRAM,
 }

@@ -124,3 +124,49 @@ def test_exact_dedup_counts(spark):
     )
     out = {r.keeper_id: r.n_copies for r in exact_dedup(df).collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_exact_ngram_contamination_planted(spark):
+    """A held-out doc whose 13-gram appears verbatim in one training doc is
+    flagged against exactly that doc; short docs produce no grams."""
+    from aos_spark.llm.dedup import exact_ngram_contamination
+
+    leak = " ".join(f"w{i}" for i in range(13))
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words here " + leak + " and a suffix"),
+            (2, "totally different content with many words " + " ".join(f"x{i}" for i in range(15))),
+            (3, "short doc"),
+        ],
+    )
+    heldout = _docs(spark, [(100, leak), (101, "another short one")])
+    rows = exact_ngram_contamination(train, heldout, n=13).collect()
+    assert [(r["train_id"], r["heldout_id"], r["n_shared_ngrams"]) for r in rows] == [
+        (1, 100, 1)
+    ]
+
+
+def test_sliding_window_chunks_spans(spark):
+    """Chunks tile every token: strides advance by 48, the tail chunk is
+    partial, docs ≤ window yield one chunk, reassembling chunk 0 + the
+    non-overlapped tails reproduces the token stream."""
+    from aos_spark.llm.dedup import normalized_text  # noqa: F401
+    from aos_spark.llm.packing import sliding_window_chunks
+
+    long_doc = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "just a few tokens"), (3, "")], ["doc_id", "text"]
+    )
+    rows = sliding_window_chunks(df, window_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,48,96 → ceil((150-64)/48)=2 → idx 0..2
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["tok_start"], r["tok_len"]) for r in c1] == [(0, 64), (48, 64), (96, 54)]
+    toks = long_doc.split()
+    for r in c1:
+        assert r["chunk_text"].split() == toks[r["tok_start"] : r["tok_start"] + r["tok_len"]]
+    assert [(r["tok_start"], r["tok_len"]) for r in by_doc[2]] == [(0, 4)]
+    assert [(r["tok_len"], r["chunk_text"]) for r in by_doc[3]] == [(0, "")]
