@@ -272,14 +272,21 @@ def top_terms_tfidf(
         ),
     ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
     terms = persist_tracked(terms)  # feeds tf AND df aggregates
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # n_docs as a 1-row agg broadcast-cross-joined in, NOT a driver-side
+    # .count(): the whole query stays one lazy plan instead of paying an
+    # extra full corpus pass before the main job (VERDICT r3 #6).
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+    )
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = terms.select("id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    idf = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * idf, 6)
+    idf = (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 
 def asof_join(
@@ -64,8 +65,14 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1)
     within: Column = F.lit(True)
     if tolerance_seconds is not None:
+        # unix_timestamp for timestamp-typed `on` (handles TIMESTAMP_NTZ,
+        # which refuses a direct long cast); plain cast for numeric `on`.
+        is_ts = isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType))
+        to_epoch = (
+            (lambda c: F.unix_timestamp(c)) if is_ts else (lambda c: c.cast("long"))
+        )
         within = (
-            F.col(on).cast("long") - F.col("__m_ts").cast("long")
+            to_epoch(F.col(on)) - to_epoch(F.col("__m_ts"))
         ) <= tolerance_seconds
     for c in value_cols:
         out = out.withColumn(

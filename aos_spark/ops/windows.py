@@ -60,7 +60,10 @@ def sessionize(
     passes over it — the batch face of the stateful streaming operator in
     aos_spark/streaming/jobs.py."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # unix_timestamp handles TIMESTAMP and TIMESTAMP_NTZ alike; a bare
+    # .cast("long") raises AnalysisException on NTZ columns.
+    epoch = F.unix_timestamp(F.col(ts_col))
+    gap = epoch - F.lag(epoch).over(w)
     starts = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     with_sid = df.withColumn("__start", starts).withColumn(
         "session_id",

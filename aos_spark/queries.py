@@ -2116,14 +2116,14 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem.l_orderkey, registers + estimate checked against the oracle
     bit-for-bit (md5 hashing, integer-CASE ρ, shift-based 2^−M — no
     transcendental in the fired branch: l_orderkey cardinality fills all
-    64 registers, so v_zero = 0 and the ln correction is dormant). The
-    exact distinct count rides along for visible calibration."""
+    64 registers, so v_zero = 0 and the ln correction is dormant).
+    Calibration against the exact count lives in tests/test_sketches.py —
+    NOT here: at scale the exact count is the scan the sketch exists to
+    avoid, so the measured path is sketch-only (VERDICT r3 #5)."""
     from aos_spark.ops import sketches
 
     li = _t(spark, sf_dir, "lineitem")
-    est = sketches.hll_estimate(li, "l_orderkey")
-    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
-    return est.crossJoin(exact)
+    return sketches.hll_estimate(li, "l_orderkey")
 
 
 def _hll_oracle(p: int = 6) -> str:
@@ -2150,8 +2150,7 @@ est AS (
 SELECT {m} AS m, v_zero, ROUND(raw, 6) AS raw_estimate,
        ROUND(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND v_zero > 0
                   THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v_zero)
-                  ELSE raw END, 6) AS estimate,
-       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_exact
+                  ELSE raw END, 6) AS estimate
 FROM est
 """
 
@@ -3150,6 +3149,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_shipmode_priority": q_shipmode_priority,
     "chunk_sliding_window": q_chunk_sliding,
     "decontamination_13gram": q_decontamination_13gram,
+}
+
+# Round-4 gate rotation: the driver's correctness gate truncates at 50
+# entries, so rounds 1-3 never driver-verified the declared tail
+# (sample_split_stats .. decontamination_13gram, 37 queries), and
+# sessionize_events needs a fresh green row after the TIMESTAMP_NTZ fix.
+# Front-load both so every query has at least one driver-green row across
+# the r3+r4 artifacts (VERDICT r3 "Next round" #4). Queries/oracles are
+# unchanged — only dict iteration order moves.
+_R4_FRONT = list(QUERIES)[list(QUERIES).index("sample_split_stats"):] + [
+    "sessionize_events"
+]
+QUERIES = {n: QUERIES[n] for n in _R4_FRONT} | {
+    n: f for n, f in QUERIES.items() if n not in set(_R4_FRONT)
 }
 
 ORACLES: dict[str, str] = {

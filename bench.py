@@ -67,6 +67,19 @@ def main() -> None:
     def _total(t: dict[str, float]) -> float:
         return round(sum(v for v in t.values() if v >= 0), 3)
 
+    # Detail line FIRST (cold per-query timings, for the repo/humans), compact
+    # headline LAST: the driver keeps only the tail of stdout, so in rounds
+    # 2-3 the warm totals printed up front were truncated away and
+    # BENCH_r{N}.json recorded "parsed": null (VERDICT r3 "What's wrong" #4).
+    print(
+        json.dumps(
+            {
+                "detail": "cold_timings",
+                "cold_value": _total(cold),
+                "queries_cold": cold,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -74,11 +87,10 @@ def main() -> None:
                 "value": _total(warm),
                 "unit": "sec",
                 "n_queries": len(warm),
-                "queries": warm,
                 "sf": sf,
                 "mode": "steady_state",
                 "cold_value": _total(cold),
-                "queries_cold": cold,
+                "queries": warm,
             }
         )
     )

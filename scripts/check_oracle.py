@@ -66,6 +66,12 @@ def main() -> int:
     only = [a for a in sys.argv[1:] if "/" not in a]
 
     spark = get_spark("oracle-check")
+    # The driver's gate reads the testdata parquet (NTZ-annotated
+    # TIMESTAMP_MICROS, isAdjustedToUTC=0) as TIMESTAMP_NTZ; round-2 and
+    # round-3 both lost `sessionize_events` to a cast that was legal on
+    # LTZ but not NTZ. Force NTZ locally so local green implies driver
+    # green (VERDICT r3 "Next round" #1).
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
