@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode libraries (PIL/librosa/ffmpeg) are not available in this
-container, so the *decode kernels* are stubbed: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (seeded by content hash) stands in so the Spark-side plumbing —
-schema, batch iteration, partition sizing, UDF signatures — is fully real
-and testable. Swapping in a real decoder touches ONLY the kernel function.
+Decode kernels are TIERED (VERDICT r3 #7):
+
+- **image**: PIL when importable (any format) → zero-dep parsers for
+  binary PPM/PGM (P6/P5) and uncompressed 24-bit BMP — REAL byte-level
+  decode with real luma + 8×8 average-hash perceptual hash → the
+  deterministic content-hash fake (``fake=True``) for payloads that are
+  neither.
+- **audio**: zero-dep RIFF/WAVE PCM16 parser (duration, RMS, clip
+  detection from real samples) → the fake.
+- **video**: frame GRABBING stays stubbed (container/codec parsing needs
+  ffmpeg); the fan-out plumbing is real.
 
 Scale notes: binary payloads ride in their own column so Parquet keeps them
 out of metadata-only scans (column pruning); feature extraction is
@@ -17,8 +22,10 @@ out of metadata-only scans (column pruning); feature extraction is
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -45,19 +52,115 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, *, fake: bool = False) -> dict:
-    """Decode kernel. Real implementation requires an image library that is
-    not present in this environment — STUB. The fake path is deterministic
-    in the payload bytes so tests are reproducible."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "container; run with fake=True for the deterministic test kernel"
+def _parse_pnm(data: bytes) -> np.ndarray | None:
+    """Binary PPM (P6, H×W×3) / PGM (P5, H×W) → uint8-ish array."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (with '#' comments), then ONE whitespace byte, then raster
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    channels = 3 if data[:2] == b"P6" else 1
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    arr = np.frombuffer(data, dtype=dt, count=w * h * channels, offset=i)
+    arr = arr.astype("float64") * (255.0 / maxval)
+    return arr.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def _parse_bmp(data: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP (the plain Windows DIB) → H×W×3 RGB."""
+    if data[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(data, dtype="u1", count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].astype("float64")  # BGR → RGB
+
+
+def _decode_image_array(payload: bytes) -> np.ndarray | None:
+    """Tiered image decode: PIL (any format) → PPM/PGM → 24-bit BMP."""
+    try:
+        import io as _io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB")).astype(
+            "float64"
         )
-    digest = hashlib.md5(payload or b"").digest()
+    except ImportError:
+        pass
+    arr = _parse_pnm(payload)
+    if arr is None:
+        arr = _parse_bmp(payload)
+    return arr
+
+
+def _average_hash(gray: np.ndarray, side: int = 8) -> str:
+    """8×8 average hash: block-mean downsample, threshold at the mean —
+    the standard aHash perceptual fingerprint, 64 bits as 16 hex chars."""
+    h, w = gray.shape
+    ys = np.arange(side + 1) * h // side
+    xs = np.arange(side + 1) * w // side
+    small = np.array(
+        [
+            [gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+             for j in range(side)]
+            for i in range(side)
+        ]
+    )
+    bits = (small > small.mean()).ravel()
+    return f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> dict:
+    """Image decode kernel: real luma + aHash for decodable payloads
+    (PIL / PPM / PGM / BMP); ``fake=True`` keeps the deterministic
+    content-hash stand-in for synthetic plumbing tests."""
+    if fake:
+        digest = hashlib.md5(payload or b"").digest()
+        return {
+            "mean_luma": digest[0] / 255.0,
+            "phash": digest.hex()[:16],
+        }
+    arr = _decode_image_array(payload or b"")
+    if arr is None:
+        raise NotImplementedError(
+            "payload is not PPM/PGM/uncompressed-24-bit-BMP and no image "
+            "library (PIL) is importable; pass fake=True for the "
+            "deterministic test kernel"
+        )
+    luma = (
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+        if arr.ndim == 3
+        else arr
+    )
     return {
-        "mean_luma": digest[0] / 255.0,
-        "phash": digest.hex()[:16],
+        "mean_luma": float(luma.mean() / 255.0),
+        "phash": _average_hash(luma),
     }
 
 
@@ -96,17 +199,52 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _parse_wav_pcm16(data: bytes) -> tuple[np.ndarray, int] | None:
+    """RIFF/WAVE PCM16 → (samples as float in [-1,1], sample_rate). Walks
+    the chunk list (fmt may precede LIST/fact chunks before data)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, rate, bits, fmt_code = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_code, _ch, rate = struct.unpack_from("<HHI", data, body)
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+        elif cid == b"data":
+            if fmt_code != 1 or bits != 16 or not rate:
+                raise ValueError(
+                    f"unsupported WAV (fmt={fmt_code}, bits={bits}); PCM16 only"
+                )
+            n = size // 2
+            samples = np.frombuffer(data, dtype="<i2", count=n, offset=body)
+            return samples.astype("float64") / 32768.0, rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
 def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
-    """Audio decode kernel — STUB (no audio library in this container).
-    The fake path derives rms/clipping deterministically from the payload
-    digest so the plumbing is testable."""
-    if not fake:
+    """Audio decode kernel: real RIFF/WAVE PCM16 parse (RMS, clipping,
+    duration from actual samples); ``fake=True`` keeps the deterministic
+    digest stand-in for synthetic payloads."""
+    if fake:
+        digest = hashlib.md5(payload or b"").digest()
+        return {"rms": digest[1] / 255.0, "clipped": digest[2] > 240, "duration_s": None}
+    parsed = _parse_wav_pcm16(payload or b"")
+    if parsed is None:
         raise NotImplementedError(
-            "audio decoding requires an audio library not present in this "
-            "container; run with fake=True for the deterministic test kernel"
+            "payload is not RIFF/WAVE PCM and no audio library is available; "
+            "pass fake=True for the deterministic test kernel"
         )
-    digest = hashlib.md5(payload or b"").digest()
-    return {"rms": digest[1] / 255.0, "clipped": digest[2] > 240}
+    samples, rate = parsed
+    rms = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+    clipped = bool((np.abs(samples) >= 32766 / 32768.0).any())
+    return {
+        "rms": rms,
+        "clipped": clipped,
+        "duration_s": samples.size / rate if rate else None,
+    }
 
 
 def extract_audio_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
@@ -121,7 +259,11 @@ def extract_audio_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
                 {
                     "media_id": pdf["media_id"].values,
                     "n_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
-                    "duration_s": pdf["duration_s"].values,
+                    # real decode knows the true duration; fake trusts metadata
+                    "duration_s": [
+                        f["duration_s"] if f["duration_s"] is not None else meta
+                        for f, meta in zip(feats, pdf["duration_s"])
+                    ],
                     "rms": [f["rms"] for f in feats],
                     "clipped": [f["clipped"] for f in feats],
                 }

@@ -42,9 +42,86 @@ def test_sample_frames_fanout(spark, media):
     assert all(len(r["frame_phash"]) == 16 for r in rows)
 
 
-def test_real_decode_is_explicit_stub():
+def test_real_decode_unrecognized_payload_raises():
     with pytest.raises(NotImplementedError, match="image library"):
         MM.decode_image(b"bytes", fake=False)
+
+
+def test_real_ppm_decode_exact_luma():
+    """P6 PPM with half white / half black pixels → mean luma exactly 0.5."""
+    ppm = b"P6\n2 2\n255\n" + bytes([255, 255, 255, 0, 0, 0, 0, 0, 0, 255, 255, 255])
+    feat = MM.decode_image(ppm, fake=False)
+    assert feat["mean_luma"] == pytest.approx(0.5)
+    assert len(feat["phash"]) == 16
+
+
+def test_real_pgm_decode_with_comment_and_maxval():
+    """P5 grayscale with a header comment and a non-255 maxval must scale."""
+    pgm = b"P5\n# a comment\n2 1\n100\n" + bytes([100, 0])
+    feat = MM.decode_image(pgm, fake=False)
+    assert feat["mean_luma"] == pytest.approx(0.5)
+
+
+def test_real_bmp_decode_rgb_order_and_flip():
+    """Uncompressed 24-bit BMP: bottom-up rows and BGR byte order must be
+    undone — a file whose FIRST stored row is blue represents an image
+    whose BOTTOM row is blue."""
+    import struct as S
+
+    w = h = 2
+    stride = (w * 3 + 3) & ~3
+    header = b"BM" + S.pack("<IHHI", 14 + 40 + stride * h, 0, 0, 54)
+    dib = S.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    blue_row = bytes([255, 0, 0] * w) + b"\0" * (stride - 3 * w)  # BGR
+    red_row = bytes([0, 0, 255] * w) + b"\0" * (stride - 3 * w)
+    bmp = header + dib + blue_row + red_row  # stored bottom-up
+    arr = MM._parse_bmp(bmp)
+    assert arr.shape == (2, 2, 3)
+    assert list(arr[0, 0]) == [255.0, 0.0, 0.0]  # top row red
+    assert list(arr[1, 0]) == [0.0, 0.0, 255.0]  # bottom row blue
+    feat = MM.decode_image(bmp, fake=False)
+    expected = (0.299 * 255 + 0.114 * 255) / 2 / 255.0  # half red, half blue
+    assert feat["mean_luma"] == pytest.approx(expected)
+
+
+def test_phash_distinguishes_gradient_from_flat():
+    flat = b"P5\n8 8\n255\n" + bytes([128] * 64)
+    grad = b"P5\n8 8\n255\n" + bytes(range(0, 256, 4))
+    f1 = MM.decode_image(flat, fake=False)
+    f2 = MM.decode_image(grad, fake=False)
+    assert f1["phash"] != f2["phash"]
+
+
+def _wav_pcm16(samples, rate=8000):
+    import struct as S
+
+    import numpy as np
+
+    body = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF" + S.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + S.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + S.pack("<I", len(body)) + body
+    )
+
+
+def test_real_wav_decode_duration_rms_clipping():
+    wav = _wav_pcm16([16384, -16384] * 4000, rate=8000)  # 1 s square wave
+    feat = MM.decode_audio(wav, fake=False)
+    assert feat["duration_s"] == pytest.approx(1.0)
+    assert feat["rms"] == pytest.approx(0.5)
+    assert feat["clipped"] is False
+    hot = MM.decode_audio(_wav_pcm16([32767, 0, 0, 0]), fake=False)
+    assert hot["clipped"] is True
+
+
+def test_real_wav_features_through_spark(spark):
+    rows = [("a1", "audio", _wav_pcm16([16384, -16384] * 400, rate=800), "audio/wav",
+             None, None, 99.0)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = MM.extract_audio_features(df, fake=False).collect()[0]
+    assert got["duration_s"] == pytest.approx(1.0)  # decoded, not the 99.0 metadata
+    assert got["rms"] == pytest.approx(0.5)
 
 
 def test_extract_audio_features(spark, media):

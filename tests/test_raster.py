@@ -58,9 +58,71 @@ def test_zonal_mode_tie_breaks_urban(spark):
     assert out[0]["modal_class"] == 23.0
 
 
-def test_decode_stub_raises_without_fake(spark):
-    with pytest.raises(NotImplementedError, match="raster library"):
-        raster.decode_geotiff_blocks(spark, "x.tif")
+def test_tiff_roundtrip_dtypes():
+    """write_baseline_geotiff ↔ parse_tiff must round-trip values and
+    georef bit-exactly for every supported dtype."""
+    import numpy as np
+
+    from aos_spark.io import tiff
+
+    for dtype in ("uint8", "uint16", "int16", "int32", "float32", "float64"):
+        arr = (np.arange(12).reshape(3, 4) * 3 + 1).astype(dtype)
+        data = tiff.write_baseline_geotiff(arr, x0=-10.0, y0=45.5, dx=0.25, dy=0.5)
+        got, georef = tiff.parse_tiff(data)
+        assert got.dtype.kind == arr.dtype.kind and got.dtype.itemsize == arr.dtype.itemsize
+        assert (got == arr).all(), dtype
+        assert georef == (-10.0, 45.5, 0.25, 0.5)
+
+
+def test_tiff_parser_rejects_garbage():
+    import pytest as _pytest
+
+    from aos_spark.io import tiff
+
+    with _pytest.raises(ValueError, match="byte-order"):
+        tiff.parse_tiff(b"PK\x03\x04" + b"\0" * 16)
+    with _pytest.raises(ValueError, match="shorter"):
+        tiff.parse_tiff(b"II")
+
+
+def test_real_decode_end_to_end(spark, tmp_path):
+    """A real GeoTIFF written to disk must decode through the distributed
+    binaryFile→mapInPandas path into blocks whose exploded cells carry the
+    exact values and affine-correct cell-center coordinates."""
+    import numpy as np
+
+    from aos_spark.io import tiff
+
+    arr = np.arange(20, dtype="float64").reshape(5, 4)
+    (tmp_path / "t.tif").write_bytes(
+        tiff.write_baseline_geotiff(arr, x0=2.0, y0=10.0, dx=0.5, dy=1.0)
+    )
+    blocks = raster.decode_geotiff_blocks(
+        spark, str(tmp_path / "t.tif"), rows_per_block=2
+    )
+    rows = blocks.collect()
+    assert len(rows) == 3  # 5 rows in bands of 2: 2+2+1
+    assert {r["ncols"] for r in rows} == {4}
+    assert sorted(r["y0"] for r in rows) == [6.0, 8.0, 10.0]
+    cells = {
+        (r["lon"], r["lat"]): r["value"]
+        for r in raster.explode_block_cells(blocks).collect()
+    }
+    assert len(cells) == 20
+    assert cells[(2.25, 9.5)] == 0.0  # NW cell center
+    assert cells[(3.75, 5.5)] == 19.0  # SE cell center
+
+
+def test_real_decode_requires_georef(spark, tmp_path):
+    import numpy as np
+
+    from aos_spark.io import tiff
+
+    (tmp_path / "plain.tif").write_bytes(
+        tiff.write_baseline_geotiff(np.ones((2, 2), dtype="uint8"))
+    )
+    with pytest.raises(Exception, match="georeferencing"):
+        raster.decode_geotiff_blocks(spark, str(tmp_path / "plain.tif")).collect()
 
 
 def test_fake_decode_plumbs_end_to_end(spark):
