@@ -3165,6 +3165,13 @@ QUERIES = {n: QUERIES[n] for n in _R4_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_R4_FRONT)
 }
 
+# Round-4 additions register AFTER the rotation so they cannot push the
+# 38 must-verify queries past the driver's 50-entry cutoff; they get their
+# driver-gate turn in the next rotation.
+from aos_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_QUERIES)
+
 ORACLES: dict[str, str] = {
     "flagship_storm_impact": ORACLE_FLAGSHIP,
     "q1_pricing_summary": ORACLE_PRICING,
@@ -3254,3 +3261,5 @@ ORACLES: dict[str, str] = {
     "chunk_sliding_window": _chunk_sliding_oracle(),
     "decontamination_13gram": ORACLE_13GRAM,
 }
+
+ORACLES.update(TPCH_ORACLES)
