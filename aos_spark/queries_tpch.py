@@ -261,10 +261,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose total revenue exceeds 0.07% of ALL revenue — Q11's
     HAVING-over-scalar-subquery, planned as one aggregate pass + a 1-row
     broadcast cross-join (the same lazy-scalar pattern as tfidf's
-    n_docs): no second scan, no driver round-trip."""
+    n_docs): no driver round-trip. The parts-sized per-part frame is
+    persisted so the fact table is scanned ONCE — without it Spark
+    re-aggregates lineitem on both sides of the cross-join."""
+    from aos_spark.cache import persist_tracked
+
     li = _t(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(_rev()).alias("__val")
+    per_part = persist_tracked(
+        li.groupBy("l_partkey").agg(F.sum(_rev()).alias("__val"))
     )
     total = per_part.agg(F.sum("__val").alias("__total"))
     return (
