@@ -1,0 +1,82 @@
+"""Embedding clustering: distributed k-means (Lloyd) steps as pure
+DataFrame ops.
+
+The per-iteration shape is the scale story: vectors long-form-explode to
+(vec, dim, value) ONCE; distances to the k broadcast centroids accumulate
+in EXACT DECIMAL per (vector, centroid) so the argmin — and therefore the
+assignment, and therefore the whole iteration — is bit-identical across
+engines and partitionings (a double-sum argmin can flip on ties under
+re-partitioning; decimal cannot). New centroids are exact-decimal means
+cast to double once at the end. One iteration = two keyed shuffles
+(distance rollup, centroid rollup); the fan-out is |vectors| × dims × k
+rows map-side, immediately collapsed by partial aggregation — no driver
+loop, no collect.
+
+Seeding is deterministic (lowest-k vector ids), matching the oracle; at
+warehouse scale swap in k-means|| seeding and loop this step with a
+convergence check on centroid movement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, dim, value-as-double) long form, dim 0-based."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("dim", "__v"),
+    ).withColumn("__v", F.col("__v").cast("double"))
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest centroid
+    (squared-L2, exact-decimal accumulation, ties → lowest centroid id)
+    and return the recomputed centroids LONG FORM —
+    (cluster_id, n_members, dim, centroid) — so results hash stably
+    without array-representation drift between engines.
+
+    ``centroids`` defaults to the k lowest-id vectors (deterministic
+    seed); pass the previous step's output (pivoted back to vectors) to
+    iterate."""
+    ve = explode_vectors(df, id_col, vec_col)
+    if centroids is None:
+        centroids = df.filter(F.col(id_col) < k)
+    ce = explode_vectors(centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), "dim", F.col("__v").alias("__c")
+    )
+    sq = (F.col("__v") - F.col("__c")) * (F.col("__v") - F.col("__c"))
+    dists = (
+        ve.join(F.broadcast(ce), "dim")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(sq.cast("decimal(30,15)")).alias("__d"))
+    )
+    assigned = (
+        dists.groupBy(id_col)
+        .agg(F.min(F.struct("__d", "cid")).alias("__m"))
+        .select(id_col, F.col("__m.cid").alias("cid"))
+    )
+    return (
+        ve.join(assigned, id_col)
+        .groupBy("cid", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__v").cast("decimal(28,12)")).alias("__s"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("__n").alias("n_members"),
+            "dim",
+            F.round(F.col("__s").cast("double") / F.col("__n"), 6).alias("centroid"),
+        )
+    )

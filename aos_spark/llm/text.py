@@ -83,6 +83,75 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_alpha_ratio: float = 0.5,
+    max_punct_ratio: float = 0.3,
+    min_type_token_ratio: float = 0.3,
+) -> DataFrame:
+    """C4/Gopher-style composite corpus filter: one pass computes every
+    signal and a FIRST-FAILING-RULE verdict per document — (id, keep,
+    reject_reason) where reason ∈ {empty, too_short, too_long, low_alpha,
+    high_punct, repetitive} and NULL means keep. Rule order is fixed so
+    downstream drop-reason dashboards are stable across runs.
+
+    All signals are Catalyst expressions over one projection (no joins,
+    no shuffle — a pure map over the corpus, which is what makes this
+    linear at 100 TB); the repetition signal is the type-token ratio
+    (distinct/total whitespace tokens), the cheap single-row proxy for
+    the explode-based repetition_stats tier."""
+    t = F.trim(F.col(text_col))
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]]", ""))
+    toks = F.split(F.lower(t), r"\s+")
+    n_tokens = F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(F.size(toks))
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)).cast(
+        "double"
+    )
+    reason = (
+        F.when(t.isNull() | (t == ""), "empty")
+        .when(n_tokens < min_tokens, "too_short")
+        .when(n_tokens > max_tokens, "too_long")
+        .when(n_alpha / F.greatest(n_chars, F.lit(1)) < min_alpha_ratio, "low_alpha")
+        .when(n_punct / F.greatest(n_chars, F.lit(1)) > max_punct_ratio, "high_punct")
+        .when(ttr < min_type_token_ratio, "repetitive")
+    )
+    return df.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary: every term (one-regex tokenization, same token
+    stream as the shingle/tf-idf tier) with its document frequency, kept
+    when df ≥ ``min_df``. Explode → per-doc distinct → one partial-agg'd
+    count shuffle; the result is Zipf-bounded (vocabulary-sized), tiny
+    next to the corpus, and is exactly the frame the tf-idf join
+    broadcasts."""
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
 def quality_score() -> Column:
     """Composite [0,1] quality score over the features above — a linear
     blend with hard penalties, the usual shape of corpus-filtering scores."""

@@ -3168,9 +3168,11 @@ QUERIES = {n: QUERIES[n] for n in _R4_FRONT} | {
 # Round-4 additions register AFTER the rotation so they cannot push the
 # 38 must-verify queries past the driver's 50-entry cutoff; they get their
 # driver-gate turn in the next rotation.
+from aos_spark.queries_r4 import R4_ORACLES, R4_QUERIES  # noqa: E402
 from aos_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
+QUERIES.update(R4_QUERIES)
 
 ORACLES: dict[str, str] = {
     "flagship_storm_impact": ORACLE_FLAGSHIP,
@@ -3263,3 +3265,4 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(TPCH_ORACLES)
+ORACLES.update(R4_ORACLES)

@@ -65,6 +65,37 @@ def windowed_member_counts(
     )
 
 
+def session_window_agg(
+    stream: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """NATIVE session windows (``F.session_window``) — the idiomatic scale
+    path when the per-session aggregates are expressible as built-ins: the
+    StateStore merges overlapping gap windows incrementally, state is
+    bounded by the watermark, and no Python runs in the hot path (contrast
+    ``sessionize_stream``, the applyInPandasWithState tier for aggregates
+    built-ins can't express). NOTE the boundary convention: a native
+    session window's ``end`` is last_event + gap; the batch face
+    (ops/windows.sessionize) reports session_end = max(ts) — equivalence
+    is session_end + gap (asserted in test_streaming)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_plus_gap"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(
     agg: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

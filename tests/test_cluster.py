@@ -1,0 +1,91 @@
+"""Tests for distributed k-means (llm/cluster.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aos_spark.llm import cluster as C
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lloyd_step_separable_clusters(spark):
+    """Two well-separated blobs with seeds 0 and 1 (one in each blob):
+    every vector assigns to its blob's seed and the centroids land on the
+    exact blob means."""
+    rows = [(0, [0.0, 0.0]), (2, [0.2, 0.0]), (3, [0.0, 0.2]),
+            (1, [10.0, 10.0]), (4, [10.2, 10.0]), (5, [10.0, 10.2])]
+    out = C.kmeans_lloyd_step(_vecs(spark, rows), k=2)
+    got = {(r["cluster_id"], r["dim"]): (r["n_members"], r["centroid"])
+           for r in out.collect()}
+    assert got[(0, 0)] == (3, round(0.2 / 3, 6))
+    assert got[(0, 1)] == (3, round(0.2 / 3, 6))
+    assert got[(1, 0)] == (3, round(30.2 / 3, 6))
+    assert got[(1, 1)] == (3, round(30.2 / 3, 6))
+
+
+def test_lloyd_step_members_partition_the_input(spark):
+    """Every vector lands in exactly one cluster: per-dim member counts
+    sum to the vector count, identically for each dim."""
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(50)]
+    out = C.kmeans_lloyd_step(_vecs(spark, rows), k=3)
+    per_dim = (
+        out.groupBy("dim").agg(F.sum("n_members").alias("n")).collect()
+    )
+    assert {r["n"] for r in per_dim} == {50}
+    assert out.count() == 3 * 2 or out.count() == 2 * 2  # a seed cluster may be empty? no:
+    # seeds are input vectors, so every seed has at least itself
+    assert out.select("cluster_id").distinct().count() <= 3
+
+
+def test_lloyd_tie_breaks_to_lowest_centroid(spark):
+    """A vector equidistant from two centroids must go to the LOWER
+    centroid id (decimal distances make the tie exact)."""
+    rows = [(0, [0.0]), (1, [2.0]), (5, [1.0])]  # vec 5 exactly between
+    out = C.kmeans_lloyd_step(_vecs(spark, rows), k=2)
+    got = {r["cluster_id"]: r["n_members"] for r in out.collect()}
+    assert got == {0: 2, 1: 1}  # tie vector joined cluster 0
+
+
+def test_iterating_reduces_inertia(spark):
+    """Running a second Lloyd step from the first step's centroids must
+    not increase total within-cluster squared distance (the Lloyd
+    monotonicity invariant)."""
+    rows = [(i, [float((i * 7) % 11), float((i * 5) % 13)]) for i in range(40)]
+    df = _vecs(spark, rows)
+
+    def inertia(centroids_long):
+        cent = (
+            centroids_long.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("s"))
+            .select(
+                F.col("cluster_id").alias("vec_id"),
+                F.transform("s", lambda x: x["centroid"].cast("float")).alias(
+                    "embedding"
+                ),
+            )
+        )
+        step = C.kmeans_lloyd_step(df, k=3, centroids=cent)
+        # inertia proxy: recompute distances to these centroids via the
+        # assignment the step used — reuse explode + join shape
+        ve = C.explode_vectors(df)
+        ce = C.explode_vectors(cent).select(
+            F.col("vec_id").alias("cid"), "dim", F.col("__v").alias("__c")
+        )
+        sq = (F.col("__v") - F.col("__c")) * (F.col("__v") - F.col("__c"))
+        d = (
+            ve.join(ce, "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(sq).alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("best"))
+            .agg(F.sum("best").alias("total"))
+        )
+        return d.collect()[0]["total"], step
+
+    c1 = C.kmeans_lloyd_step(df, k=3)
+    i1, c2 = inertia(c1)
+    i2, _ = inertia(c2)
+    assert i2 <= i1 + 1e-9

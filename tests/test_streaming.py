@@ -65,6 +65,57 @@ def test_available_now_drains_and_incremental_rerun(spark, dirs):
     assert dup == 0
 
 
+def test_native_session_window_matches_batch_sessionize(spark):
+    """F.session_window (native gap-merge aggregation) must agree with the
+    batch window formulation ops/windows.sessionize on the same events:
+    same session count per user, same starts, and native end == batch
+    session_end + gap (the documented boundary convention)."""
+    from aos_spark.io.readers import read_sf_table
+    from aos_spark.ops import windows as W
+
+    ev = read_sf_table(spark, SF_DIR, "events")
+    gap_s = 6 * 3600
+    batch = W.sessionize(ev, ["user_id"], ts_col="ts", gap_seconds=gap_s,
+                         value_col="value")
+    native = sjobs.session_window_agg(ev, gap=f"{gap_s} seconds")  # batch mode
+    b = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    n = {
+        (r["user_id"], r["session_start"]): (r["session_end_plus_gap"], r["n_events"])
+        for r in native.collect()
+    }
+    assert set(b) == set(n)
+    for k, (end_b, cnt_b) in b.items():
+        end_n, cnt_n = n[k]
+        assert cnt_n == cnt_b
+        assert (end_n - end_b).total_seconds() == gap_s
+
+
+def test_native_session_window_streams(spark, dirs, tmp_path):
+    """The same aggregation must run as an actual stream: drained with
+    availableNow, every emitted (finalized-by-watermark) session matches
+    the batch result exactly."""
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    stream = sjobs.read_event_stream(spark, dirs["input"] + "/*")
+    agg = sjobs.session_window_agg(stream, gap="1 hour", watermark="2 hours")
+    sjobs.run_available_now(agg, out, ckpt)
+    got = spark.read.parquet(out)
+    emitted = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()
+    }
+    assert emitted  # watermark passed for the older drop's sessions
+    batch_src = spark.read.parquet(dirs["input"] + "/*")
+    expect = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sjobs.session_window_agg(batch_src, gap="1 hour").collect()
+    }
+    for k, cnt in emitted.items():
+        assert expect[k] == cnt
+
+
 def test_stateful_sessionize_across_batches(spark, dirs, tmp_path):
     """applyInPandasWithState: the open session survives the first
     micro-batch in state and is emitted when a later drop breaches the gap."""

@@ -50,3 +50,43 @@ def test_repetition_stats_known_values(spark):
     # 6 5-gram occurrences, 2 distinct ("x y x y x", "y x y x y")
     assert out[3].dup_5gram_frac == round(1 - 2 / 6, 6)
     assert (out[4].top_2gram_frac, out[4].dup_5gram_frac) == (0.0, 0.0)
+
+
+def test_corpus_filter_first_failing_rule_order(spark):
+    """Each crafted doc trips exactly the FIRST applicable rule."""
+    from aos_spark.llm.text import corpus_filter
+
+    good = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, None),                                   # empty (null)
+        (2, "   "),                                  # empty (whitespace)
+        (3, "too few words here"),                   # too_short
+        (4, "12345 67890 " * 10),                    # low_alpha (enough tokens)
+        (5, ("w.,;! " * 30).strip()),                # low_alpha fires before high_punct
+        (6, ("aaaaaa!!!! " * 10).strip()),          # high_punct (alpha .55, punct .37)
+        (7, ("same " * 40).strip()),                 # repetitive (ttr = 1/40)
+        (8, good),                                   # keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"])
+           for r in corpus_filter(df).collect()}
+    assert got[1] == (False, "empty")
+    assert got[2] == (False, "empty")
+    assert got[3] == (False, "too_short")
+    assert got[4] == (False, "low_alpha")
+    assert got[5] == (False, "low_alpha")
+    assert got[6] == (False, "high_punct")
+    assert got[7] == (False, "repetitive")
+    assert got[8] == (True, None)
+
+
+def test_build_vocab_min_df_and_per_doc_distinct(spark):
+    """df counts DOCUMENTS, not occurrences: a term repeated 50× in one
+    doc has df=1 and is cut by min_df=2."""
+    from aos_spark.llm.text import build_vocab
+
+    rows = [(1, "apple banana " + "spam " * 50), (2, "apple cherry"),
+            (3, "apple banana")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r["df"] for r in build_vocab(df, min_df=2).collect()}
+    assert got == {"apple": 3, "banana": 2}
