@@ -156,6 +156,78 @@ def hll_estimate(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
     )
 
 
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group HLL register frame — (group..., register, max_rho). The
+    MERGE story is the point at scale: register frames combine by a
+    further groupBy-max (union two frames, max per (group, register)), so
+    per-partition / per-day sketches roll up into any coarser grouping
+    without touching raw data again."""
+    q = HLL_HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        df.select(*group_cols, h.alias("__h"))
+        .select(
+            *group_cols,
+            F.shiftright("__h", q).alias("register"),
+            F.col("__h").bitwiseAND(F.lit((1 << q) - 1)).alias("__w"),
+        )
+        .select(*group_cols, "register", F.expr(rho_case_sql("__w", q)).alias("__rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two register frames (set union of the underlying keys):
+    union + max per (group, register). Lossless w.r.t. the sketch."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group distinct estimate from per-group registers — same
+    arithmetic as hll_estimate, one row per group, ONE pass over the data
+    regardless of group count (contrast exact per-group countDistinct,
+    which shuffles the full (group, key) domain)."""
+    m = 1 << p
+    regs = hll_registers_grouped(df, key_col, group_cols, p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.lit(1.0) / F.expr("CAST(shiftleft(1, max_rho) AS DOUBLE)")).alias(
+            "__present_inv"
+        ),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    present_inv = F.coalesce(F.col("__present_inv"), F.lit(0.0))
+    sum_inv = present_inv + (F.lit(m) - F.col("__n_present")).cast("double")
+    v_zero = (F.lit(m) - F.col("__n_present")).alias("v_zero")
+    raw = F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
+        F.lit(alpha) * m * m / sum_inv
+    )
+    corrected = F.when(
+        (raw <= 2.5 * m) & (F.col("__n_present") < m),
+        F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
+            F.lit(float(m)) * F.log(F.lit(m).cast("double") / v_zero)
+        ),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.lit(m).alias("m"),
+        v_zero,
+        F.round(raw, 6).alias("raw_estimate"),
+        F.round(corrected, 6).alias("estimate"),
+    )
+
+
 def hot_keys(
     df: DataFrame,
     key_col: str,

@@ -94,14 +94,164 @@ GROUP BY 1, 3
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user: step flags are
+    running-max window expressions over ONE user-keyed sort (a click only
+    counts after a view, a purchase only after such a click), so the whole
+    funnel costs one shuffle + one window pass + a scalar aggregate —
+    never a per-step self-join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w)
+    step1 = ev.withColumn("__s1", s1)
+    s2 = F.max(
+        F.when((F.col("event_type") == "click") & (F.col("__s1") == 1), 1).otherwise(0)
+    ).over(w)
+    step2 = step1.withColumn("__s2", s2)
+    s3 = F.max(
+        F.when((F.col("event_type") == "purchase") & (F.col("__s2") == 1), 1).otherwise(
+            0
+        )
+    ).over(w)
+    per_user = (
+        step2.withColumn("__s3", s3)
+        .groupBy("user_id")
+        .agg(
+            F.max("__s1").alias("__u1"),
+            F.max("__s2").alias("__u2"),
+            F.max("__s3").alias("__u3"),
+        )
+    )
+    return per_user.agg(
+        F.sum("__u1").alias("users_view"),
+        F.sum("__u2").alias("users_click_after_view"),
+        F.sum("__u3").alias("users_purchase_after_click"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+  FROM events),
+s2 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'click' AND f1 = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+  FROM s1),
+s3 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'purchase' AND f2 = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f3
+  FROM s2),
+u AS (SELECT user_id, MAX(f1) u1, MAX(f2) u2, MAX(f3) u3 FROM s3 GROUP BY 1)
+SELECT SUM(u1) AS users_view, SUM(u2) AS users_click_after_view,
+       SUM(u3) AS users_purchase_after_click
+FROM u
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each later active day as (cohort_day, days_since, n_users). First
+    touch is one user-keyed aggregate; the activity join keys on user_id
+    (at scale the cohort frame is user-dim-sized — co-partitioned with
+    the fact, no broadcast assumption)."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("__day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("__day").alias("__cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("__cohort").alias("cohort_day"),
+            F.datediff(F.col("__day"), F.col("__cohort")).alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_COHORT = """
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1)
+SELECT cohort AS cohort_day,
+       CAST(day - cohort AS INT) AS days_since,
+       COUNT(*) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct-customer estimate over orders by status
+    (ops/sketches.hll_estimate_grouped) — one pass for all groups; every
+    group's cardinality (~1.4k) is far past 2.5·m, so the estimate is the
+    bit-exact raw branch in both engines (no transcendental fires)."""
+    from aos_spark.ops import sketches
+
+    o = _t(spark, sf_dir, "orders")
+    return sketches.hll_estimate_grouped(o, "o_custkey", ["o_orderstatus"])
+
+
+def _hll_grouped_oracle(p: int = 6) -> str:
+    from aos_spark.ops import sketches
+
+    m, q = 1 << p, 32 - p
+    rho = sketches.rho_case_sql("w", q)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT o_orderstatus,
+         CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM orders),
+words AS (SELECT o_orderstatus, h >> {q} AS register, h & {(1 << q) - 1} AS w FROM h),
+regs AS (SELECT o_orderstatus, register, MAX({rho}) AS max_rho
+         FROM words GROUP BY 1, 2),
+agg AS (
+  SELECT o_orderstatus,
+         SUM(1.0 / CAST(1 << max_rho AS DOUBLE)) AS present_inv,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT o_orderstatus, {m} - n_present AS v_zero,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m}
+           / (present_inv + CAST({m} - n_present AS DOUBLE)) AS raw,
+         n_present
+  FROM agg)
+SELECT o_orderstatus, {m} AS m, v_zero, ROUND(raw, 6) AS raw_estimate,
+       ROUND(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND v_zero > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v_zero)
+                  ELSE raw END, 6) AS estimate
+FROM est
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
     "kmeans_lloyd_step": q_kmeans_step,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "sketch_hll_grouped": q_hll_grouped,
 }
 
 R4_ORACLES = {
     "corpus_quality_filter": ORACLE_CORPUS_FILTER,
     "vocab_min_df": ORACLE_VOCAB,
     "kmeans_lloyd_step": ORACLE_KMEANS,
+    "funnel_conversion": ORACLE_FUNNEL,
+    "cohort_retention": ORACLE_COHORT,
+    "sketch_hll_grouped": _hll_grouped_oracle(),
 }

@@ -102,3 +102,36 @@ def test_hll_rho_case_sql_matches_python(spark):
     ).collect()
     expect = {0: q + 1, 1: q, 2: q - 1, 3: q - 1, 1 << (q - 1): 1, (1 << q) - 1: 1}
     assert {r.w: r.rho for r in rows} == expect
+
+
+def test_hll_grouped_merge_is_lossless(spark):
+    """Register frames built on two halves of the data and merged with
+    hll_merge must equal the frame built on the whole — the mergeability
+    contract that lets per-day sketches roll up without rescanning."""
+    from aos_spark.ops import sketches
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    a = df.filter(F.col("k") < 2_500)
+    b = df.filter(F.col("k") >= 2_500)
+    whole = sketches.hll_registers_grouped(df, "k", ["g"])
+    merged = sketches.hll_merge(
+        sketches.hll_registers_grouped(a, "k", ["g"]),
+        sketches.hll_registers_grouped(b, "k", ["g"]),
+        ["g"],
+    )
+    key = lambda r: (r["g"], r["register"], r["max_rho"])
+    assert sorted(map(key, whole.collect())) == sorted(map(key, merged.collect()))
+
+
+def test_hll_grouped_estimates_within_error(spark):
+    from aos_spark.ops import sketches
+
+    df = spark.range(9_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    rows = sketches.hll_estimate_grouped(df, "k", ["g"]).collect()
+    assert len(rows) == 3
+    for r in rows:  # 3000 distinct per group, σ ≈ 13% at m=64
+        assert abs(r["estimate"] - 3_000) / 3_000 < 0.39
