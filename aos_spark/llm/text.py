@@ -152,6 +152,45 @@ def build_vocab(
     )
 
 
+def encode_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Encode documents to integer token-id sequences against the min-df
+    vocabulary: ids are 1-based ranks by (df desc, term asc) — the
+    conventional frequency-sorted vocab layout — and out-of-vocabulary
+    tokens are dropped (that is what the min_df prune means downstream).
+
+    The rank window runs over the VOCABULARY (Zipf-bounded, broadcast-
+    sized), never the corpus, so the single-partition window is bounded;
+    the corpus side is explode → broadcast join → collect_list re-sorted
+    by position — order restored structurally, not by faith in row order."""
+    vocab = build_vocab(df, id_col, text_col, min_df)
+    vw = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    vocab_ids = vocab.select(
+        "term", F.row_number().over(vw).cast("int").alias("token_id")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    return (
+        toks.join(F.broadcast(vocab_ids), "term")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("token_ids")
+        )
+        .select(F.col("id").alias(id_col), "token_ids")
+    )
+
+
 def quality_score() -> Column:
     """Composite [0,1] quality score over the features above — a linear
     blend with hard penalties, the usual shape of corpus-filtering scores."""

@@ -238,6 +238,115 @@ FROM est
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (ops/scd.scd2_apply): the customer
+    dimension opened at 1995-01-01 receives a snapshot where every 7th
+    customer changed segment and every 13th disappeared — changed rows
+    close + reopen, deletions close, the rest stay open. One full-outer
+    join keyed on the business key; closed history never joins."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.ops.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    history = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    snapshot = c.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return scd2_apply(
+        history, snapshot, ["c_custkey"], ["c_mktsegment"], "2000-01-01"
+    )
+
+
+ORACLE_SCD2 = """
+WITH open_rows AS (
+  SELECT c_custkey, c_mktsegment,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer),
+snap AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 <> 0),
+kept AS (
+  SELECT o.* FROM open_rows o JOIN snap s USING (c_custkey)
+  WHERE o.c_mktsegment = s.c_mktsegment),
+closing AS (
+  SELECT o.c_custkey, o.c_mktsegment, o.valid_from, DATE '2000-01-01' AS valid_to
+  FROM open_rows o LEFT JOIN snap s USING (c_custkey)
+  WHERE s.c_custkey IS NULL OR o.c_mktsegment <> s.c_mktsegment),
+opening AS (
+  SELECT s.c_custkey, s.c_mktsegment,
+         DATE '2000-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM snap s JOIN open_rows o USING (c_custkey)
+  WHERE o.c_mktsegment <> s.c_mktsegment)
+SELECT * FROM kept UNION ALL SELECT * FROM closing UNION ALL SELECT * FROM opening
+"""
+
+
+def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (ops/incremental): lineitem
+    arrives as two batches (pre/post 1998); each builds a per-returnflag
+    state, states merge, finalize. The oracle is the SINGLE-PASS batch
+    aggregate — passing proves incremental == batch bit-for-bit (decimal
+    states make the equality exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.ops import incremental as I
+
+    li = _t(spark, sf_dir, "lineitem")
+    b1 = li.filter(F.col("l_shipdate") < F.lit("1998-01-01"))
+    b2 = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    s1 = I.agg_state(b1, ["l_returnflag"], "l_extendedprice")
+    s2 = I.agg_state(b2, ["l_returnflag"], "l_extendedprice")
+    return I.finalize(I.merge_states(s1, s2, ["l_returnflag"]), ["l_returnflag"])
+
+
+ORACLE_INCREMENTAL = """
+SELECT l_returnflag,
+       COUNT(l_extendedprice) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS total,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(l_extendedprice), 6) AS avg,
+       ROUND(CAST(MIN(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS min_value,
+       ROUND(CAST(MAX(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS max_value
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → integer token-id sequences against the frequency-ranked
+    min-df vocabulary (llm/text.encode_tokens) — the final tokenize step
+    before packing; OOV tokens drop, order restored by position."""
+    from aos_spark.llm import text as TX
+
+    return TX.encode_tokens(_t(spark, sf_dir, "documents"), min_df=5)
+
+
+ORACLE_VOCAB_ENCODE = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS l
+        FROM documents)),
+tk AS (SELECT * FROM toks WHERE term <> ''),
+d AS (SELECT DISTINCT doc_id, term FROM tk),
+vocab AS (SELECT term, COUNT(*) AS df FROM d GROUP BY 1 HAVING COUNT(*) >= 5),
+ids AS (SELECT term,
+               CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS token_id
+        FROM vocab)
+SELECT doc_id, list(token_id ORDER BY pos) AS token_ids
+FROM tk JOIN ids USING (term)
+GROUP BY doc_id
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -245,6 +354,9 @@ R4_QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "sketch_hll_grouped": q_hll_grouped,
+    "scd2_dimension_history": q_scd2_history,
+    "incremental_agg_merge": q_incremental_revenue,
+    "vocab_encode_tokens": q_vocab_encode,
 }
 
 R4_ORACLES = {
@@ -254,4 +366,7 @@ R4_ORACLES = {
     "funnel_conversion": ORACLE_FUNNEL,
     "cohort_retention": ORACLE_COHORT,
     "sketch_hll_grouped": _hll_grouped_oracle(),
+    "scd2_dimension_history": ORACLE_SCD2,
+    "incremental_agg_merge": ORACLE_INCREMENTAL,
+    "vocab_encode_tokens": ORACLE_VOCAB_ENCODE,
 }

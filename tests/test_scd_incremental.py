@@ -1,0 +1,92 @@
+"""Tests for SCD2 dimension maintenance (ops/scd.py) and incremental
+aggregate states (ops/incremental.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aos_spark.ops import incremental as I
+from aos_spark.ops.scd import scd2_apply
+
+D = datetime.date
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seg string, valid_from date, valid_to date"
+    )
+
+
+def test_scd2_change_delete_insert_and_passthrough(spark):
+    hist = _hist(spark, [
+        (1, "A", D(1995, 1, 1), None),          # unchanged
+        (2, "A", D(1995, 1, 1), None),          # will change to B
+        (3, "A", D(1995, 1, 1), None),          # deleted from snapshot
+        (2, "Z", D(1990, 1, 1), D(1995, 1, 1)),  # closed history: untouched
+    ])
+    snap = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (4, "C")], "k long, seg string"
+    )
+    out = scd2_apply(hist, snap, ["k"], ["seg"], "2000-01-01")
+    rows = {(r["k"], r["seg"], r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows == {
+        (1, "A", D(1995, 1, 1), None),            # kept open
+        (2, "A", D(1995, 1, 1), D(2000, 1, 1)),   # closed by change
+        (2, "B", D(2000, 1, 1), None),            # new version
+        (3, "A", D(1995, 1, 1), D(2000, 1, 1)),   # closed by deletion
+        (4, "C", D(2000, 1, 1), None),            # brand-new key
+        (2, "Z", D(1990, 1, 1), D(1995, 1, 1)),   # old history untouched
+    }
+
+
+def test_scd2_null_attr_is_not_a_change(spark):
+    """NULL attr == NULL attr must count as unchanged (eqNullSafe), not
+    close-and-reopen every row with a NULL."""
+    hist = _hist(spark, [(1, None, D(1995, 1, 1), None)])
+    snap = spark.createDataFrame([(1, None)], "k long, seg string")
+    out = scd2_apply(hist, snap, ["k"], ["seg"], "2000-01-01")
+    rows = [(r["k"], r["seg"], r["valid_to"]) for r in out.collect()]
+    assert rows == [(1, None, None)]
+
+
+def test_scd2_idempotent_reapply(spark):
+    """Applying the same snapshot twice must be a no-op the second time."""
+    hist = _hist(spark, [(1, "A", D(1995, 1, 1), None), (2, "A", D(1995, 1, 1), None)])
+    snap = spark.createDataFrame([(1, "B"), (2, "A")], "k long, seg string")
+    once = scd2_apply(hist, snap, ["k"], ["seg"], "2000-01-01")
+    twice = scd2_apply(once, snap, ["k"], ["seg"], "2001-01-01")
+    key = lambda r: (r["k"], r["seg"], r["valid_from"], r["valid_to"])
+    assert sorted(map(key, once.collect())) == sorted(map(key, twice.collect()))
+
+
+def test_incremental_merge_equals_batch_any_split(spark):
+    """state(A) ⊕ state(B) == state(A ∪ B) exactly, for an arbitrary
+    split — the algebraic-state contract."""
+    df = spark.range(1_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 0.37 - 17.0).alias("v"),
+    )
+    a = df.filter(F.col("id") % 5 < 2)
+    b = df.filter(F.col("id") % 5 >= 2)
+    merged = I.finalize(
+        I.merge_states(I.agg_state(a, ["g"], "v"), I.agg_state(b, ["g"], "v"), ["g"]),
+        ["g"],
+    )
+    whole = I.finalize(I.agg_state(df, ["g"], "v"), ["g"])
+    key = lambda r: tuple(r)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))
+
+
+def test_encode_tokens_order_and_oov(spark):
+    """Ids are frequency-ranked; OOV (below min_df) tokens drop; sequence
+    order follows the document, not the join."""
+    from aos_spark.llm.text import encode_tokens
+
+    rows = [(1, "b a b rare"), (2, "a b"), (3, "b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["token_ids"]
+           for r in encode_tokens(df, min_df=2).collect()}
+    # df: b=3, a=3 → ties break by term asc: a=1, b=2; 'rare' df=1 dropped
+    assert got == {1: [2, 1, 2], 2: [1, 2], 3: [2, 1]}
