@@ -64,6 +64,37 @@ def fraction_sample(
     return df.filter(hash_bucket(id_col, n_buckets, salt) < int(round(fraction * n_buckets)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row i keeps with
+    probability min(1, fraction · w_i / mean(w)) — expected kept fraction
+    ≈ ``fraction``, heavier rows proportionally more likely, and the
+    decision is still a pure hash function of the id (reproducible across
+    engines/partitionings). The mean weight is a 1-row exact-decimal agg
+    broadcast-cross-joined in (one lazy plan, no driver pass)."""
+    mean_w = df.agg(
+        (
+            F.sum(F.col(weight_col).cast("decimal(28,6)")).cast("double")
+            / F.count(weight_col)
+        ).alias("__mean_w")
+    )
+    u = hash_bucket(id_col, n_buckets, salt).cast("double") / float(n_buckets)
+    p = F.least(
+        F.lit(1.0), F.lit(fraction) * F.col(weight_col) / F.col("__mean_w")
+    )
+    return (
+        df.crossJoin(F.broadcast(mean_w))
+        .filter(u < p)
+        .drop("__mean_w")
+    )
+
+
 def stratified_exact_n(
     df: DataFrame,
     strata_cols: list[str],

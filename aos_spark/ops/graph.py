@@ -1,0 +1,59 @@
+"""Graph analytics over pair frames (the near-dup graphs the dedup tier
+produces): triangle counting with degree orientation.
+
+Degree orientation is the scale story (Suri & Vassilvitskii, "Counting
+Triangles and the Curse of the Last Reducer", WWW'11): orienting every
+edge from its lower-degree endpoint to its higher-degree endpoint bounds
+any node's out-degree by O(√|E|), so the wedge self-join — the quadratic
+step — fans out per node by out-degree², never by a hub's full degree².
+A naive wedge join on a power-law dup graph (one boilerplate string
+shared by a million docs) dies on the hub; the oriented join does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Count triangles in the undirected graph given by pair rows.
+    Self-loops dropped, edges deduped canonically. Two joins: wedge
+    generation over the DEGREE-ORIENTED edge list, then closure check
+    against the canonical edge set."""
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).union(e.select("b"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("__db"))
+    # orient low-(degree, id) -> high-(degree, id); total order breaks ties
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    w1 = o.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
+    closure = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    return wedges.join(closure, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

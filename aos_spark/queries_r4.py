@@ -347,6 +347,165 @@ GROUP BY doc_id
 """
 
 
+def q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style expectation suite (ops/validate): nullability, key
+    uniqueness, accepted values, and two referential-integrity checks
+    across three tables, unioned into one (check, n_failed) report."""
+    from aos_spark.ops import validate as V
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return V.run_suite(
+        [
+            V.check_not_null(o, "o_custkey"),
+            V.check_unique(o, ["o_orderkey"]),
+            V.check_accepted_values(o, "o_orderstatus", ["P", "O", "F"]),
+            V.check_referential(li, o, "l_orderkey", "o_orderkey"),
+            V.check_referential(o, c, "o_custkey", "c_custkey"),
+        ]
+    )
+
+
+ORACLE_VALIDATION = """
+SELECT 'not_null:o_custkey' AS check,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_failed FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       COALESCE(SUM(n - 1), 0) FROM (
+         SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       SUM(CASE WHEN o_orderstatus NOT IN ('P','O','F') OR o_orderstatus IS NULL
+                THEN 1 ELSE 0 END) FROM orders
+UNION ALL
+SELECT 'referential:l_orderkey->o_orderkey', COUNT(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'referential:o_custkey->c_custkey', COUNT(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier counts over events.value: mean/variance
+    from EXACT decimal moments (one agg pass), stddev via IEEE sqrt
+    (correctly rounded in both engines → bit-stable), outlier flags in a
+    second pass against the broadcast per-group stats."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(v).alias("n"),
+        (F.sum(v.cast("decimal(28,10)")).cast("double") / F.count(v)).alias("__mu"),
+        (F.sum((v * v).cast("decimal(28,10)")).cast("double") / F.count(v)).alias(
+            "__m2"
+        ),
+    )
+    stats = stats.withColumn(
+        "__sigma", F.sqrt(F.col("__m2") - F.col("__mu") * F.col("__mu"))
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").filter(
+        F.abs(v - F.col("__mu")) > 3.0 * F.col("__sigma")
+    )
+    counts = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers")
+    )
+    return (
+        stats.join(counts, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            F.round("__mu", 6).alias("mean_value"),
+            F.round("__sigma", 6).alias("stddev_value"),
+        )
+    )
+
+
+ORACLE_ZSCORE = """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_type, COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value) AS mu,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value) AS m2
+  FROM ev GROUP BY 1),
+s2 AS (SELECT *, SQRT(m2 - mu * mu) AS sigma FROM stats),
+fl AS (
+  SELECT e.event_type, COUNT(*) AS n_outliers
+  FROM ev e JOIN s2 USING (event_type)
+  WHERE ABS(e.value - s2.mu) > 3.0 * s2.sigma
+  GROUP BY 1)
+SELECT event_type, n, COALESCE(n_outliers, 0) AS n_outliers,
+       ROUND(mu, 6) AS mean_value, ROUND(sigma, 6) AS stddev_value
+FROM s2 LEFT JOIN fl USING (event_type)
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the embedding near-dup graph (ops/graph.triangle_count,
+    degree-oriented wedge join — out-degree bounded by O(√E), so a hub
+    node cannot quadratically explode the wedge stage)."""
+    from aos_spark.llm import dedup as D
+    from aos_spark.ops.graph import triangle_count
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups(e, threshold=0.2, n_planes=4)
+    return triangle_count(pairs)
+
+
+def _triangle_oracle() -> str:
+    # safe at import time: queries_r4 is imported at the BOTTOM of
+    # aos_spark.queries, after _embedding_neardup_oracle is defined
+    from aos_spark.queries import _embedding_neardup_oracle
+
+    return f"""
+WITH e AS (SELECT id_a AS a, id_b AS b FROM ({_embedding_neardup_oracle()}))
+SELECT COUNT(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample of documents (weight =
+    n_chars), rolled up per language — long documents sample
+    proportionally more, yet the kept set is a pure hash function of
+    doc_id (llm/sampling.weighted_sample)."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.llm import sampling
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__w", F.length(F.col("text")).cast("double")
+    )
+    kept = sampling.weighted_sample(d, "__w", fraction=0.2)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("__w").cast("decimal(28,2)")).cast("double").alias("total_weight"),
+    )
+
+
+def _weighted_sample_oracle(
+    fraction: float = 0.2, salt: str = "wsample", n_buckets: int = 1_000_000
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id, CAST(length(text) AS DOUBLE) AS w FROM documents),
+m AS (
+  SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / COUNT(w) AS mean_w FROM d),
+kept AS (
+  SELECT d.* FROM d, m
+  WHERE CAST(CAST('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % {n_buckets} AS DOUBLE) / {float(n_buckets)}
+        < LEAST(1.0, {fraction} * w / mean_w))
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(w AS DECIMAL(28,2))) AS DOUBLE) AS total_weight
+FROM kept GROUP BY lang
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -357,6 +516,10 @@ R4_QUERIES = {
     "scd2_dimension_history": q_scd2_history,
     "incremental_agg_merge": q_incremental_revenue,
     "vocab_encode_tokens": q_vocab_encode,
+    "validation_suite": q_validation_suite,
+    "zscore_outliers": q_zscore_outliers,
+    "graph_triangle_count": q_triangle_count,
+    "weighted_sample_stats": q_weighted_sample,
 }
 
 R4_ORACLES = {
@@ -369,4 +532,8 @@ R4_ORACLES = {
     "scd2_dimension_history": ORACLE_SCD2,
     "incremental_agg_merge": ORACLE_INCREMENTAL,
     "vocab_encode_tokens": ORACLE_VOCAB_ENCODE,
+    "validation_suite": ORACLE_VALIDATION,
+    "zscore_outliers": ORACLE_ZSCORE,
+    "graph_triangle_count": _triangle_oracle(),
+    "weighted_sample_stats": _weighted_sample_oracle(),
 }

@@ -1,0 +1,68 @@
+"""Tests for triangle counting (ops/graph.py), the validation suite
+(ops/validate.py), and weighted sampling (llm/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aos_spark.ops import validate as V
+from aos_spark.ops.graph import triangle_count
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles; an attached pendant edge adds none; duplicate
+    and reversed edges must not double-count."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    noisy = k4 + [(b, a) for a, b in k4] + [(3, 9)]  # reversed dups + pendant
+    out = triangle_count(_pairs(spark, noisy)).collect()[0]
+    assert out["n_triangles"] == 4
+
+
+def test_triangle_count_none(spark):
+    out = triangle_count(_pairs(spark, [(1, 2), (3, 4), (2, 3)])).collect()[0]
+    assert out["n_triangles"] == 0
+
+
+def test_validation_suite_catches_planted_failures(spark):
+    child = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (9, "z")], "k long, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    report = {
+        r["check"]: r["n_failed"]
+        for r in V.run_suite(
+            [
+                V.check_not_null(child, "v"),
+                V.check_unique(child, ["k"]),
+                V.check_accepted_values(child, "v", ["x", "y", "z"]),
+                V.check_referential(child, parent, "k", "k"),
+            ]
+        ).collect()
+    }
+    assert report["not_null:v"] == 1
+    assert report["unique:k"] == 1  # one extra row beyond the first for k=2
+    assert report["accepted_values:v"] == 1  # the NULL fails membership
+    assert report["referential:k->k"] == 1  # k=9 orphaned
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Heavy rows must be sampled at a visibly higher rate than light
+    rows, deterministically (same result twice)."""
+    from aos_spark.llm.sampling import weighted_sample
+
+    df = spark.range(4_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 9.0).otherwise(1.0).alias("w"),
+    )
+    kept = weighted_sample(df, "w", fraction=0.2)
+    heavy = kept.filter(F.col("w") == 9.0).count()
+    light = kept.filter(F.col("w") == 1.0).count()
+    # heavy p = min(1, .2*9/5)=.36, light p = .2*1/5=.04 → ~720 vs ~80
+    assert heavy > 4 * light
+    assert 500 < heavy < 940 and 20 < light < 160
+    again = weighted_sample(df, "w", fraction=0.2)
+    assert again.count() == kept.count()
