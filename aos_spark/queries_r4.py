@@ -506,6 +506,60 @@ FROM kept GROUP BY lang
 """
 
 
+def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESOLUTION — the step a curation pipeline actually
+    ships: near-dup pairs → connected components → keep the best-quality
+    doc per cluster (ties → lowest doc_id), singletons keep themselves →
+    per-language kept/dropped accounting. Composes ngram_jaccard_pairs,
+    dup_clusters, and quality_score; the only additions are one per-
+    cluster argmax window (partitioned by cluster) and a rollup."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aos_spark.llm import dedup as D
+    from aos_spark.llm import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.35)
+    clusters = D.dup_clusters(pairs)
+    scored = TX.quality_features(d).withColumn("quality", TX.quality_score())
+    docs = (
+        scored.join(clusters, "doc_id", "left")
+        .withColumn("__cid", F.coalesce("cluster_id", "doc_id"))
+        .select("doc_id", "lang", "__cid", "quality")
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("__rn") > 1).cast("long")).alias("n_dropped"),
+    )
+
+
+def _dedup_resolution_oracle() -> str:
+    # safe at import time: queries_r4 is imported at the bottom of
+    # aos_spark.queries, after both oracle texts are defined
+    from aos_spark.queries import ORACLE_DEDUP_CLUSTERS, ORACLE_QUALITY
+
+    return f"""
+WITH clu AS (SELECT * FROM ({ORACLE_DEDUP_CLUSTERS})),
+q AS (SELECT doc_id, quality FROM ({ORACLE_QUALITY})),
+docs AS (
+  SELECT d.doc_id, d.lang, COALESCE(clu.cluster_id, d.doc_id) AS cid, q.quality
+  FROM documents d LEFT JOIN clu USING (doc_id) JOIN q USING (doc_id)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY quality DESC, doc_id) AS rn
+  FROM docs)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+FROM ranked GROUP BY lang
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -520,6 +574,7 @@ R4_QUERIES = {
     "zscore_outliers": q_zscore_outliers,
     "graph_triangle_count": q_triangle_count,
     "weighted_sample_stats": q_weighted_sample,
+    "dedup_resolution": q_dedup_resolution,
 }
 
 R4_ORACLES = {
@@ -536,4 +591,5 @@ R4_ORACLES = {
     "zscore_outliers": ORACLE_ZSCORE,
     "graph_triangle_count": _triangle_oracle(),
     "weighted_sample_stats": _weighted_sample_oracle(),
+    "dedup_resolution": _dedup_resolution_oracle(),
 }
