@@ -64,6 +64,20 @@ def fraction_sample(
     return df.filter(hash_bucket(id_col, n_buckets, salt) < int(round(fraction * n_buckets)))
 
 
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "fold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    hash_bucket(id) mod k — every row lands in exactly one fold, folds are
+    ~equal-sized, and the assignment survives re-partitioning/re-runs
+    (the same property deterministic_split guarantees for train/val)."""
+    return df.withColumn(out_col, hash_bucket(id_col, k, salt).cast("int"))
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

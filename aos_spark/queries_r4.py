@@ -560,6 +560,29 @@ FROM ranked GROUP BY lang
 """
 
 
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (llm/sampling.kfold_assign)
+    summarized as (fold, lang, n_docs) — fold membership is a pure hash
+    of the id, so folds are identical on any cluster/partitioning."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.llm import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.kfold_assign(d, k=5).groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _kfold_oracle(k: int = 5, salt: str = "fold") -> str:
+    return f"""
+SELECT CAST(CAST('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % {k} AS INT) AS fold,
+       lang, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -575,6 +598,7 @@ R4_QUERIES = {
     "graph_triangle_count": q_triangle_count,
     "weighted_sample_stats": q_weighted_sample,
     "dedup_resolution": q_dedup_resolution,
+    "kfold_assignment": q_kfold,
 }
 
 R4_ORACLES = {
@@ -592,4 +616,5 @@ R4_ORACLES = {
     "graph_triangle_count": _triangle_oracle(),
     "weighted_sample_stats": _weighted_sample_oracle(),
     "dedup_resolution": _dedup_resolution_oracle(),
+    "kfold_assignment": _kfold_oracle(),
 }

@@ -132,3 +132,31 @@ def test_exact_moment_corr_agrees_with_native(spark, sf_dir):
         assert abs(r["corr_xy"] - native[k]["c"]) < 1e-6
         assert abs(r["covar_xy"] - native[k]["cv"]) < 1e-3 * max(1, abs(native[k]["cv"]))
         assert abs(r["stddev_x"] - native[k]["sx"]) < 1e-6 * max(1, native[k]["sx"])
+
+
+def test_sessionize_and_asof_survive_ntz_timestamps(spark):
+    """TIMESTAMP_NTZ regression lock (rounds 2-3 both lost the driver gate
+    to an LTZ-only cast): sessionize and the asof tolerance path must run
+    on NTZ-typed event timestamps."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.ops import windows as W
+    from aos_spark.ops.asof import asof_join
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+            "event_id",
+        )
+    )
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    sessions = W.sessionize(ev, ["user_id"], "ts", 6 * 3600, "value")
+    assert sessions.count() > 0
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.select("user_id", "ts", F.col("value"))
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    value_cols=["value"], tolerance_seconds=3600)
+    assert out.count() == left.count()
