@@ -583,6 +583,129 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the pure predicate-pushdown aggregate (completes the
+    22-shape sweep): every filter reaches the parquet scan, one 1-row
+    decimal agg, zero joins."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double"),
+            4,
+        ).alias("revenue")
+    )
+    return out
+
+
+ORACLE_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured tier: parse the events.props JSON column with an
+    explicit schema (from_json — JVM-side Jackson, no Python) and roll up
+    the extracted field per event type. At scale the parse is a codegen'd
+    projection; schema-on-read instead of a second ETL pass."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "__p", F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    ).withColumn("k", F.col("__p.k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.sum(F.col("k").cast("long")).alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       COUNT(k) AS n, SUM(CAST(k AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(year, month) over order totals — the time-hierarchy subtotal
+    ladder (grand total → per-year → per-month) in ONE aggregate pass via
+    Expand, with grouping_id distinguishing the levels."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_year, o_month, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+       CAST(GROUPING(o_year) * 2 + GROUPING(o_month) AS INT) AS gid
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+         o_totalprice
+  FROM orders)
+GROUP BY ROLLUP (o_year, o_month)
+"""
+
+
+def q_bag_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) semantics, distinct from the §2.6
+    distinct set ops: shipments per supplier in 1997 minus 1998 AS BAGS,
+    so a supplier with 5 early and 2 late shipments survives 3 times.
+    Spark plans exceptAll as a counted anti-semantics generate — no
+    driver sets."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.year("l_shipdate") == 1997).select("l_suppkey")
+    b = li.filter(F.year("l_shipdate") == 1998).select("l_suppkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("surplus_shipments"))
+    )
+
+
+ORACLE_BAG_DIFF = """
+SELECT l_suppkey, COUNT(*) AS surplus_shipments
+FROM (
+  SELECT l_suppkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1997
+  EXCEPT ALL
+  SELECT l_suppkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1998)
+GROUP BY l_suppkey
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -599,6 +722,10 @@ R4_QUERIES = {
     "weighted_sample_stats": q_weighted_sample,
     "dedup_resolution": q_dedup_resolution,
     "kfold_assignment": q_kfold,
+    "q6_discount_revenue": q6_discount_revenue,
+    "json_props_stats": q_json_props_stats,
+    "rollup_time_hierarchy": q_rollup_time_hierarchy,
+    "bag_difference_except_all": q_bag_difference,
 }
 
 R4_ORACLES = {
@@ -617,4 +744,8 @@ R4_ORACLES = {
     "weighted_sample_stats": _weighted_sample_oracle(),
     "dedup_resolution": _dedup_resolution_oracle(),
     "kfold_assignment": _kfold_oracle(),
+    "q6_discount_revenue": ORACLE_Q6,
+    "json_props_stats": ORACLE_JSON_PROPS,
+    "rollup_time_hierarchy": ORACLE_ROLLUP,
+    "bag_difference_except_all": ORACLE_BAG_DIFF,
 }
