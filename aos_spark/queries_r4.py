@@ -706,6 +706,102 @@ GROUP BY l_suppkey
 """
 
 
+def q_reconcile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation (ops/reconcile.diff_buckets): orders vs
+    a perturbed copy (totalprice bumped for ~1% of customers, ~0.1% of
+    rows deleted). Each side reduces to 256 (bucket, count, checksum)
+    rows; the diff is a bucket-frame join — the 100 TB story is that the
+    tables never ship, only the fixed-size checksum frames do."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.ops.reconcile import diff_buckets
+
+    o = _t(spark, sf_dir, "orders")
+    perturbed = o.filter(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    return diff_buckets(o.select(*cols), perturbed.select(*cols), "o_orderkey")
+
+
+ORACLE_RECONCILE = """
+WITH a AS (
+  SELECT CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+           % 256 AS bucket,
+         COUNT(*) AS n_rows,
+         SUM(CAST('0x' || substring(md5(
+               concat_ws(chr(31),
+                 COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+                 COALESCE(o_orderstatus, chr(0) || 'null'),
+                 COALESCE(CAST(o_totalprice AS VARCHAR), chr(0) || 'null'))),
+             1, 8) AS BIGINT)) AS checksum
+  FROM orders GROUP BY 1),
+p AS (
+  SELECT CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+           % 256 AS bucket,
+         COUNT(*) AS n_rows,
+         SUM(CAST('0x' || substring(md5(
+               concat_ws(chr(31),
+                 COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+                 COALESCE(o_orderstatus, chr(0) || 'null'),
+                 COALESCE(CAST(tp AS VARCHAR), chr(0) || 'null'))),
+             1, 8) AS BIGINT)) AS checksum
+  FROM (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_custkey % 101 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS tp
+    FROM orders WHERE o_orderkey % 997 <> 0)
+  GROUP BY 1)
+SELECT COALESCE(a.bucket, p.bucket) AS bucket,
+       COALESCE(a.n_rows, 0) AS n_rows_a,
+       COALESCE(p.n_rows, 0) AS n_rows_b,
+       (COALESCE(a.n_rows, 0) = COALESCE(p.n_rows, 0)
+        AND COALESCE(a.checksum, 0) = COALESCE(p.checksum, 0)) AS match
+FROM a FULL OUTER JOIN p ON a.bucket = p.bucket
+"""
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection over an id sequence (completeness audit for ingested
+    logs): non-error event ids → lag window → every hole reported as
+    (gap_start, gap_end, gap_len). One global sort over the DISTINCT id
+    projection — at scale, range-partition the ids first; the window
+    itself is the standard islands idiom."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") != "error")
+    ids = ev.select("event_id").distinct()
+    w = Window.orderBy("event_id")
+    return (
+        ids.withColumn("__prev", F.lag("event_id").over(w))
+        .filter(
+            F.col("__prev").isNotNull() & (F.col("event_id") - F.col("__prev") > 1)
+        )
+        .select(
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("event_id") - 1).alias("gap_end"),
+            (F.col("event_id") - F.col("__prev") - 1).alias("gap_len"),
+        )
+    )
+
+
+ORACLE_SEQUENCE_GAPS = """
+WITH ids AS (
+  SELECT DISTINCT event_id FROM events WHERE event_type <> 'error'),
+l AS (
+  SELECT event_id, LAG(event_id) OVER (ORDER BY event_id) AS prev FROM ids)
+SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+       event_id - prev - 1 AS gap_len
+FROM l WHERE prev IS NOT NULL AND event_id - prev > 1
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -726,6 +822,8 @@ R4_QUERIES = {
     "json_props_stats": q_json_props_stats,
     "rollup_time_hierarchy": q_rollup_time_hierarchy,
     "bag_difference_except_all": q_bag_difference,
+    "reconcile_tables": q_reconcile_tables,
+    "sequence_gap_detection": q_sequence_gaps,
 }
 
 R4_ORACLES = {
@@ -748,4 +846,6 @@ R4_ORACLES = {
     "json_props_stats": ORACLE_JSON_PROPS,
     "rollup_time_hierarchy": ORACLE_ROLLUP,
     "bag_difference_except_all": ORACLE_BAG_DIFF,
+    "reconcile_tables": ORACLE_RECONCILE,
+    "sequence_gap_detection": ORACLE_SEQUENCE_GAPS,
 }

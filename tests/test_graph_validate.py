@@ -66,3 +66,31 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     assert 500 < heavy < 940 and 20 < light < 160
     again = weighted_sample(df, "w", fraction=0.2)
     assert again.count() == kept.count()
+
+
+def test_reconcile_identical_tables_all_match(spark):
+    from aos_spark.ops.reconcile import diff_buckets
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 17).alias("v")
+    )
+    out = diff_buckets(df, df, "k")
+    assert out.filter(~F.col("match")).count() == 0
+    assert out.agg(F.sum("n_rows_a")).first()[0] == 2_000
+
+
+def test_reconcile_locates_perturbation(spark):
+    """A single-row change must flip exactly its own bucket; a deleted row
+    must also show a row-count mismatch in its bucket."""
+    from aos_spark.ops.reconcile import diff_buckets
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 17).alias("v")
+    )
+    changed = df.withColumn(
+        "v", F.when(F.col("k") == 42, F.lit(999)).otherwise(F.col("v"))
+    ).filter(F.col("k") != 1337)
+    out = diff_buckets(df, changed, "k")
+    bad = out.filter(~F.col("match"))
+    assert 1 <= bad.count() <= 2  # change-bucket + delete-bucket (may collide)
+    assert out.agg(F.sum("n_rows_b")).first()[0] == 1_999
