@@ -228,6 +228,65 @@ def hll_estimate_grouped(
     )
 
 
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable equi-width quantile sketch over a KNOWN value range:
+    (bin, n) with values clamped into [lo, hi). Completes the sketch trio
+    (CMS = frequency, HLL = distinct, this = quantiles): fixed n_bins
+    state, one aggregate pass, merge = union + sum — per-day sketches
+    roll up losslessly. Precision is (hi−lo)/n_bins; for unknown ranges
+    run a min/max pass first (or use the exact percentile tier)."""
+    w = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - lo) / w).cast("int")
+    bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b).groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Estimate quantiles from the sketch: cumulative counts over the
+    (tiny, fixed-size) bin frame, then for each q the first bin whose
+    cumulative share reaches q, reported as the bin's upper edge. All
+    +-*/ and one window over ≤ n_bins rows — engine-exact."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / n_bins
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.withColumn("__cum", F.sum("n").over(win)).crossJoin(
+        F.broadcast(sketch.agg(F.sum("n").alias("__total")))
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("__cum") >= F.col("__total") * q)
+            .agg(F.min("bin").alias("__b"))
+            .select(
+                F.lit(q).alias("q"),
+                F.round(F.lit(lo) + (F.col("__b") + 1) * w, 6).alias("value_at_q"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
 def hot_keys(
     df: DataFrame,
     key_col: str,

@@ -802,6 +802,43 @@ FROM l WHERE prev IS NOT NULL AND event_id - prev > 1
 """
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch over lineitem.l_extendedprice
+    (ops/sketches.quantile_sketch): p50/p90/p99 from a 256-bin mergeable
+    state — the streaming-friendly complement to the exact percentile
+    tier."""
+    from aos_spark.ops import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = sketches.quantile_sketch(li, "l_extendedprice", lo=0.0, hi=120_000.0)
+    return sketches.quantile_estimate(sk, [0.5, 0.9, 0.99], 0.0, 120_000.0)
+
+
+def _quantile_sketch_oracle(
+    lo: float = 0.0, hi: float = 120_000.0, n_bins: int = 256
+) -> str:
+    w = (hi - lo) / n_bins
+    qs_sql = ", ".join(f"({q})" for q in (0.5, 0.9, 0.99))
+    return f"""
+WITH sk AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {lo}) / {w}) AS INT), 0),
+               {n_bins - 1}) AS bin,
+         COUNT(*) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         (SELECT SUM(n) FROM sk) AS total
+  FROM sk)
+SELECT CAST(q AS DOUBLE) AS q,
+       ROUND(CAST({lo} + (b + 1) * {w} AS DOUBLE), 6) AS value_at_q
+FROM (
+  SELECT q.q, MIN(bin) AS b
+  FROM (VALUES {qs_sql}) q(q) JOIN cum ON c >= total * q.q
+  GROUP BY q.q)
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -824,6 +861,7 @@ R4_QUERIES = {
     "bag_difference_except_all": q_bag_difference,
     "reconcile_tables": q_reconcile_tables,
     "sequence_gap_detection": q_sequence_gaps,
+    "sketch_quantile_histogram": q_quantile_sketch,
 }
 
 R4_ORACLES = {
@@ -848,4 +886,5 @@ R4_ORACLES = {
     "bag_difference_except_all": ORACLE_BAG_DIFF,
     "reconcile_tables": ORACLE_RECONCILE,
     "sequence_gap_detection": ORACLE_SEQUENCE_GAPS,
+    "sketch_quantile_histogram": _quantile_sketch_oracle(),
 }

@@ -96,6 +96,14 @@ def session_window_agg(
     )
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: the static dim is re-resolved per
+    micro-batch (so a refreshed dim table is picked up without restart)
+    and broadcast — the streaming face of every dim lookup in the batch
+    tier. No watermark needed: stream-static joins are stateless."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def run_available_now(
     agg: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -135,3 +135,24 @@ def test_hll_grouped_estimates_within_error(spark):
     assert len(rows) == 3
     for r in rows:  # 3000 distinct per group, σ ≈ 13% at m=64
         assert abs(r["estimate"] - 3_000) / 3_000 < 0.39
+
+
+def test_quantile_sketch_merge_and_accuracy(spark):
+    """Sketch of halves merged == sketch of whole (lossless), and the
+    p50 estimate lands within one bin width of the true median."""
+    from aos_spark.ops import sketches
+
+    df = spark.range(10_000).select((F.col("id") % 1000).cast("double").alias("v"))
+    a, b = df.filter(F.col("id") < 5_000), df.filter(F.col("id") >= 5_000)
+    whole = sketches.quantile_sketch(df, "v", 0.0, 1000.0)
+    merged = sketches.quantile_merge(
+        sketches.quantile_sketch(a, "v", 0.0, 1000.0),
+        sketches.quantile_sketch(b, "v", 0.0, 1000.0),
+    )
+    key = lambda r: (r["bin"], r["n"])
+    assert sorted(map(key, whole.collect())) == sorted(map(key, merged.collect()))
+    est = {
+        r["q"]: r["value_at_q"]
+        for r in sketches.quantile_estimate(whole, [0.5], 0.0, 1000.0).collect()
+    }
+    assert abs(est[0.5] - 500.0) <= 1000.0 / 256 + 1e-9

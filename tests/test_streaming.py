@@ -283,3 +283,27 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     shutil.rmtree(ldir)
     shutil.rmtree(rdir)
+
+
+def test_stream_static_enrichment_join(spark, dirs, tmp_path):
+    """Stream-static broadcast join: every streamed event picks up its
+    dim attributes; dim misses survive as NULL (left join, stateless)."""
+    out = str(tmp_path / "enrich_out")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 5.0)],
+        "event_type string, weight double",
+    )
+    stream = sjobs.read_event_stream(spark, dirs["input"] + "/*")
+    enriched = sjobs.enrich_stream(stream, dim, "event_type").select(
+        "event_id", "event_type", "weight"
+    )
+    sjobs.run_available_now(enriched, out, ckpt)
+    got = spark.read.parquet(out)
+    n_stream = spark.read.parquet(dirs["input"] + "/*").count()
+    assert got.count() == n_stream  # left join keeps every event
+    assert got.filter(
+        (F.col("event_type") == "purchase") & (F.col("weight") != 5.0)
+    ).count() == 0
+    # types outside the dim (signup/error) survive with NULL weight
+    assert got.filter(F.col("weight").isNull()).count() > 0
