@@ -33,6 +33,44 @@ def explode_vectors(
     ).withColumn("__v", F.col("__v").cast("double"))
 
 
+def centroids_to_vectors(
+    centroids_long: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pivot the long-form (cluster_id, dim, centroid) output back into
+    (id, vector) rows — the shape kmeans_lloyd_step seeds from and the
+    IVF probe path consumes."""
+    return (
+        centroids_long.groupBy("cluster_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("__s")
+        )
+        .select(
+            F.col("cluster_id").alias(id_col),
+            F.transform("__s", lambda x: x["centroid"]).alias(vec_col),
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations (deterministic lowest-id seeding)
+    and return the final centroids as (id, vector) rows. Each round is
+    the two-shuffle step above; localCheckpoint truncates lineage so the
+    plan does not grow with iterations (same discipline as
+    dup_clusters). Lloyd monotonically lowers inertia (tested), so a
+    fixed small n_iter is the standard trade at corpus scale."""
+    cents = None
+    for _ in range(n_iter):
+        step = kmeans_lloyd_step(df, k, id_col, vec_col, centroids=cents)
+        cents = centroids_to_vectors(step, id_col, vec_col).localCheckpoint()
+    return cents
+
+
 def kmeans_lloyd_step(
     df: DataFrame,
     k: int = 4,

@@ -178,12 +178,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus pre-assigned to inverted lists,
     each query probes only its ``nprobe`` nearest lists. Scan cost drops by
     ~n_centroids/nprobe versus brute force; recall is tunable via nprobe.
+    Pass ``centroids`` (id, vector rows — e.g. llm/cluster.kmeans_fit
+    output) for a trained coarse quantizer; the default deterministic
+    seeding keeps the gate query oracle-mirrorable.
     """
-    cents = deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(id_col).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    else:
+        cents = deterministic_centroids(corpus, n_centroids, id_col, vec_col)
     lists = ivf_assign(corpus, cents, id_col, vec_col)
 
     qc = queries.select(

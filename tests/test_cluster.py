@@ -89,3 +89,37 @@ def test_iterating_reduces_inertia(spark):
     i1, c2 = inertia(c1)
     i2, _ = inertia(c2)
     assert i2 <= i1 + 1e-9
+
+
+def test_kmeans_fit_centroid_shape_and_determinism(spark):
+    rows = [(i, [float((i * 7) % 11), float((i * 5) % 13)]) for i in range(60)]
+    df = _vecs(spark, rows)
+    from aos_spark.llm.cluster import kmeans_fit
+
+    c1 = kmeans_fit(df, k=3, n_iter=3)
+    assert c1.count() <= 3
+    assert set(c1.columns) == {"vec_id", "embedding"}
+    c2 = kmeans_fit(df, k=3, n_iter=3)
+    k1 = sorted((r["vec_id"], tuple(r["embedding"])) for r in c1.collect())
+    k2 = sorted((r["vec_id"], tuple(r["embedding"])) for r in c2.collect())
+    assert k1 == k2  # fully deterministic fit
+
+
+def test_ivf_with_trained_centroids_recall(spark):
+    """IVF probing k-means-trained lists must recover a reasonable share
+    of the exact brute-force neighbors on the real embeddings table."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.llm.cluster import kmeans_fit
+    from aos_spark.llm.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    approx = ivf_topk(emb, queries, k=10, nprobe=3, centroids=cents)
+    exact = brute_force_topk(emb, queries, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.3  # probing 3/8 lists
