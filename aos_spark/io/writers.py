@@ -55,6 +55,31 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 32,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Range-clustered layout: repartitionByRange on the sort key +
+    sortWithinPartitions + write. Every output file then covers a DISJOINT
+    key range, so parquet min/max statistics prune file scans for range
+    predicates on those columns — the layout answer to both the
+    small-files problem (n_files bounds the count) and full-scan range
+    queries. ``maxRecordsPerFile`` caps file size when partitions are
+    still too big (Spark splits them without breaking the sort)."""
+    w = (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .format("parquet")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.save(path)
+
+
 GEOSIGHT_DEDUP_KEY = ["storm", "forecast_time", "wind_threshold", "geom_id"]
 
 # metric allow-list mirrors geosight/admin_related_table.py:36-49 — columns

@@ -258,3 +258,29 @@ def test_export_filename_compat(spark, tmp_path):
     files = glob.glob(str(tmp_path / "exp" / "AAA_S1_50" / "*.csv"))
     header = open(files[0]).readline().strip()
     assert header == "tile,prob"
+
+
+def test_write_range_clustered_disjoint_file_ranges(spark, tmp_path):
+    """Each output file must cover a disjoint key range (the property that
+    makes parquet min/max stats prune range scans), and the file count
+    must respect the requested bound."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aos_spark.io.writers import write_range_clustered
+
+    df = spark.range(50_000).select(
+        (F.col("id") * 37 % 50_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "rc")
+    write_range_clustered(df, out, ["k"], n_files=8)
+    files = glob.glob(out + "/part-*.parquet")
+    assert 1 < len(files) <= 8
+    ranges = []
+    for f in files:
+        mm = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint — enables min/max file pruning
