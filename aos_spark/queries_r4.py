@@ -839,6 +839,43 @@ FROM (
 """
 
 
+def q_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): per customer,
+    total order value over the trailing 7 DAYS — a value-based frame, so
+    same-day orders aggregate together and calendar gaps shrink the
+    window. Ordering key is the day number (rangeBetween needs a numeric
+    order), partition stays custkey — one shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_day"),
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("spend_7d"),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_day, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 2) AS spend_7d
+FROM orders
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -862,6 +899,7 @@ R4_QUERIES = {
     "reconcile_tables": q_reconcile_tables,
     "sequence_gap_detection": q_sequence_gaps,
     "sketch_quantile_histogram": q_quantile_sketch,
+    "range_frame_window_spend": q_range_frame_spend,
 }
 
 R4_ORACLES = {
@@ -887,4 +925,5 @@ R4_ORACLES = {
     "reconcile_tables": ORACLE_RECONCILE,
     "sequence_gap_detection": ORACLE_SEQUENCE_GAPS,
     "sketch_quantile_histogram": _quantile_sketch_oracle(),
+    "range_frame_window_spend": ORACLE_RANGE_FRAME,
 }
