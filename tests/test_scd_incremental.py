@@ -90,3 +90,28 @@ def test_encode_tokens_order_and_oov(spark):
            for r in encode_tokens(df, min_df=2).collect()}
     # df: b=3, a=3 → ties break by term asc: a=1, b=2; 'rare' df=1 dropped
     assert got == {1: [2, 1, 2], 2: [1, 2], 3: [2, 1]}
+
+
+def test_scd2_empty_snapshot_closes_everything(spark):
+    """An empty snapshot is a full logical delete: every open row closes,
+    closed history is untouched."""
+    hist = _hist(spark, [
+        (1, "A", D(1995, 1, 1), None),
+        (2, "Z", D(1990, 1, 1), D(1995, 1, 1)),
+    ])
+    snap = spark.createDataFrame([], "k long, seg string")
+    out = scd2_apply(hist, snap, ["k"], ["seg"], "2000-01-01")
+    rows = {(r["k"], r["valid_to"]) for r in out.collect()}
+    assert rows == {(1, D(2000, 1, 1)), (2, D(1995, 1, 1))}
+
+
+def test_incremental_empty_batch_is_identity(spark):
+    """Merging an empty batch's state must not change the aggregate."""
+    df = spark.range(100).select((F.col("id") % 2).alias("g"), F.col("id").alias("v"))
+    empty = df.filter(F.col("v") < 0)
+    merged = I.finalize(
+        I.merge_states(I.agg_state(df, ["g"], "v"), I.agg_state(empty, ["g"], "v"), ["g"]),
+        ["g"],
+    )
+    whole = I.finalize(I.agg_state(df, ["g"], "v"), ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

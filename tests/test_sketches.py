@@ -156,3 +156,15 @@ def test_quantile_sketch_merge_and_accuracy(spark):
         for r in sketches.quantile_estimate(whole, [0.5], 0.0, 1000.0).collect()
     }
     assert abs(est[0.5] - 500.0) <= 1000.0 / 256 + 1e-9
+
+
+def test_quantile_sketch_empty_input(spark):
+    """Empty input → empty sketch; estimates return one row per q with
+    NULL value (no crash, no division blowup)."""
+    from aos_spark.ops import sketches
+
+    df = spark.range(5).filter("id < 0").select(F.col("id").cast("double").alias("v"))
+    sk = sketches.quantile_sketch(df, "v", 0.0, 10.0)
+    assert sk.count() == 0
+    est = sketches.quantile_estimate(sk, [0.5], 0.0, 10.0).collect()
+    assert len(est) == 1 and est[0]["value_at_q"] is None
