@@ -27,6 +27,57 @@ def _attrs_equal(attr_cols: list[str], left: str, right: str) -> Column:
     return cond
 
 
+def scd2_lookup(
+    history: DataFrame,
+    as_of: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time slice of an SCD2 history: the version of every key
+    that was current at ``as_of`` (valid_from ≤ as_of < valid_to, open
+    rows unbounded). A pushed filter — no join, no window."""
+    d = F.lit(as_of).cast("date")
+    return history.filter(
+        (F.col(from_col) <= d) & (F.col(to_col).isNull() | (F.col(to_col) > d))
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots: one full-outer join on
+    the business key emitting ('insert' | 'delete' | 'update') rows —
+    unchanged rows are dropped, so the feed size tracks the CHANGE rate,
+    not the table size. Attribute comparison is null-safe; output carries
+    the key plus the new-side attributes (null for deletes)."""
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    same = _attrs_equal(attr_cols, "o", "n")
+    op = (
+        F.when(~in_old, "insert")
+        .when(~in_new, "delete")
+        .when(~same, "update")
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols],
+            *[F.col(f"n.{c}").alias(c) for c in attr_cols],
+        )
+    )
+
+
 def scd2_apply(
     history: DataFrame,
     snapshot: DataFrame,

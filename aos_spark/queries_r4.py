@@ -876,6 +876,50 @@ FROM orders
 """
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two order snapshots (ops/scd.snapshot_diff): the same
+    perturbation as reconcile_tables (price bump for ~1% of customers,
+    ~0.1% of rows deleted), summarized per op. Reconcile answers WHERE
+    tables differ from fixed-size checksums; this emits WHAT changed —
+    feed size tracks the change rate, never the table size."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.ops.scd import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    feed = snapshot_diff(o, new, ["o_orderkey"], ["o_custkey", "o_totalprice"])
+    return feed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+ORACLE_CDC = """
+WITH new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_custkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 997 <> 0),
+feed AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice <> n.o_totalprice
+                   OR o.o_custkey <> n.o_custkey THEN 'update' END AS op,
+         COALESCE(n.o_orderkey, o.o_orderkey) AS k
+  FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT op, COUNT(*) AS n_rows, SUM(k) AS key_checksum
+FROM feed WHERE op IS NOT NULL GROUP BY op
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -900,6 +944,7 @@ R4_QUERIES = {
     "sequence_gap_detection": q_sequence_gaps,
     "sketch_quantile_histogram": q_quantile_sketch,
     "range_frame_window_spend": q_range_frame_spend,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
 }
 
 R4_ORACLES = {
@@ -926,4 +971,5 @@ R4_ORACLES = {
     "sequence_gap_detection": ORACLE_SEQUENCE_GAPS,
     "sketch_quantile_histogram": _quantile_sketch_oracle(),
     "range_frame_window_spend": ORACLE_RANGE_FRAME,
+    "cdc_snapshot_diff": ORACLE_CDC,
 }

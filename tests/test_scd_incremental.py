@@ -115,3 +115,30 @@ def test_incremental_empty_batch_is_identity(spark):
     )
     whole = I.finalize(I.agg_state(df, ["g"], "v"), ["g"])
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from aos_spark.ops.scd import scd2_lookup
+
+    hist = _hist(spark, [
+        (1, "A", D(1995, 1, 1), D(2000, 1, 1)),
+        (1, "B", D(2000, 1, 1), None),
+        (2, "Z", D(1998, 1, 1), None),
+    ])
+    at_1999 = {(r["k"], r["seg"]) for r in scd2_lookup(hist, "1999-06-01").collect()}
+    assert at_1999 == {(1, "A"), (2, "Z")}
+    at_2001 = {(r["k"], r["seg"]) for r in scd2_lookup(hist, "2001-01-01").collect()}
+    assert at_2001 == {(1, "B"), (2, "Z")}
+    # boundary day: the new version is current ON its valid_from
+    at_boundary = {(r["k"], r["seg"]) for r in scd2_lookup(hist, "2000-01-01").collect()}
+    assert at_boundary == {(1, "B"), (2, "Z")}
+
+
+def test_snapshot_diff_ops(spark):
+    from aos_spark.ops.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1, "A"), (2, "B"), (3, "C")], "k long, v string")
+    new = spark.createDataFrame([(2, "B"), (3, "X"), (4, "D")], "k long, v string")
+    feed = {(r["op"], r["k"], r["v"]) for r in
+            snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert feed == {("delete", 1, None), ("update", 3, "X"), ("insert", 4, "D")}
