@@ -3169,8 +3169,8 @@ QUERIES = {n: QUERIES[n] for n in _R4_FRONT} | {
 # 38 must-verify queries past the driver's 50-entry cutoff; they get their
 # driver-gate turn in the next rotation.
 # ROUND-5 NOTE: rotate positions 87+ (q2_min_cost_supplier ..
-# sketch_quantile_histogram, the 35 r4 additions) to the FRONT next round
-# — they are green in CORRECTNESS_LOCAL.json but not yet driver-verified.
+# cdc_snapshot_diff, the 37 r4 additions) to the FRONT next round —
+# they are green in CORRECTNESS_LOCAL.json but not yet driver-verified.
 from aos_spark.queries_r4 import R4_ORACLES, R4_QUERIES  # noqa: E402
 from aos_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
