@@ -80,6 +80,9 @@ def main() -> None:
             }
         )
     )
+    # compact separators + 2-decimal warm timings: the driver records only
+    # the last ~4 KB of stdout, and at 124 queries the default-formatted
+    # line was ~3.7 KB — keep growth headroom so the headline always fits.
     print(
         json.dumps(
             {
@@ -90,8 +93,9 @@ def main() -> None:
                 "sf": sf,
                 "mode": "steady_state",
                 "cold_value": _total(cold),
-                "queries": warm,
-            }
+                "queries": {k: round(v, 2) for k, v in warm.items()},
+            },
+            separators=(",", ":"),
         )
     )
 
