@@ -1,6 +1,19 @@
-"""Round-4 LLM-pipeline additions: composite corpus filtering, vocabulary
-construction, and distributed k-means — the curation steps between raw
-crawl and training shards that the dedup/similarity/packing tiers assume.
+"""Round-4 additions beyond the TPC-H sweep (queries_tpch.py), spanning
+four families:
+
+- **LLM curation**: composite corpus filter, vocabulary build/encode,
+  distributed k-means, weighted/k-fold sampling, end-to-end dedup
+  resolution — the steps between raw crawl and training shards.
+- **Warehouse maintenance**: SCD2 history, CDC snapshot diff,
+  incremental aggregate states, expectation suite, table reconciliation.
+- **Analytics**: funnel, cohort retention, z-score outliers, triangle
+  counting, sequence gaps, RANGE-frame windows, ROLLUP hierarchy,
+  EXCEPT ALL, JSON schema-on-read.
+- **Sketches**: grouped/mergeable HLL, histogram quantile sketch.
+
+Every query pairs with a DuckDB oracle below; determinism follows the
+repo-wide contract (decimal accumulation, hash-derived randomness,
+IEEE-stable single divisions).
 """
 
 from __future__ import annotations
