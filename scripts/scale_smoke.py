@@ -1,0 +1,108 @@
+"""Scale smoke: run core operators on synthetic frames 100-800x the sf0.1
+gate data (spark.range-generated, no testdata writes) and print wall
+times. This is the evidence behind PLANS.md's "survives 100x" claims —
+not a correctness gate (the oracle covers that at sf0.01) but a
+does-the-shape-hold check: linear operators should scale ~linearly, and
+nothing should OOM or collapse onto one task.
+
+Usage: python scripts/scale_smoke.py [rows_millions]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from aos_spark.session import get_spark
+
+
+def timed(name, df, results):
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    results[name] = round(time.time() - t0, 2)
+    print(f"{name}: {results[name]}s", file=sys.stderr)
+
+
+def main() -> None:
+    m = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    n = int(m * 1_000_000)
+    spark = get_spark("scale-smoke")
+    results: dict[str, float] = {}
+
+    # 1. sessionize: n events, 100k users (~200 events/user)
+    ev = spark.range(n).select(
+        (F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 37 % 5_000_000)
+        ).alias("ts"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    from aos_spark.ops.windows import sessionize
+
+    timed("sessionize_20x_users", sessionize(ev, ["user_id"], "ts", 1800, "value"), results)
+
+    # 2. as-of join: n left rows against n/10 right rows, same key space
+    from aos_spark.ops.asof import asof_join
+
+    left = ev.select("user_id", "ts").withColumn("event_id", F.monotonically_increasing_id())
+    right = spark.range(n // 10).select(
+        (F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 370 % 5_000_000)
+        ).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    timed(
+        "asof_join",
+        asof_join(left, right, on="ts", by=["user_id"], value_cols=["value"]),
+        results,
+    )
+
+    # 3. salted distinct under heavy skew: 90% of rows share ONE key
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("k"),
+        (F.col("id") % 1_000_003).alias("v"),
+    )
+    from aos_spark.ops.skew import salted_distinct_count
+
+    timed("salted_distinct_skew90", salted_distinct_count(skewed, "k", "v"), results)
+
+    # 4. exact dedup at n docs (hash groupBy)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text body "), (F.col("id") % (n // 4)).cast("string")).alias(
+            "text"
+        ),
+    )
+    from aos_spark.llm.dedup import exact_dedup
+
+    timed("exact_dedup_4x_dups", exact_dedup(docs), results)
+
+    # 5. incremental agg state build + merge at n rows
+    from aos_spark.ops import incremental as I
+
+    half1 = ev.filter(F.col("user_id") % 2 == 0)
+    half2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = I.finalize(
+        I.merge_states(
+            I.agg_state(half1, ["user_id"], "value"),
+            I.agg_state(half2, ["user_id"], "value"),
+            ["user_id"],
+        ),
+        ["user_id"],
+    )
+    timed("incremental_state_merge", merged, results)
+
+    print(json.dumps({"rows": n, "timings": results}))
+
+
+if __name__ == "__main__":
+    main()
