@@ -101,6 +101,56 @@ def main() -> None:
     )
     timed("incremental_state_merge", merged, results)
 
+    # 6. funnel window-chain: n events, 100k users
+    from pyspark.sql import Window
+
+    fe = ev.withColumn(
+        "event_type",
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("other")),
+            ((F.col("user_id") + F.col("value").cast("long")) % 4 + 1).cast("int"),
+        ),
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w)
+    fe2 = fe.withColumn("__s1", s1)
+    s2 = F.max(
+        F.when((F.col("event_type") == "click") & (F.col("__s1") == 1), 1).otherwise(0)
+    ).over(w)
+    funnel = (
+        fe2.withColumn("__s2", s2)
+        .groupBy("user_id")
+        .agg(F.max("__s1").alias("u1"), F.max("__s2").alias("u2"))
+        .agg(F.sum("u1").alias("a"), F.sum("u2").alias("b"))
+    )
+    timed("funnel_window_chain", funnel, results)
+
+    # 7. MinHash LSH dedup at n/20 synthetic docs (~1M at the 20M setting):
+    # 25-word hash-derived docs; every 10th doc is a near-dup of a base doc
+    # (one word changed), so the banded join has real candidates to verify.
+    n_docs = n // 20
+    base_id = F.when(F.col("id") % 10 == 0, F.col("id") - (F.col("id") % 100)).otherwise(
+        F.col("id")
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(24)),
+        lambda i: F.substring(F.md5(F.concat(base_id.cast("string"), i.cast("string"))), 1, 6),
+    )
+    tail = F.when(F.col("id") % 10 == 0, F.substring(F.md5(F.col("id").cast("string")), 1, 6)).otherwise(
+        F.lit("common")
+    )
+    docs_lsh = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.concat(words, F.array(tail))).alias("text"),
+    )
+    from aos_spark.llm.dedup import minhash_lsh_pairs
+
+    timed("minhash_lsh_1m_docs", minhash_lsh_pairs(docs_lsh), results)
+
     print(json.dumps({"rows": n, "timings": results}))
 
 
