@@ -2655,7 +2655,9 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         b.alias("x")
-        .join(b.alias("y"), ["lang", "lb"])
+        # merge hint: same corpus-sized-self-join discipline as the dedup
+        # tier (llm/dedup.py) — the block frame must never be broadcast
+        .join(b.alias("y").hint("merge"), ["lang", "lb"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
     )
     return (
