@@ -151,6 +151,34 @@ def main() -> None:
 
     timed("minhash_lsh_1m_docs", minhash_lsh_pairs(docs_lsh), results)
 
+    # 8. bucketized range join: n points against n/10 intervals
+    from aos_spark.ops.intervals import bucketized_range_join
+
+    pts = spark.range(n).select((F.col("id") % 10_000_000).cast("double").alias("v"))
+    ivs = spark.range(n // 10).select(
+        (F.col("id") % 10_000_000).cast("double").alias("lo"),
+        ((F.col("id") % 10_000_000) + 50.0).alias("hi"),
+        F.col("id").alias("interval_id"),
+    )
+    timed(
+        "range_join_2m_intervals",
+        bucketized_range_join(pts, ivs, "v", "lo", "hi", bucket_width=64.0)
+        .groupBy()
+        .count(),
+        results,
+    )
+
+    # 9. cohort retention shape: first-touch agg + user-keyed join at n rows
+    evd = ev.select("user_id", F.to_date("ts").alias("d"))
+    first = evd.groupBy("user_id").agg(F.min("d").alias("c"))
+    cohort = (
+        evd.distinct()
+        .join(first, "user_id")
+        .groupBy("c", F.datediff("d", "c").alias("ds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    timed("cohort_retention", cohort, results)
+
     print(json.dumps({"rows": n, "timings": results}))
 
 
