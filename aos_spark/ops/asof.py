@@ -1,20 +1,23 @@
-"""As-of join — match each left row to the most recent right row at or
-before its timestamp, per key. Spark has no native ASOF JOIN; the naive
-range-join formulation (l JOIN r ON key AND r.ts <= l.ts, then argmax)
-explodes quadratically per key. The scalable formulation used here is the
-union-and-carry pattern:
+"""As-of join — match each left row to the nearest right row per key, in
+any of the three pandas/DuckDB directions. Spark has no native ASOF JOIN;
+the naive range-join formulation (l JOIN r ON key AND r.ts <= l.ts, then
+argmax) explodes quadratically per key. The scalable formulation used
+here is the union-and-carry pattern:
 
 1. union both sides with a side tag (right rows carry the value columns,
    left rows carry NULLs),
 2. one window per key ordered by (ts, side) — right-before-left on ties,
    so the match is INCLUSIVE of equal timestamps,
-3. `last(value, True)` over unbounded-preceding carries the
-   latest right value forward onto each left row.
+3. `last(value, True)` over unbounded-preceding carries the latest right
+   value forward onto each left row. ``forward`` is the same carry over
+   the DESC ordering; ``nearest`` runs both carries over the SAME
+   partitioning (one shuffle, two window passes) and picks the closer
+   match per row (ties → backward, the pandas default).
 
-Cost: ONE hash shuffle on the key (the window's partitionBy) over
+Cost: ONE hash shuffle on the key (the windows share partitionBy) over
 |L| + |R| rows — linear, no per-key blowup, skew bounded by the busiest
-key's own rows. An optional tolerance nulls matches older than the
-horizon, mirroring pandas merge_asof / DuckDB ASOF semantics.
+key's own rows. An optional tolerance nulls matches outside the horizon,
+mirroring pandas merge_asof / DuckDB ASOF semantics.
 """
 
 from __future__ import annotations
@@ -31,15 +34,21 @@ def asof_join(
     by: list[str] | None = None,
     value_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (most-recent-at-or-before) as-of join of ``right`` onto
-    ``left``. ``right`` must have one row per (by, on) — pre-aggregate ties
-    upstream; the output keeps every left row and column plus the matched
-    ``value_cols`` (NULL when no right row precedes)."""
+    """As-of join of ``right`` onto ``left``: ``backward`` (most recent
+    at-or-before, the default), ``forward`` (earliest at-or-after), or
+    ``nearest`` (closer of the two, ties backward). ``right`` must have
+    one row per (by, on) — pre-aggregate ties upstream; the output keeps
+    every left row and column plus the matched ``value_cols`` (NULL when
+    nothing matches) and ``asof_ts`` (the matched right timestamp)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction: {direction!r}")
     if by is None:
         by = ["user_id"]
     if value_cols is None:
         value_cols = ["value"]
+
     l_tag = left.withColumn("__side", F.lit(1))
     for c in value_cols:
         l_tag = l_tag.withColumn(f"__v_{c}", F.lit(None).cast(right.schema[c].dataType))
@@ -52,38 +61,77 @@ def asof_join(
         F.col(on).alias("__r_ts"),
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
+
+    # both windows share partitionBy(by) → ONE exchange feeds every pass
+    w_back = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on), F.col("__side"))
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = merged.select(
-        "*",
-        *[F.last(f"__v_{c}", True).over(w).alias(f"__m_{c}") for c in value_cols],
-        F.last("__r_ts", True).over(w).alias("__m_ts"),
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    tags = {"backward": w_back} if direction == "backward" else (
+        {"forward": w_fwd} if direction == "forward" else
+        {"backward": w_back, "forward": w_fwd}
+    )
+    carried = merged
+    for tag, w in tags.items():
+        for c in value_cols:
+            carried = carried.withColumn(
+                f"__m_{tag}_{c}", F.last(f"__v_{c}", True).over(w)
+            )
+        carried = carried.withColumn(f"__mts_{tag}", F.last("__r_ts", True).over(w))
     out = carried.filter(F.col("__side") == 1)
+
+    # unix_timestamp for timestamp-typed `on` (handles TIMESTAMP_NTZ,
+    # which refuses a direct long cast); plain cast for numeric `on`.
+    is_ts = isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType))
+    to_epoch = (lambda c: F.unix_timestamp(c)) if is_ts else (lambda c: c.cast("long"))
+
+    def delta(tag: str) -> Column:
+        d = to_epoch(F.col(f"__mts_{tag}")) - to_epoch(F.col(on))
+        return -d if tag == "backward" else d  # nonnegative when matched
+
+    if direction == "nearest":
+        has_b = F.col("__mts_backward").isNotNull()
+        has_f = F.col("__mts_forward").isNotNull()
+        use_b = has_b & (~has_f | (delta("backward") <= delta("forward")))
+        for c in value_cols:
+            out = out.withColumn(
+                f"__m_{c}",
+                F.when(use_b, F.col(f"__m_backward_{c}")).otherwise(
+                    F.col(f"__m_forward_{c}")
+                ),
+            )
+        out = out.withColumn(
+            "__mts",
+            F.when(use_b, F.col("__mts_backward")).otherwise(F.col("__mts_forward")),
+        )
+        chosen_delta = F.when(use_b, delta("backward")).otherwise(delta("forward"))
+    else:
+        tag = direction
+        for c in value_cols:
+            out = out.withColumn(f"__m_{c}", F.col(f"__m_{tag}_{c}"))
+        out = out.withColumn("__mts", F.col(f"__mts_{tag}"))
+        chosen_delta = delta(tag)
+
     within: Column = F.lit(True)
     if tolerance_seconds is not None:
-        # unix_timestamp for timestamp-typed `on` (handles TIMESTAMP_NTZ,
-        # which refuses a direct long cast); plain cast for numeric `on`.
-        is_ts = isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType))
-        to_epoch = (
-            (lambda c: F.unix_timestamp(c)) if is_ts else (lambda c: c.cast("long"))
-        )
-        within = (
-            to_epoch(F.col(on)) - to_epoch(F.col("__m_ts"))
-        ) <= tolerance_seconds
+        within = chosen_delta <= tolerance_seconds
     for c in value_cols:
         out = out.withColumn(
             c if c not in left.columns else f"{c}_asof",
             F.when(within, F.col(f"__m_{c}")),
         )
-    matched_ts = F.when(within, F.col("__m_ts"))
-    out = out.withColumn("asof_ts", matched_ts)
+    out = out.withColumn("asof_ts", F.when(within, F.col("__mts")))
     drop = (
-        ["__side", "__r_ts", "__m_ts"]
+        ["__side", "__r_ts", "__mts"]
         + [f"__v_{c}" for c in value_cols]
         + [f"__m_{c}" for c in value_cols]
+        + [f"__m_{t}_{c}" for t in tags for c in value_cols]
+        + [f"__mts_{t}" for t in tags]
     )
     return out.drop(*drop)

@@ -20,6 +20,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (half-open [start, end) semantics):
+    both sides explode to their bucket spans, equi-join on the bucket,
+    apply the exact overlap predicate, and DEDUPLICATE pairs that co-occur
+    in several buckets by keeping only the bucket containing the overlap's
+    start — a pure filter, no distinct shuffle. Cost: hash join keyed by
+    bucket, shuffle ∝ Σ spans/width on each side."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = float(bucket_width)
+
+    def spanned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / w).cast("long"),
+                    F.floor(F.col(end) / w).cast("long"),
+                )
+            ),
+        )
+    ea = spanned(a, a_start, a_end).alias("a")
+    eb = spanned(b, b_start, b_end).alias("b")
+    overlap_start = F.greatest(F.col(f"a.{a_start}"), F.col(f"b.{b_start}"))
+    return (
+        ea.join(eb, F.col("a.__bucket") == F.col("b.__bucket"))
+        .filter(
+            (F.col(f"a.{a_start}") < F.col(f"b.{b_end}"))
+            & (F.col(f"b.{b_start}") < F.col(f"a.{a_end}"))
+        )
+        # emit each overlapping pair from exactly ONE bucket
+        .filter(F.floor(overlap_start / w).cast("long") == F.col("a.__bucket"))
+        .drop("__bucket")
+    )
+
+
 def bucketized_range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -61,3 +61,53 @@ def test_asof_tolerance(spark):
 def test_asof_keeps_all_left_rows(spark):
     left, right = _frames(spark)
     assert asof_join(left, right, value_cols=["signal"]).count() == left.count()
+
+
+def test_asof_forward_direction(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: (r["signal"], r["asof_ts"])
+        for r in asof_join(
+            left, right, value_cols=["signal"], direction="forward"
+        ).collect()
+    }
+    assert out[1][0] == 1.0  # equal timestamp still matches (inclusive)
+    assert out[2] == (None, None)  # nothing at-or-after 12:00
+    assert out[3][0] == 1.0  # earliest future right row (10:00)
+    assert out[4] == (None, None)  # user 200 has no future row
+
+
+def test_asof_nearest_prefers_closer_and_ties_backward(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r["signal"]
+        for r in asof_join(
+            left, right, value_cols=["signal"], direction="nearest"
+        ).collect()
+    }
+    assert out[1] == 1.0   # exact tie on the same timestamp
+    assert out[2] == 2.0   # only a past row exists
+    assert out[3] == 1.0   # only a future row exists → forward fills
+    assert out[4] == 9.0   # only a past row exists
+    # a row exactly between two right rows must tie BACKWARD
+    mid_left = spark.createDataFrame(
+        [(9, 100, _ts("2024-01-01 10:30:00"))], ["event_id", "user_id", "ts"]
+    )
+    _, right2 = _frames(spark)
+    got = asof_join(
+        mid_left, right2, value_cols=["signal"], direction="nearest"
+    ).collect()[0]
+    assert got["signal"] == 1.0  # 30 min back vs 30 min forward → backward
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r["signal"]
+        for r in asof_join(
+            left, right, value_cols=["signal"], direction="forward",
+            tolerance_seconds=1800,
+        ).collect()
+    }
+    assert out[3] is None  # 09:00 → 10:00 is 1 h, outside the 30 min horizon
+    assert out[1] == 1.0

@@ -50,3 +50,56 @@ def test_range_join_validates_width(spark):
     points, intervals = _frames(spark)
     with pytest.raises(ValueError, match="positive"):
         bucketized_range_join(points, intervals, "value", "lo", "hi", 0.0)
+
+
+def test_interval_overlap_join_exact_and_dedup(spark):
+    """Overlap semantics are half-open and each overlapping pair appears
+    exactly ONCE even when it spans many shared buckets."""
+    from aos_spark.ops.intervals import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 200.0, 210.0), (3, 500.0, 501.0)],
+        ["a_id", "s", "e"],
+    )
+    b = spark.createDataFrame(
+        [(10, 50.0, 150.0),   # overlaps a1 across many 16-wide buckets
+         (20, 100.0, 120.0),  # touches a1 only at the boundary: NO overlap
+         (30, 205.0, 206.0),  # inside a2
+         (40, 600.0, 700.0)],
+        ["b_id", "s2", "e2"],
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(a, b, "s", "e", "s2", "e2", 16.0).collect()
+    )
+    assert got == [(1, 10), (2, 30)]
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketized result must equal the naive cross-filter on random-ish
+    deterministic intervals, for an awkward bucket width."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.ops.intervals import interval_overlap_join
+
+    a = spark.range(200).select(
+        F.col("id").alias("a_id"),
+        (F.col("id") * 7 % 500).cast("double").alias("s"),
+        ((F.col("id") * 7 % 500) + (F.col("id") % 40) + 1).cast("double").alias("e"),
+    )
+    b = spark.range(150).select(
+        F.col("id").alias("b_id"),
+        (F.col("id") * 11 % 480).cast("double").alias("s2"),
+        ((F.col("id") * 11 % 480) + (F.col("id") % 25) + 1).cast("double").alias("e2"),
+    )
+    fast = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(a, b, "s", "e", "s2", "e2", 13.0).collect()
+    }
+    naive = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter((F.col("s") < F.col("e2")) & (F.col("s2") < F.col("e")))
+        .collect()
+    }
+    assert fast == naive
