@@ -28,16 +28,20 @@ def interval_overlap_join(
     b_start: str,
     b_end: str,
     bucket_width: float,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Interval × interval OVERLAP join (half-open [start, end) semantics):
-    both sides explode to their bucket spans, equi-join on the bucket,
+    both sides explode to their bucket spans, equi-join on (by..., bucket),
     apply the exact overlap predicate, and DEDUPLICATE pairs that co-occur
     in several buckets by keeping only the bucket containing the overlap's
-    start — a pure filter, no distinct shuffle. Cost: hash join keyed by
-    bucket, shuffle ∝ Σ spans/width on each side."""
+    start — a pure filter, no distinct shuffle. ``by`` adds equality keys
+    (overlaps within a customer/session/machine) to the join, tightening
+    both the shuffle key and the candidate set. Cost: hash join keyed by
+    (by, bucket), shuffle ∝ Σ spans/width on each side."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     w = float(bucket_width)
+    by = by or []
 
     def spanned(df: DataFrame, start: str, end: str) -> DataFrame:
         return df.withColumn(
@@ -51,9 +55,12 @@ def interval_overlap_join(
         )
     ea = spanned(a, a_start, a_end).alias("a")
     eb = spanned(b, b_start, b_end).alias("b")
+    cond = F.col("a.__bucket") == F.col("b.__bucket")
+    for k in by:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     overlap_start = F.greatest(F.col(f"a.{a_start}"), F.col(f"b.{b_start}"))
     return (
-        ea.join(eb, F.col("a.__bucket") == F.col("b.__bucket"))
+        ea.join(eb, cond)
         .filter(
             (F.col(f"a.{a_start}") < F.col(f"b.{b_end}"))
             & (F.col(f"b.{b_start}") < F.col(f"a.{a_end}"))

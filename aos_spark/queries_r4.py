@@ -933,6 +933,46 @@ FROM feed WHERE op IS NOT NULL GROUP BY op
 """
 
 
+def q_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-customer order pairs whose 7-day windows overlap
+    (ops/intervals.interval_overlap_join keyed by custkey): the join
+    shuffles on (customer, time-bucket) — never a per-customer cross
+    product — and multi-bucket pairs dedup by a pure filter."""
+    from pyspark.sql import functions as F
+
+    from aos_spark.ops.intervals import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("double")
+        .alias("d0"),
+    ).withColumn("d1", F.col("d0") + 7.0)
+    pairs = interval_overlap_join(
+        o, o, "d0", "d1", "d0", "d1", bucket_width=8.0, by=["o_custkey"]
+    )
+    return (
+        pairs.filter(F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+    )
+
+
+ORACLE_OVERLAP_WINDOWS = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS DOUBLE) AS d0,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS DOUBLE) + 7.0 AS d1
+  FROM orders)
+SELECT a.o_custkey, COUNT(*) AS n_overlapping_pairs
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.d0 < b.d1 AND b.d0 < a.d1
+GROUP BY a.o_custkey
+"""
+
+
 R4_QUERIES = {
     "corpus_quality_filter": q_corpus_quality_filter,
     "vocab_min_df": q_vocab_min_df,
@@ -958,6 +998,7 @@ R4_QUERIES = {
     "sketch_quantile_histogram": q_quantile_sketch,
     "range_frame_window_spend": q_range_frame_spend,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "overlapping_order_windows": q_overlapping_order_windows,
 }
 
 R4_ORACLES = {
@@ -985,4 +1026,5 @@ R4_ORACLES = {
     "sketch_quantile_histogram": _quantile_sketch_oracle(),
     "range_frame_window_spend": ORACLE_RANGE_FRAME,
     "cdc_snapshot_diff": ORACLE_CDC,
+    "overlapping_order_windows": ORACLE_OVERLAP_WINDOWS,
 }

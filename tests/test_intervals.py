@@ -103,3 +103,18 @@ def test_interval_overlap_join_matches_naive(spark):
         .collect()
     }
     assert fast == naive
+
+
+def test_interval_overlap_join_keyed(spark):
+    """With a key, overlaps only pair within the same key group."""
+    from aos_spark.ops.intervals import interval_overlap_join
+
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame(
+        [(1, "u1", 0.0, 10.0), (2, "u2", 0.0, 10.0)], ["rid", "u", "s", "e"]
+    )
+    rows = interval_overlap_join(a, a, "s", "e", "s", "e", 4.0, by=["u"])
+    # each row overlaps itself within its key; never across keys
+    assert rows.count() == 2
+    assert rows.filter(F.col("a.u") == F.col("b.u")).count() == 2
