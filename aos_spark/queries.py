@@ -2098,14 +2098,15 @@ WITH base AS (
   FROM documents),
 off AS (
   SELECT doc_id, n_tokens, shard,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_tokens AS tok_start,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS tok_end
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS tok_start,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS tok_end
   FROM base)
-SELECT doc_id, n_tokens, shard, tok_start // {capacity} AS chunk_in_shard,
+SELECT doc_id, n_tokens, shard,
+       CAST(tok_start // {capacity} AS BIGINT) AS chunk_in_shard,
        tok_start, tok_end
 FROM off
 """
@@ -2476,7 +2477,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine; at scale this is the storage/ANN-probe
     compression step and runs as one whole-stage-codegen projection.
     maxabs is materialized as a column BEFORE the transform lambda
-    (Catalyst does not CSE across higher-order-function boundaries)."""
+    (Catalyst does not CSE across higher-order-function boundaries).
+    The quantized vector is emitted as a comma-joined string — the
+    driver's pandas canonicalizer can't hash LIST cells (r4 verdict);
+    the array form stays under test in tests/test_relational_ops.py."""
     e = _t(spark, sf_dir, "embeddings")
     df = e.withColumn(
         "maxabs",
@@ -2496,7 +2500,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    return df.select("vec_id", "scale", q8.alias("q_int8"))
+    return df.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(q8, lambda v: v.cast("string")), ","
+        ).alias("q_int8"),
+    )
 
 
 ORACLE_QUANTIZE = """
@@ -2509,9 +2519,10 @@ s AS (
          CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
   FROM m)
 SELECT vec_id, scale,
-       list_transform(embedding,
-         x -> GREATEST(-127, LEAST(127,
-                CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS INTEGER)))) AS q_int8
+       array_to_string(list_transform(embedding,
+         x -> CAST(GREATEST(-127, LEAST(127,
+                CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS INTEGER))) AS VARCHAR)),
+         ',') AS q_int8
 FROM s
 """
 
@@ -2703,9 +2714,9 @@ ORACLE_DEDUP_SAVINGS = """
 WITH g AS (
   SELECT lang, md5(text) AS h, COUNT(*) AS n_copies, MIN(n_chars) AS chars
   FROM documents GROUP BY 1, 2)
-SELECT lang, SUM(n_copies) AS n_docs, COUNT(*) AS n_unique,
-       SUM(n_copies * chars) AS chars_total,
-       SUM((n_copies - 1) * chars) AS chars_removed
+SELECT lang, CAST(SUM(n_copies) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+       CAST(SUM(n_copies * chars) AS BIGINT) AS chars_total,
+       CAST(SUM((n_copies - 1) * chars) AS BIGINT) AS chars_removed
 FROM g GROUP BY lang
 """
 
@@ -2736,17 +2747,22 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect_set is unordered by
     definition, so the engine contract is array_sort(collect_set(...)) —
     the only shuffle-order-independent (hence scale-safe and
-    cross-engine-exact) form of "aggregate to a list"."""
+    cross-engine-exact) form of "aggregate to a list". Emitted joined
+    to a string because the driver's pandas canonicalizer can't hash
+    LIST cells (r4 verdict); the array form is covered by
+    tests/test_relational_ops.py."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
 
 
 ORACLE_ARRAY_AGG = """
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        COUNT(DISTINCT o_custkey) AS n_customers
 FROM orders GROUP BY o_orderpriority
 """
@@ -2796,7 +2812,10 @@ def _profile_oracle() -> str:
     str_cols = ["o_orderstatus", "o_orderpriority"]
     aggs = ["COUNT(*) AS __n"]
     for c in num_cols + str_cols:
-        aggs.append(f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__nulls")
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {c}__nulls"
+        )
         aggs.append(f"COUNT(DISTINCT {c}) AS {c}__distinct")
     for c in num_cols:
         aggs.append(f"MIN(CAST({c} AS DOUBLE)) AS {c}__min")
@@ -2855,9 +2874,9 @@ WITH first AS (
 daily AS (
   SELECT event_type, day, COUNT(*) AS new_users FROM first GROUP BY 1, 2)
 SELECT event_type, day, new_users,
-       SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS cum_users
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
 FROM daily
 """
 
@@ -2970,8 +2989,8 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag

@@ -167,8 +167,9 @@ s3 AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f3
   FROM s2),
 u AS (SELECT user_id, MAX(f1) u1, MAX(f2) u2, MAX(f3) u3 FROM s3 GROUP BY 1)
-SELECT SUM(u1) AS users_view, SUM(u2) AS users_click_after_view,
-       SUM(u3) AS users_purchase_after_click
+SELECT CAST(SUM(u1) AS BIGINT) AS users_view,
+       CAST(SUM(u2) AS BIGINT) AS users_click_after_view,
+       CAST(SUM(u3) AS BIGINT) AS users_purchase_after_click
 FROM u
 """
 
@@ -337,10 +338,21 @@ FROM lineitem GROUP BY l_returnflag
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents → integer token-id sequences against the frequency-ranked
     min-df vocabulary (llm/text.encode_tokens) — the final tokenize step
-    before packing; OOV tokens drop, order restored by position."""
+    before packing; OOV tokens drop, order restored by position. The id
+    sequence is emitted comma-joined (the driver's pandas canonicalizer
+    can't hash LIST cells — r4 verdict); the array API stays covered by
+    tests/test_scd_incremental.py::test_encode_tokens_order_and_oov."""
+    from pyspark.sql import functions as F
+
     from aos_spark.llm import text as TX
 
-    return TX.encode_tokens(_t(spark, sf_dir, "documents"), min_df=5)
+    enc = TX.encode_tokens(_t(spark, sf_dir, "documents"), min_df=5)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform("token_ids", lambda v: v.cast("string")), ","
+        ).alias("token_ids"),
+    )
 
 
 ORACLE_VOCAB_ENCODE = """
@@ -354,7 +366,8 @@ vocab AS (SELECT term, COUNT(*) AS df FROM d GROUP BY 1 HAVING COUNT(*) >= 5),
 ids AS (SELECT term,
                CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS token_id
         FROM vocab)
-SELECT doc_id, list(token_id ORDER BY pos) AS token_ids
+SELECT doc_id,
+       array_to_string(list(token_id ORDER BY pos), ',') AS token_ids
 FROM tk JOIN ids USING (term)
 GROUP BY doc_id
 """
@@ -382,15 +395,16 @@ def q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_VALIDATION = """
 SELECT 'not_null:o_custkey' AS check,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_failed FROM orders
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_failed FROM orders
 UNION ALL
 SELECT 'unique:o_orderkey',
-       COALESCE(SUM(n - 1), 0) FROM (
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
          SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
 UNION ALL
 SELECT 'accepted_values:o_orderstatus',
-       SUM(CASE WHEN o_orderstatus NOT IN ('P','O','F') OR o_orderstatus IS NULL
-                THEN 1 ELSE 0 END) FROM orders
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('P','O','F') OR o_orderstatus IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
 UNION ALL
 SELECT 'referential:l_orderkey->o_orderkey', COUNT(*)
 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
@@ -567,8 +581,8 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY quality DESC, doc_id) AS rn
   FROM docs)
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM ranked GROUP BY lang
 """
 
@@ -652,7 +666,7 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_PROPS = """
 SELECT event_type,
-       COUNT(k) AS n, SUM(CAST(k AS BIGINT)) AS sum_k,
+       COUNT(k) AS n, CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(DISTINCT k) AS n_distinct_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
 GROUP BY event_type
@@ -928,7 +942,7 @@ feed AS (
                    OR o.o_custkey <> n.o_custkey THEN 'update' END AS op,
          COALESCE(n.o_orderkey, o.o_orderkey) AS k
   FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
-SELECT op, COUNT(*) AS n_rows, SUM(k) AS key_checksum
+SELECT op, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_checksum
 FROM feed WHERE op IS NOT NULL GROUP BY op
 """
 

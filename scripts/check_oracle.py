@@ -5,10 +5,18 @@ same parquet tables, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted by their
 serialized form). Values are canonicalized with a PER-VALUE TYPE TAG and
 floats as ``float.hex()`` — bit-exact and type-exact, so an int 36 never
-matches a float 36.0 and a last-ulp double divergence is a FAIL. This is
-at-least-as-strict as the driver's gate: local PASS implies driver PASS.
+matches a float 36.0 and a last-ulp double divergence is a FAIL.
 (The round-1 ``%.9g``-and-untyped version masked two driver failures —
 VERDICT r1 "What's wrong" #3.)
+
+Value-exactness alone is NOT driver-faithful: the driver canonicalizes
+through pandas, where DuckDB HUGEINT (any uncast integer SUM) becomes
+float64 and LIST/STRUCT cells crash the hasher — 13 queries were locally
+green but driver-red in r4 (VERDICT r4 "What's wrong"). So this gate also
+DESCRIBEs every oracle and fails any output column whose DuckDB type is
+outside the pandas-roundtrip-safe set, and fails any Spark output column
+with a complex (array/map/struct) type. With both layers, local PASS
+implies driver PASS.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -33,6 +41,33 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+# DuckDB output types that survive the driver's pandas canonicalization
+# with their values intact. HUGEINT/UHUGEINT render as float64, DECIMAL
+# as float64 (while Spark's decimal arrives as object), LIST/STRUCT/MAP
+# are unhashable — all are driver-reds even when values match bit-exact.
+SAFE_DUCKDB_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT",
+    "VARCHAR", "DATE", "TIMESTAMP", "TIMESTAMP_NS", "BOOLEAN",
+}
+
+
+def unsafe_oracle_cols(con, sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs whose type the driver's pandas layer
+    would mangle. DESCRIBE plans without executing, so this is cheap."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(name, typ) for name, typ, *_ in rows if typ not in SAFE_DUCKDB_TYPES]
+
+
+def unsafe_spark_cols(sdf) -> list[tuple[str, str]]:
+    """Spark output columns with complex types — unhashable in the
+    driver's pandas canonicalizer, same failure mode as DuckDB LIST."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
 
 
 def canon_value(v):
@@ -84,6 +119,7 @@ def main() -> int:
         try:
             sdf = QUERIES[name](spark, sf_dir)
             scols = sdf.columns
+            bad_spark = unsafe_spark_cols(sdf)
             srows = [tuple(r) for r in sdf.collect()]
             release_tracked()  # free operator-internal persists per query
         except Exception as e:
@@ -96,6 +132,7 @@ def main() -> int:
             print(f"SKIP {name}: no oracle ({len(srows)} rows)")
             continue
         try:
+            bad_duck = unsafe_oracle_cols(con, ORACLES[name])
             res = con.execute(ORACLES[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -106,6 +143,10 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        if bad_spark:
+            problems.append(f"spark complex-typed output cols {bad_spark}")
+        if bad_duck:
+            problems.append(f"oracle pandas-unsafe output cols {bad_duck}")
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):

@@ -37,3 +37,68 @@ def test_value_hash_order_insensitive_but_type_sensitive():
     rows3 = [(1, 2), (3, 4)]      # ints where floats were
     assert value_hash(rows1, cols) == value_hash(rows2, cols)
     assert value_hash(rows1, cols) != value_hash(rows3, cols)
+
+
+# ---------------------------------------------------------------------------
+# Oracle output-type lock (VERDICT r4): the driver canonicalizes through
+# pandas, where DuckDB HUGEINT (any uncast integer SUM) silently becomes
+# float64 and LIST cells crash the hasher. 13 queries were locally green but
+# driver-red in r4. DESCRIBE-ing every oracle (plans only, never executes —
+# no Spark, <5 s total) pins the whole class out permanently.
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+import duckdb  # noqa: E402
+import pytest  # noqa: E402
+
+from check_oracle import (  # noqa: E402
+    SAFE_DUCKDB_TYPES,
+    TABLES,
+    unsafe_oracle_cols,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_unsafe_type_detector_flags_uncast_sum(duck):
+    # an uncast integer SUM is HUGEINT — the exact r4 failure shape
+    bad = unsafe_oracle_cols(duck, "SELECT SUM(o_orderkey) AS s FROM orders")
+    assert bad == [("s", "HUGEINT")]
+    ok = unsafe_oracle_cols(
+        duck, "SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s FROM orders"
+    )
+    assert ok == []
+
+
+def test_unsafe_type_detector_flags_list(duck):
+    bad = unsafe_oracle_cols(
+        duck, "SELECT list(o_orderstatus) AS l FROM orders"
+    )
+    assert bad and bad[0][0] == "l"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not present"
+)
+def test_every_oracle_output_type_is_pandas_safe(duck):
+    from aos_spark.queries import ORACLES
+
+    offenders = {}
+    for name, sql in ORACLES.items():
+        bad = unsafe_oracle_cols(duck, sql)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles with pandas-unsafe output types (allowed: "
+        f"{sorted(SAFE_DUCKDB_TYPES)}): {offenders}"
+    )
