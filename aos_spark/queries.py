@@ -3172,31 +3172,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_13gram": q_decontamination_13gram,
 }
 
-# Round-4 gate rotation: the driver's correctness gate truncates at 50
-# entries, so rounds 1-3 never driver-verified the declared tail
-# (sample_split_stats .. decontamination_13gram, 37 queries), and
-# sessionize_events needs a fresh green row after the TIMESTAMP_NTZ fix.
-# Front-load both so every query has at least one driver-green row across
-# the r3+r4 artifacts (VERDICT r3 "Next round" #4). Queries/oracles are
-# unchanged — only dict iteration order moves.
-_R4_FRONT = list(QUERIES)[list(QUERIES).index("sample_split_stats"):] + [
-    "sessionize_events"
-]
-QUERIES = {n: QUERIES[n] for n in _R4_FRONT} | {
-    n: f for n, f in QUERIES.items() if n not in set(_R4_FRONT)
-}
-
-# Round-4 additions register AFTER the rotation so they cannot push the
-# 38 must-verify queries past the driver's 50-entry cutoff; they get their
-# driver-gate turn in the next rotation.
-# ROUND-5 NOTE: rotate positions 87+ (q2_min_cost_supplier ..
-# cdc_snapshot_diff, the 37 r4 additions) to the FRONT next round —
-# they are green in CORRECTNESS_LOCAL.json but not yet driver-verified.
 from aos_spark.queries_r4 import R4_ORACLES, R4_QUERIES  # noqa: E402
 from aos_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
 QUERIES.update(R4_QUERIES)
+
+# Round-5 gate rotation (VERDICT r4 "Next round" #3): the driver's
+# correctness gate samples the FIRST 50 entries, so iteration order decides
+# what gets driver-verified each round. Front-load the 45 queries without a
+# driver-green row across the r1-r4 artifacts: the 38 never-sampled r4
+# additions (TPC-H tail + cohort/scd2/reconcile/sketch/graph families) and
+# the 7 r4 hash-reds whose oracle typing was fixed this round (plus their
+# 6 latent siblings, all in the never-sampled set). Queries and oracles are
+# unchanged — only dict iteration order moves. Rotation history: r4
+# front-loaded sample_split_stats..decontamination_13gram + sessionize;
+# r1-r3 ran declaration order.
+_R5_FRONT = [
+    # r4 sampled-red, oracle typing fixed this round — need fresh green rows
+    "pack_context_chunks", "embedding_quantize", "dedup_storage_savings",
+    "array_agg_sorted", "profile_columns", "cumulative_distinct_users",
+    "q12_shipmode_priority",
+    # latent siblings of the same defect, never driver-sampled
+    "funnel_conversion", "validation_suite", "dedup_resolution",
+    "json_props_stats", "cdc_snapshot_diff", "vocab_encode_tokens",
+    # never-driver-sampled r4 additions
+    "q2_min_cost_supplier", "q6_discount_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_profit_by_nation", "q11_important_parts",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q19_disjunctive_revenue", "q20_promotion_suppliers",
+    "q21_sole_blocker_suppliers", "q22_idle_customers",
+    "corpus_quality_filter", "vocab_min_df", "kmeans_lloyd_step",
+    "cohort_retention", "sketch_hll_grouped", "scd2_dimension_history",
+    "incremental_agg_merge", "zscore_outliers", "graph_triangle_count",
+    "weighted_sample_stats", "kfold_assignment", "rollup_time_hierarchy",
+    "bag_difference_except_all", "reconcile_tables",
+    "sequence_gap_detection", "sketch_quantile_histogram",
+    "range_frame_window_spend", "overlapping_order_windows",
+]
+assert set(_R5_FRONT) <= set(QUERIES), sorted(set(_R5_FRONT) - set(QUERIES))
+QUERIES = {n: QUERIES[n] for n in _R5_FRONT} | {
+    n: f for n, f in QUERIES.items() if n not in set(_R5_FRONT)
+}
 
 ORACLES: dict[str, str] = {
     "flagship_storm_impact": ORACLE_FLAGSHIP,
