@@ -358,6 +358,52 @@ def bbox_min_gc_distance_m(box1, box2) -> float:
     return EARTH_RADIUS_M * math.acos(_clamp(best, -1.0, 1.0))
 
 
+def _edge_samples(ring):
+    """Vertices + midpoints of every ring edge — the sampling grid the
+    distance approximations share."""
+    m = len(ring)
+    for i in range(m):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % m]
+        yield x1, y1
+        yield (x1 + x2) / 2.0, (y1 + y2) / 2.0
+
+
+def polygon_set_distance_m(polys_a, polys_b) -> float:
+    """Approximate geodesic min distance (meters) between two polygon
+    SETS (multipolygons), 0 when they touch or overlap — the exact-verify
+    kernel behind the ST_DWITHIN-parity pre-filter (reference
+    snowflake_utils.py:597-609 runs true geography ST_DWITHIN; the bbox
+    tier alone over-selects). Overlap is decided exactly (edge
+    intersection covers crossings with no contained vertex; containment
+    via point_polygon_distance_m's inside test); positive distances use
+    vertex+midpoint sampling both ways — well under the 1,500-km decision
+    scale, same tolerance argument as point_polygon_distance_m."""
+    best = float("inf")
+    for pa in polys_a:
+        for pb in polys_b:
+            for ring in pa:
+                m = len(ring)
+                for i in range(m):
+                    if segment_intersects_polygon(ring[i], ring[(i + 1) % m], pb):
+                        return 0.0
+            for ring in pa:
+                for x, y in _edge_samples(ring):
+                    d = point_polygon_distance_m(y, x, pb)
+                    if d < best:
+                        best = d
+                    if best == 0.0:
+                        return 0.0
+            for ring in pb:
+                for x, y in _edge_samples(ring):
+                    d = point_polygon_distance_m(y, x, pa)
+                    if d < best:
+                        best = d
+                    if best == 0.0:
+                        return 0.0
+    return best
+
+
 def point_polygon_distance_m(lat, lon, rings) -> float:
     """Approximate geodesic distance point→polygon boundary (0 if inside).
     Used by the 1,500-km pre-filter (reference main_pipeline.py:176-217) and

@@ -58,15 +58,24 @@ def decode_raster_bytes(
     RASTER_BLOCK_SCHEMA. Prefers rasterio (any GDAL format); falls back to
     the zero-dep baseline-TIFF parser. Blocks are horizontal row bands so
     a huge raster becomes many bounded rows."""
+    # import failure vs decode failure are separate: a payload rasterio
+    # can't open must still reach the zero-dep TIFF parser, not raise a
+    # rasterio error only in GDAL-bearing environments
     try:  # optional fast path — any GDAL-readable raster
-        import rasterio  # type: ignore[import-not-found]
+        import rasterio  # type: ignore[import-not-found] # noqa: F401
         from rasterio.io import MemoryFile  # type: ignore[import-not-found]
-
-        with MemoryFile(data) as mem, mem.open() as src:
-            arr = src.read(1).astype("float64")
-            t = src.transform
-            x0, y0, dx, dy = float(t.c), float(t.f), float(t.a), float(-t.e)
     except ImportError:
+        MemoryFile = None
+    arr = None
+    if MemoryFile is not None:
+        try:
+            with MemoryFile(data) as mem, mem.open() as src:
+                arr = src.read(1).astype("float64")
+                t = src.transform
+                x0, y0, dx, dy = float(t.c), float(t.f), float(t.a), float(-t.e)
+        except Exception:
+            arr = None  # undecodable by rasterio — try the zero-dep parser
+    if arr is None:
         from aos_spark.io.tiff import parse_tiff
 
         arr, georef = parse_tiff(data)

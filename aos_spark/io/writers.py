@@ -90,11 +90,29 @@ def compact_dataset(
     ceil(total_bytes / target) files (optionally re-sorted for min/max
     pruning). Returns the file count written. The streaming sinks and
     per-micro-batch writes that accumulate thousands of small files are
-    the 100 TB motivation — run this as the maintenance job. Rewrite goes
-    through a temp dir + atomic-ish swap so a crash never leaves the
-    dataset half-deleted."""
+    the 100 TB motivation — run this as the maintenance job.
+
+    The swap is rename-aside: write to tmp, rename live → .__old__,
+    rename tmp → live, delete old. Both renames are single directory
+    operations, so a crash at any point leaves a complete dataset on
+    disk at either ``path`` or ``path.__old__`` — never a half-deleted
+    one (the earlier rmtree-then-rename had a window with no dataset at
+    ``path`` at all).
+
+    LOCAL-FILESYSTEM ONLY: this intentionally uses os.rename/os.listdir,
+    which do not speak s3:// /hdfs:// URIs. On object stores, run the
+    equivalent via the Hadoop FileSystem API or a table format's rewrite
+    (rename is not atomic on S3 anyway — a copy-manifest commit is the
+    right primitive there); the guard below makes the misuse loud."""
     import math
     import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_dataset is local-filesystem-only (got {path!r}); "
+            "use a Hadoop-FileSystem or table-format rewrite for object stores"
+        )
+    path = path.removeprefix("file://")
 
     fs_files = [
         f for f in os.listdir(path) if f.startswith("part-") or f.endswith(".parquet")
@@ -103,6 +121,7 @@ def compact_dataset(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__old__"
     if sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
@@ -110,8 +129,11 @@ def compact_dataset(
     else:
         out = df.coalesce(n_files)
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if os.path.exists(old):  # leftover from a previous crashed swap
+        shutil.rmtree(old)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
     return len(
         [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")]
     )

@@ -89,7 +89,11 @@ def kmeans_lloyd_step(
     iterate."""
     ve = explode_vectors(df, id_col, vec_col)
     if centroids is None:
-        centroids = df.filter(F.col(id_col) < k)
+        # the k LOWEST-ID vectors, as documented — not filter(id < k),
+        # which silently under-seeds (possibly to zero) when ids are
+        # non-contiguous or non-zero-based (ADVICE r4). orderBy+limit is
+        # equally deterministic and runs once on the dim-sized frame.
+        centroids = df.orderBy(F.col(id_col).asc()).limit(k)
     ce = explode_vectors(centroids, id_col, vec_col).select(
         F.col(id_col).alias("cid"), "dim", F.col("__v").alias("__c")
     )

@@ -102,17 +102,24 @@ def _parse_bmp(data: bytes) -> np.ndarray | None:
 
 
 def _decode_image_array(payload: bytes) -> np.ndarray | None:
-    """Tiered image decode: PIL (any format) → PPM/PGM → 24-bit BMP."""
+    """Tiered image decode: PIL (any format) → PPM/PGM → 24-bit BMP.
+    Import failure and decode failure are separate concerns: a payload
+    PIL can't identify must still fall through to the zero-dep parsers
+    (and ultimately the documented NotImplementedError), not raise
+    UnidentifiedImageError only in PIL-bearing environments."""
     try:
         import io as _io
 
         from PIL import Image  # type: ignore[import-not-found]
-
-        return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB")).astype(
-            "float64"
-        )
     except ImportError:
-        pass
+        Image = None
+    if Image is not None:
+        try:
+            return np.asarray(
+                Image.open(_io.BytesIO(payload)).convert("RGB")
+            ).astype("float64")
+        except Exception:
+            pass  # undecodable by PIL — try the zero-dep parsers
     arr = _parse_pnm(payload)
     if arr is None:
         arr = _parse_bmp(payload)
@@ -149,9 +156,9 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     arr = _decode_image_array(payload or b"")
     if arr is None:
         raise NotImplementedError(
-            "payload is not PPM/PGM/uncompressed-24-bit-BMP and no image "
-            "library (PIL) is importable; pass fake=True for the "
-            "deterministic test kernel"
+            "payload is not PPM/PGM/uncompressed-24-bit-BMP and no "
+            "importable image library (PIL) could decode it; pass "
+            "fake=True for the deterministic test kernel"
         )
     luma = (
         0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]

@@ -86,10 +86,24 @@ def asof_join(
         carried = carried.withColumn(f"__mts_{tag}", F.last("__r_ts", True).over(w))
     out = carried.filter(F.col("__side") == 1)
 
-    # unix_timestamp for timestamp-typed `on` (handles TIMESTAMP_NTZ,
-    # which refuses a direct long cast); plain cast for numeric `on`.
-    is_ts = isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType))
-    to_epoch = (lambda c: F.unix_timestamp(c)) if is_ts else (lambda c: c.cast("long"))
+    # Sub-second epoch seconds (ADVICE r4: unix_timestamp truncates to
+    # whole seconds, so `nearest` could pick the farther side and the
+    # tolerance admit matches just outside the horizon). unix_micros
+    # needs TimestampType; NTZ goes through a cast, exact under the
+    # engine's fixed UTC session timezone (session.py). double has 2^53
+    # integral precision — micros stay exact for ~285 years of epoch.
+    dt_on = left.schema[on].dataType
+    is_ts = isinstance(dt_on, (TimestampType, TimestampNTZType))
+    if is_ts:
+        _needs_cast = isinstance(dt_on, TimestampNTZType)
+
+        def to_epoch(c: Column) -> Column:
+            return F.unix_micros(c.cast("timestamp") if _needs_cast else c) / F.lit(
+                1_000_000.0
+            )
+    else:
+        def to_epoch(c: Column) -> Column:
+            return c.cast("double")
 
     def delta(tag: str) -> Column:
         d = to_epoch(F.col(f"__mts_{tag}")) - to_epoch(F.col(on))

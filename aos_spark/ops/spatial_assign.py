@@ -148,6 +148,48 @@ def zones_in_range(
     )
 
 
+def zones_in_range_exact(
+    zones: DataFrame,
+    envelopes: DataFrame,
+    buffer_m: float,
+    zone_wkt: str = "wkt",
+    env_wkt: str = "wkt",
+) -> DataFrame:
+    """S8/J12, exact tier: the reference's 1,500-km pre-filter is a true
+    geography ST_DWITHIN between country GEOMETRY and the envelope union
+    (snowflake_utils.py:597-609); the bbox tier (zones_in_range) is
+    conservative — it never drops an in-range country but can KEEP one
+    whose bbox is close while its actual polygon is not. This runs both
+    phases: the cheap broadcast bbox cut first, then an exact WKT-tier
+    geodesic polygon-distance verify on the survivors only.
+
+    The envelope dim collects to the driver (≤ hundreds of rows — the
+    same discipline as geo/sjoin.py's envelope broadcast) and its parsed
+    polygons broadcast into one Arrow-batched verify UDF over the
+    already-pruned zone dim — at scale the expensive kernel touches only
+    bbox survivors, never the full dim."""
+    from aos_spark.geo import wkt as wktlib
+
+    survivors = zones_in_range(zones, envelopes, buffer_m, geodesic=True)
+    env_polys = [
+        p
+        for r in envelopes.select(env_wkt).collect()
+        for p in wktlib.polygons_of(r[env_wkt])
+    ]
+    bc = zones.sparkSession.sparkContext.broadcast(env_polys)
+
+    @F.pandas_udf("double")
+    def _min_d(wkts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                wktlib.polygon_set_distance_m(wktlib.polygons_of(w), bc.value)
+                for w in wkts
+            ]
+        )
+
+    return survivors.filter(_min_d(F.col(zone_wkt)) <= F.lit(float(buffer_m)))
+
+
 def view_zoom_for_span(span_col) -> F.Column:
     """S21: the span→view-zoom case ladder (impact_analysis.py:1166-1167):
     11 if span < 0.5, 10 if < 1, 9 if < 2, 8 if < 4, else 7."""

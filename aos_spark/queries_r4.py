@@ -89,7 +89,9 @@ WITH ee AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings),
-ce AS (SELECT vec_id AS cid, dim, v AS c FROM ee WHERE vec_id < 4),
+ce AS (SELECT vec_id AS cid, dim, v AS c FROM ee
+       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                        ORDER BY vec_id LIMIT 4)),
 dist AS (
   SELECT e.vec_id, c.cid,
          SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(30,15))) AS d

@@ -111,3 +111,44 @@ def test_asof_forward_tolerance(spark):
     }
     assert out[3] is None  # 09:00 → 10:00 is 1 h, outside the 30 min horizon
     assert out[1] == 1.0
+
+
+def test_asof_nearest_subsecond_precision(spark):
+    """unix_timestamp truncation regression (ADVICE r4): with deltas of
+    0.2 s back vs 0.9 s forward inside the same second, whole-second
+    epochs compare equal and `nearest` could pick the farther (forward)
+    side. Sub-second epochs must pick the 0.2 s-away backward row."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:01.200"))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 10:00:01.000"), 1.0),  # 0.2 s before
+            (100, _ts("2024-01-01 10:00:02.100"), 2.0),  # 0.9 s after
+        ],
+        ["user_id", "ts", "signal"],
+    )
+    out = asof_join(
+        left, right, value_cols=["signal"], direction="nearest"
+    ).collect()
+    assert out[0]["signal"] == 1.0
+    assert out[0]["asof_ts"] == _ts("2024-01-01 10:00:01.000")
+
+
+def test_asof_tolerance_subsecond_boundary(spark):
+    """tolerance_seconds must compare at sub-second precision: a match
+    1.4 s away is OUTSIDE tolerance=1 even though the whole-second delta
+    truncates to 1."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:02.400"))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:00:01.000"), 1.0)],
+        ["user_id", "ts", "signal"],
+    )
+    out = asof_join(
+        left, right, value_cols=["signal"], tolerance_seconds=1
+    ).collect()
+    assert out[0]["signal"] is None  # 1.4 s > 1 s horizon

@@ -123,3 +123,18 @@ def test_ivf_with_trained_centroids_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.3  # probing 3/8 lists
+
+
+def test_default_seeding_non_contiguous_ids(spark):
+    """ADVICE r4: default seeding must be the k LOWEST-ID vectors as
+    documented — filter(id < k) silently under-seeds (to zero here) when
+    ids are non-contiguous and non-zero-based."""
+    rows = [(10, [0.0, 0.0]), (20, [0.2, 0.0]),
+            (30, [10.0, 10.0]), (40, [10.2, 10.0])]
+    out = C.kmeans_lloyd_step(_vecs(spark, rows), k=2)
+    got = out.collect()
+    assert got  # filter(id < 2) would seed nothing and return empty
+    assert {r["cluster_id"] for r in got} == {10, 20}
+    # every vector assigned exactly once: per-dim member counts sum to 4
+    n = sum(r["n_members"] for r in got if r["dim"] == 0)
+    assert n == 4

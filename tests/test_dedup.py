@@ -207,3 +207,20 @@ def test_sliding_window_chunks_spans(spark):
         assert r["chunk_text"].split() == toks[r["tok_start"] : r["tok_start"] + r["tok_len"]]
     assert [(r["tok_start"], r["tok_len"]) for r in by_doc[2]] == [(0, 4)]
     assert [(r["tok_len"], r["chunk_text"]) for r in by_doc[3]] == [(0, "")]
+
+
+def test_components_raise_on_max_iter_exhaustion(spark):
+    """ADVICE r4: a partially-converged component run must fail loud, not
+    silently emit wrong cluster ids — both algorithms."""
+    import pytest
+
+    from aos_spark.llm.dedup import dup_clusters
+
+    # a 12-node path needs ~diameter rounds to propagate; 1 round cannot
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        dup_clusters(pairs, max_iter=1, algorithm="propagate").collect()
+    with pytest.raises(RuntimeError, match="max_iter"):
+        dup_clusters(pairs, max_iter=1, algorithm="star").collect()

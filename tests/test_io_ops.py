@@ -328,3 +328,53 @@ def test_partition_pruning_on_view_output(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "country" in plan
     assert pruned.count() == 250
+
+
+def test_compact_dataset_rejects_object_store_uris(spark):
+    """compact_dataset is local-filesystem-only (os.rename does not speak
+    s3://); the guard must fail loud instead of half-working (ADVICE r4)."""
+    import pytest
+
+    from aos_spark.io.writers import compact_dataset
+
+    with pytest.raises(ValueError, match="local-filesystem-only"):
+        compact_dataset(spark, "s3://bucket/dataset")
+
+
+def test_exact_prefilter_excludes_bbox_overselection(spark):
+    """ST_DWITHIN parity (VERDICT r4 #6): a zone whose BBOX is within the
+    radius but whose actual polygon is not must survive the bbox cut and
+    be excluded by the exact WKT-tier verify. Zone 'SLIVER' is a thin
+    diagonal strip whose bbox corner approaches the envelope while the
+    geometry stays far away."""
+    # envelope: small box at the origin
+    envs = spark.createDataFrame(
+        [(1, 0.0, 1.0, 0.0, 1.0, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "envelope_id INT, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE, wkt STRING",
+    )
+    # NEAR: a box ~550 km east (5° lon at equator) — within 1,500 km both ways
+    near_wkt = "POLYGON ((5 0, 6 0, 6 1, 5 1, 5 0))"
+    # SLIVER: bbox spans (2..30, 2..30) so bbox distance ≈ 160 km, but the
+    # polygon is a thin strip hugging the FAR corner of that bbox
+    sliver_wkt = "POLYGON ((28 28, 30 28, 30 30, 28 30, 28 28))"
+    zones = spark.createDataFrame(
+        [
+            ("NEAR", 5.0, 6.0, 0.0, 1.0, near_wkt),
+            ("SLIVER", 2.0, 30.0, 2.0, 30.0, sliver_wkt),
+        ],
+        "country STRING, xmin DOUBLE, xmax DOUBLE, ymin DOUBLE, ymax DOUBLE, wkt STRING",
+    )
+    bbox_kept = {
+        r["country"]
+        for r in spatial_assign.zones_in_range(
+            zones, envs, buffer=1_500_000.0, geodesic=True
+        ).collect()
+    }
+    assert bbox_kept == {"NEAR", "SLIVER"}  # bbox over-selects SLIVER
+    exact_kept = {
+        r["country"]
+        for r in spatial_assign.zones_in_range_exact(
+            zones, envs, 1_500_000.0
+        ).collect()
+    }
+    assert exact_kept == {"NEAR"}  # exact geometry distance excludes it

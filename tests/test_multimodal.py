@@ -137,3 +137,31 @@ def test_extract_audio_features(spark, media):
 def test_audio_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="audio library"):
         MM.decode_audio(b"bytes", fake=False)
+
+
+def test_pil_decode_failure_falls_through_to_zero_dep(monkeypatch):
+    """ADVICE r4: when an image library IS importable but can't decode the
+    payload, the tiered decoder must fall through to the zero-dep parsers
+    (and the documented NotImplementedError), not leak the library's own
+    error. Simulated with a stub PIL whose open() always fails."""
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+
+    def _open(_buf):
+        raise ValueError("cannot identify image file")
+
+    pil_image.open = _open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    # PPM payload still decodes via the zero-dep tier
+    ppm = b"P6 2 1 255\n" + bytes([255, 255, 255, 0, 0, 0])
+    out = MM.decode_image(ppm, fake=False)
+    assert abs(out["mean_luma"] - 0.5) < 1e-6
+    # garbage payload reaches the documented NotImplementedError
+    with pytest.raises(NotImplementedError, match="image library"):
+        MM.decode_image(b"not-an-image", fake=False)
