@@ -283,10 +283,128 @@ def extract_audio_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     )
 
 
+def _parse_avi(data: bytes):
+    """Zero-dep RIFF/AVI parse → (fps, width, height, bits, frames) where
+    frames is an ordered list of (tag, bytes) with tag b'db' (uncompressed
+    DIB) or b'dc' (codec-compressed). Walks the LIST tree the same way the
+    WAV parser walks its chunk list; video stream format comes from the
+    'strf' following a 'vids' 'strh'. Returns None for non-AVI payloads."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    state = {"usec": None, "w": None, "h": None, "bits": None, "last_strh": b""}
+    frames: list[tuple[bytes, bytes]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, min(body + size, len(data)))
+            elif cid == b"avih":
+                (state["usec"],) = struct.unpack_from("<I", data, body)
+            elif cid == b"strh":
+                state["last_strh"] = data[body : body + 4]  # fccType
+            elif cid == b"strf" and state["last_strh"] == b"vids":
+                bw, bh = struct.unpack_from("<ii", data, body + 4)
+                (state["bits"],) = struct.unpack_from("<H", data, body + 14)
+                state["w"], state["h"] = bw, abs(bh)
+            elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
+                frames.append((cid[2:4], data[body : body + size]))
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if not frames or not state["w"] or not state["usec"]:
+        return None
+    fps = 1_000_000.0 / state["usec"]
+    return fps, state["w"], state["h"], state["bits"], frames
+
+
+def _dib_frame_to_rgb(buf: bytes, w: int, h: int, bits: int) -> np.ndarray:
+    """Uncompressed AVI video frame ('00db'): bottom-up BGR rows padded to
+    4 bytes — the same raster layout as the BMP parser's pixel block."""
+    if bits != 24:
+        raise NotImplementedError(f"only 24-bit DIB frames supported (got {bits})")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype="u1", count=stride * h).reshape(h, stride)
+    rows = rows[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].astype("float64")  # flip + BGR → RGB
+
+
+def decode_video_frames(
+    payload: bytes, timestamps: list[float], *, fake: bool = False
+) -> list[dict]:
+    """Frame-grab kernel: for each sampled timestamp return
+    {frame_ts, mean_luma, phash} of the nearest frame. Real path parses
+    RIFF/AVI; uncompressed 24-bit DIB streams decode zero-dep, compressed
+    streams (e.g. MJPEG '00dc') go through the tiered image decoder (PIL
+    when importable — each frame is a complete JPEG) and raise the
+    documented NotImplementedError otherwise. ``fake=True`` keeps the
+    deterministic digest stand-in for synthetic payloads."""
+    if fake:
+        out = []
+        for ts in timestamps:
+            digest = hashlib.md5((payload or b"") + str(ts).encode()).digest()
+            out.append(
+                {
+                    "frame_ts": ts,
+                    "mean_luma": digest[0] / 255.0,
+                    "phash": digest.hex()[:16],
+                }
+            )
+        return out
+    parsed = _parse_avi(payload or b"")
+    if parsed is None:
+        raise NotImplementedError(
+            "payload is not RIFF/AVI and no video library is available; "
+            "pass fake=True for the deterministic test kernel"
+        )
+    fps, w, h, bits, frames = parsed
+    out = []
+    for ts in timestamps:
+        idx = min(int(round(ts * fps)), len(frames) - 1)
+        tag, buf = frames[idx]
+        if tag == b"db":
+            arr = _dib_frame_to_rgb(buf, w, h, bits)
+        else:
+            arr = _decode_image_array(buf)
+            if arr is None:
+                raise NotImplementedError(
+                    "compressed AVI stream and no importable image library "
+                    "can decode its frames; re-encode to uncompressed DIB "
+                    "or install PIL"
+                )
+        luma = (
+            0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            if arr.ndim == 3
+            else arr
+        )
+        out.append(
+            {
+                "frame_ts": ts,
+                "mean_luma": float(luma.mean() / 255.0),
+                "phash": _average_hash(luma),
+            }
+        )
+    return out
+
+
+def video_duration_s(payload: bytes) -> float | None:
+    """True duration of an AVI payload (frame count / fps), None if not AVI."""
+    parsed = _parse_avi(payload or b"")
+    if parsed is None:
+        return None
+    fps, _w, _h, _bits, frames = parsed
+    return len(frames) / fps
+
+
 def sample_frames(df: DataFrame, every_s: float = 1.0, *, fake: bool = True) -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per sampled
-    timestamp. The frame grab itself is the stubbed kernel; the row fan-out,
-    schema, and batching are real."""
+    """Frame sampling for video rows: one output row per sampled timestamp.
+    Real path (fake=False) decodes frames from the AVI payload itself and
+    takes the TRUE duration from the container (frames/fps) — the metadata
+    column is only trusted in fake mode. Row fan-out, schema, and Arrow
+    batching are identical either way, so the plumbing tested at scale is
+    the plumbing the real kernel rides."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -299,16 +417,17 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, *, fake: bool = True) -> 
         for pdf in it:
             rows = {"media_id": [], "frame_ts": [], "frame_phash": []}
             for _, r in pdf.iterrows():
-                dur = r["duration_s"] or 0.0
+                if fake:
+                    dur = r["duration_s"] or 0.0
+                else:
+                    dur = video_duration_s(r["payload"]) or 0.0
                 n = int(dur / every_s)
-                for i in range(n):
-                    ts = i * every_s
-                    feat = decode_image(
-                        (r["payload"] or b"") + str(ts).encode(), fake=fake
-                    )
+                ts_list = [i * every_s for i in range(n)]
+                feats = decode_video_frames(r["payload"], ts_list, fake=fake)
+                for f in feats:
                     rows["media_id"].append(r["media_id"])
-                    rows["frame_ts"].append(ts)
-                    rows["frame_phash"].append(feat["phash"])
+                    rows["frame_ts"].append(f["frame_ts"])
+                    rows["frame_phash"].append(f["phash"])
             yield pd.DataFrame(rows)
 
     return df.filter("kind = 'video'").mapInPandas(batches, schema=out_schema)

@@ -165,3 +165,81 @@ def test_pil_decode_failure_falls_through_to_zero_dep(monkeypatch):
     # garbage payload reaches the documented NotImplementedError
     with pytest.raises(NotImplementedError, match="image library"):
         MM.decode_image(b"not-an-image", fake=False)
+
+
+# ----------------------------------------------------------- real video tier
+
+import struct
+
+
+def _chunk(cid, body):
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(ltype, body):
+    return _chunk(b"LIST", ltype + body)
+
+
+def _avi_bytes(frame_values, fps=2.0, w=4, h=2, compressed=False):
+    """Minimal RIFF/AVI: avih + vids strh/strf + movi of solid-gray 24-bit
+    DIB frames (value per frame from frame_values)."""
+    usec = int(1_000_000 / fps)
+    avih = struct.pack(
+        "<IIIIIIIIII", usec, 0, 0, 0, len(frame_values), 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    strh = b"vids" + (b"MJPG" if compressed else b"DIB ") + b"\x00" * 48
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    stride = (w * 3 + 3) & ~3
+    frames = b""
+    for v in frame_values:
+        row = bytes([v, v, v] * w) + b"\x00" * (stride - w * 3)
+        tag = b"00dc" if compressed else b"00db"
+        frames += _chunk(tag, row * h)
+    hdrl = _riff_list(
+        b"hdrl", _chunk(b"avih", avih) + _riff_list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    )
+    movi = _riff_list(b"movi", frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_avi_frame_grab_luma_and_duration():
+    """3 solid-gray frames at 2 fps: true duration 1.5 s, per-frame mean
+    luma equals the gray value exactly (zero-dep DIB decode)."""
+    avi = _avi_bytes([0, 100, 200])
+    assert abs(MM.video_duration_s(avi) - 1.5) < 1e-9
+    feats = MM.decode_video_frames(avi, [0.0, 0.5, 1.0], fake=False)
+    assert [f["frame_ts"] for f in feats] == [0.0, 0.5, 1.0]
+    got = [round(f["mean_luma"] * 255) for f in feats]
+    assert got == [0, 100, 200]  # frame i is solid gray i
+    assert all(len(f["phash"]) == 16 for f in feats)
+
+
+def test_real_avi_through_spark_plumbing(spark):
+    """sample_frames(fake=False) decodes the AVI payload itself: duration
+    comes from the container (metadata column deliberately wrong)."""
+    avi = _avi_bytes([0, 100, 200])
+    rows = [("v1", "video", avi, "video/avi", 4, 2, 99.0)]  # lying metadata
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.sample_frames(df, every_s=0.5, fake=False).collect()
+    assert sorted(r["frame_ts"] for r in out) == [0.0, 0.5, 1.0]  # 1.5s real
+    assert all(r["media_id"] == "v1" for r in out)
+
+
+def test_compressed_avi_without_codec_is_explicit_stub():
+    """MJPEG-style '00dc' frames need an image library; without one the
+    kernel must raise the documented NotImplementedError, not garbage."""
+    avi = _avi_bytes([0, 100], compressed=True)
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present: compressed tier would decode")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="image library"):
+        MM.decode_video_frames(avi, [0.0], fake=False)
+
+
+def test_non_avi_video_payload_is_explicit_stub():
+    with pytest.raises(NotImplementedError, match="video library"):
+        MM.decode_video_frames(b"not-a-video", [0.0], fake=False)
