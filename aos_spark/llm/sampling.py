@@ -128,3 +128,66 @@ def stratified_exact_n(
         .filter(F.col("__rn") <= n)
         .drop("__h", "__rn")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture rebalancing plan (the DoReMi/Pile-style domain-
+    weighting step): given target corpus shares per domain, compute each
+    domain's current token share and the deterministic keep-rate that
+    moves the mix toward the target by DOWN-sampling over-represented
+    domains (rate = min(1, target/current); up-sampling is epoch repeats,
+    a separate concern). ``expected_tokens = floor(n_tokens * rate)`` is
+    what one pass at that rate yields.
+
+    Feed the rates to ``fraction_sample`` (hash-derived, not RNG) for the
+    actual row selection. Domains absent from ``targets`` get rate 0.
+
+    Scale shape: one partial-aggregated groupBy over the corpus (tokens
+    counted JVM-side), then arithmetic against a broadcast 1-row total —
+    no window, no second scan, no Python."""
+    n_tokens = F.size(
+        F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"), "")
+    )
+    per_domain = (
+        df.select(F.col(domain_col).alias("domain"), n_tokens.alias("__t"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per_domain.agg(F.sum("n_tokens").cast("long").alias("__total"))
+    target_map = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    return (
+        per_domain.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("__total")).alias("current_share"),
+            F.coalesce(
+                target_map[F.col("domain")].cast("double"), F.lit(0.0)
+            ).alias("target_share"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "current_share",
+            "target_share",
+            F.least(
+                F.lit(1.0), F.col("target_share") / F.col("current_share")
+            ).alias("keep_rate"),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.floor(F.col("n_tokens") * F.col("keep_rate")).cast("long"),
+        )
+    )

@@ -274,3 +274,55 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def projection_signs(dim: int, out_dim: int, seed: int = 5) -> list[list[int]]:
+    """Deterministic +/-1 sign matrix (out_dim rows x dim cols) derived
+    from md5 so any engine (or an external oracle) can reproduce it from
+    (seed, i, j) alone — no RNG state, mirroring _hyperplanes."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16
+            )
+            & 1
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-matrix random projection (Achlioptas 2003: +/-1 entries
+    preserve pairwise distances like Gaussian ones, at integer cost):
+    maps dim-d embeddings to out_dim-d sketches, proj_j = <x, s_j>/sqrt(d),
+    rounded to 6 places (the repo's cross-engine float contract).
+
+    Scale shape: a pure codegen'd projection — the sign matrix is a
+    literal baked into the plan, so there is no join, no shuffle, no
+    Python; cost is O(dim * out_dim) fused multiply-adds per row. This is
+    the cheap front half of sketch-based ANN / dedup pipelines: downstream
+    stages bucket or compare in out_dim dimensions instead of dim."""
+    signs = projection_signs(dim, out_dim, seed)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    inv_sqrt_d = 1.0 / math.sqrt(dim)
+    cols = [
+        F.round(
+            dot_expr(vec, F.array(*[F.lit(float(s)) for s in row]))
+            * F.lit(inv_sqrt_d),
+            6,
+        ).alias(f"proj_{j}")
+        for j, row in enumerate(signs)
+    ]
+    return df.select(F.col(id_col), *cols)

@@ -402,3 +402,55 @@ def top_terms_tfidf(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
     )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality signal without the float-summation
+    hazard of a true perplexity: score each document by the fraction of
+    its bigram occurrences that are RARE in the whole corpus (corpus
+    frequency <= ``rare_max``). Clean, in-distribution text is made of
+    common bigrams; gibberish, boilerplate-mangled, and wrong-language
+    text is rich in rare ones — the same ranking signal CCNet gets from a
+    KenLM perplexity bucket (Wenzek et al. 2020), expressed as exact
+    integer counts plus one final division so it is reproducible bit-for-
+    bit across engines.
+
+    Two-pass shape: (1) explode bigram occurrences and count them per
+    bigram — one hash-shuffle keyed by bigram text; (2) join occurrences
+    back to the count table and aggregate per doc. The count-side key is
+    zipfian-hot (stop-bigram heads), which is exactly the AQE skew-join
+    case: the plan relies on adaptive skew splitting rather than salting
+    because the hot side is the SMALL aggregated table, not the fan-out.
+    """
+    toks = df.select(
+        id_col,
+        F.array_remove(F.split(F.lower(F.col(text_col)), _WORD_RE), "").alias(
+            "__tokens"
+        ),
+    )
+    occ = toks.select(
+        id_col, F.explode(gram_occurrences(F.col("__tokens"), 2)).alias("g")
+    )
+    occ = persist_tracked(occ)
+    counts = occ.groupBy("g").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    return (
+        occ.join(counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("corpus_freq") <= rare_max).cast("long")).alias(
+                "n_rare"
+            ),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_rare",
+            (F.col("n_rare") / F.col("n_bigrams")).alias("rare_frac"),
+        )
+    )

@@ -3214,9 +3214,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 from aos_spark.queries_r4 import R4_ORACLES, R4_QUERIES  # noqa: E402
 from aos_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
+from aos_spark.queries_r5 import R5_ORACLES, R5_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
 QUERIES.update(R4_QUERIES)
+QUERIES.update(R5_QUERIES)
 
 # Round-5 gate rotation (VERDICT r4 "Next round" #3): the driver's
 # correctness gate samples the FIRST 50 entries, so iteration order decides
@@ -3249,6 +3251,9 @@ _R5_FRONT = [
     "bag_difference_except_all", "reconcile_tables",
     "sequence_gap_detection", "sketch_quantile_histogram",
     "range_frame_window_spend", "overlapping_order_windows",
+    # r5-new queries (queries_r5.py) — 45 + 5 fills the 50-query sample
+    "span_dedup_retention", "bloom_semijoin_prune", "lm_bigram_rarity",
+    "embedding_random_projection", "domain_mixture_plan",
 ]
 assert set(_R5_FRONT) <= set(QUERIES), sorted(set(_R5_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _R5_FRONT} | {
@@ -3347,3 +3352,4 @@ ORACLES: dict[str, str] = {
 
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(R4_ORACLES)
+ORACLES.update(R5_ORACLES)

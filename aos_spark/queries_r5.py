@@ -1,0 +1,197 @@
+"""Round-5 additions: the remaining large-scale training-data-pipeline
+operators the earlier rounds had not yet covered as gate queries.
+
+- **span_dedup_retention** — C4/RefinedWeb-style span-level exact dedup
+  with per-doc retention accounting (llm/dedup.span_dedup_retention).
+- **bloom_semijoin_prune** — exact semi-join behind a Bloom-bitset scan
+  filter, the shuffle-pruning pattern for 100 TB fact×dim semi-joins
+  (ops/bloom).
+- **lm_bigram_rarity** — CCNet-flavoured corpus-LM quality signal as
+  exact integer counts (llm/text.bigram_rarity).
+- **embedding_random_projection** — ±1 sign-matrix projection, the
+  codegen'd front half of sketch-based ANN/dedup (llm/similarity).
+- **domain_mixture_plan** — DoReMi/Pile-style domain re-weighting plan
+  (llm/sampling.mixture_plan).
+
+Determinism follows the repo contract: integer counts cast to BIGINT in
+oracles, decimal accumulation for money sums, ROUND(x, 6) for float
+dot-products, single final divisions elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aos_spark.io.readers import read_sf_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_sf_table(spark, sf_dir, name)
+
+
+def q_span_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import dedup as D
+
+    return D.span_dedup_retention(_t(spark, sf_dir, "documents"), span=20)
+
+
+ORACLE_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+docs AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         CAST(ceil(len(t) / 20.0) AS INTEGER) AS n_spans
+  FROM toks WHERE len(t) > 0),
+spans AS (
+  SELECT d.doc_id, d.n_tokens, s.i AS span_idx,
+         md5(array_to_string(d.t[s.i * 20 + 1 : s.i * 20 + 20], ' ')) AS span_hash,
+         LEAST(20, d.n_tokens - s.i * 20) AS span_len
+  FROM docs d, UNNEST(range(0, d.n_spans)) AS s(i)),
+flagged AS (
+  SELECT doc_id, n_tokens, span_len,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) = 1
+              THEN 1 ELSE 0 END AS is_keeper
+  FROM spans)
+SELECT doc_id,
+       CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_spans,
+       CAST(SUM(is_keeper) AS BIGINT) AS n_kept,
+       CAST(SUM(is_keeper * span_len) AS BIGINT) AS kept_tokens,
+       CAST(SUM(is_keeper * span_len) AS BIGINT) / CAST(MIN(n_tokens) AS BIGINT) AS retained_frac
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed by BUILDING-segment customers, via an explicit Bloom
+    pre-filter feeding the exact semi-join (ops/bloom.bloom_semijoin). The
+    bitset probe sits in the orders scan, so at scale the exchange feeding
+    the semi-join sees only matching + false-positive rows. Result is
+    bit-identical to the plain semi-join the oracle runs."""
+    from aos_spark.ops import bloom as B
+
+    orders = _t(spark, sf_dir, "orders")
+    build = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    kept = B.bloom_semijoin(orders, "o_custkey", build, "c_custkey")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("total_price"),
+    )
+
+
+ORACLE_BLOOM_SEMIJOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import text as TX
+
+    return TX.bigram_rarity(_t(spark, sf_dir, "documents"), rare_max=2)
+
+
+ORACLE_BIGRAM_RARITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+  FROM documents),
+occ AS (
+  SELECT doc_id, g.g
+  FROM (SELECT doc_id,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(len(t) - 1), i -> t[i + 1] || ' ' || t[i + 2])
+                    ELSE [] END AS grams
+        FROM toks) x, UNNEST(x.grams) AS g(g)),
+counts AS (SELECT g, COUNT(*) AS corpus_freq FROM occ GROUP BY g)
+SELECT o.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.corpus_freq <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN c.corpus_freq <= 2 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS rare_frac
+FROM occ o JOIN counts c USING (g)
+GROUP BY o.doc_id
+"""
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import similarity as SIM
+
+    return SIM.random_project(
+        _t(spark, sf_dir, "embeddings"), out_dim=8, dim=64, seed=5
+    )
+
+
+def _random_projection_oracle(out_dim: int = 8, dim: int = 64, seed: int = 5) -> str:
+    from aos_spark.llm.similarity import projection_signs
+
+    signs = projection_signs(dim, out_dim, seed)
+    inv = 1.0 / dim ** 0.5
+    cols = ",\n       ".join(
+        f"ROUND(list_dot_product(v, [{', '.join(f'{float(s)!r}' for s in row)}]::DOUBLE[]) * {inv!r}, 6) AS proj_{j}"
+        for j, row in enumerate(signs)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        f"SELECT vec_id,\n       {cols}\nFROM e"
+    )
+
+
+MIXTURE_TARGETS = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.1}
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import sampling as S
+
+    return S.mixture_plan(
+        _t(spark, sf_dir, "documents"), MIXTURE_TARGETS, domain_col="lang"
+    )
+
+
+def _mixture_oracle(targets: dict[str, float]) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)" for k, v in targets.items()
+    )
+    return rf"""
+WITH per AS (
+  SELECT lang AS domain, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+shares AS (
+  SELECT domain, n_docs, n_tokens,
+         n_tokens / total AS current_share,
+         COALESCE(CASE domain {cases} END, CAST(0.0 AS DOUBLE)) AS target_share
+  FROM per, tot)
+SELECT domain, n_docs, n_tokens, current_share, target_share,
+       LEAST(CAST(1.0 AS DOUBLE), target_share / current_share) AS keep_rate,
+       CAST(FLOOR(n_tokens * LEAST(CAST(1.0 AS DOUBLE), target_share / current_share)) AS BIGINT) AS expected_tokens
+FROM shares
+"""
+
+
+R5_QUERIES = {
+    "span_dedup_retention": q_span_dedup_retention,
+    "bloom_semijoin_prune": q_bloom_semijoin,
+    "lm_bigram_rarity": q_bigram_rarity,
+    "embedding_random_projection": q_random_projection,
+    "domain_mixture_plan": q_mixture_plan,
+}
+
+R5_ORACLES = {
+    "span_dedup_retention": ORACLE_SPAN_DEDUP,
+    "bloom_semijoin_prune": ORACLE_BLOOM_SEMIJOIN,
+    "lm_bigram_rarity": ORACLE_BIGRAM_RARITY,
+    "embedding_random_projection": _random_projection_oracle(),
+    "domain_mixture_plan": _mixture_oracle(MIXTURE_TARGETS),
+}

@@ -1,0 +1,201 @@
+"""Round-5 operators: span-level dedup, bloom semi-join, bigram rarity,
+random projection, mixture planning."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aos_spark.llm.dedup import span_dedup_retention
+from aos_spark.llm.sampling import mixture_plan
+from aos_spark.llm.similarity import projection_signs, random_project
+from aos_spark.llm.text import bigram_rarity
+from aos_spark.ops.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_semijoin,
+)
+
+
+# ---------------------------------------------------------------- span dedup
+def test_span_dedup_repeated_span_is_dropped(spark):
+    base = " ".join(f"w{i}" for i in range(20))  # exactly one span
+    df = spark.createDataFrame(
+        [
+            (1, base + " " + " ".join(f"x{i}" for i in range(20))),
+            (2, base),  # doc 2's only span duplicates doc 1's first span
+            (3, "unique words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_retention(df, span=20).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["kept_tokens"] == 0 and out[2]["retained_frac"] == 0.0
+    assert out[3]["n_kept"] == 1 and out[3]["retained_frac"] == 1.0
+
+
+def test_span_dedup_partial_tail_span_len(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25)))], ["doc_id", "text"]
+    )
+    row = span_dedup_retention(df, span=20).collect()[0]
+    assert row["n_tokens"] == 25
+    assert row["n_spans"] == 2
+    assert row["kept_tokens"] == 25  # 20 + 5-token tail
+
+
+def test_span_dedup_empty_doc_excluded(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "a b")], ["doc_id", "text"])
+    rows = span_dedup_retention(df, span=20).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+
+
+# ---------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark):
+    build = spark.range(0, 200).withColumnRenamed("id", "k")
+    bits = bloom_build(build, "k", m_bits=1 << 12, n_hashes=4)
+    probe = spark.range(0, 200).select(
+        bloom_might_contain(F.col("id"), bits).alias("hit")
+    )
+    assert probe.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_prunes_most_non_members(spark):
+    build = spark.range(0, 100).withColumnRenamed("id", "k")
+    bits = bloom_build(build, "k", m_bits=1 << 14, n_hashes=4)
+    misses = (
+        spark.range(10_000, 20_000)
+        .filter(bloom_might_contain(F.col("id"), bits))
+        .count()
+    )
+    # fp rate at n=100, m=16384, k=4 is ~1e-6; allow slack
+    assert misses < 50
+
+
+def test_bloom_semijoin_matches_exact(spark):
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("fk"), (F.col("id") % 7).alias("grp")
+    )
+    build = spark.range(0, 1000, 3).select(F.col("id").alias("bk"))
+    got = bloom_semijoin(fact, "fk", build, "bk", m_bits=1 << 12)
+    expected = fact.join(
+        build.withColumnRenamed("bk", "fk"), "fk", "left_semi"
+    )
+    assert got.count() == expected.count() == 334
+    assert got.exceptAll(expected).count() == 0
+
+
+# ---------------------------------------------------------------- bigram rarity
+def test_bigram_rarity_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),  # bigrams: "the cat", "cat sat"
+            (2, "the cat ran"),  # "the cat", "cat ran"
+            (3, "the cat sat"),  # duplicates doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_rarity(df, rare_max=2).collect()}
+    # "the cat" freq 3 (common), "cat sat" freq 2 (rare), "cat ran" freq 1
+    assert out[1]["n_bigrams"] == 2 and out[1]["n_rare"] == 1
+    assert out[2]["n_rare"] == 1  # "cat ran"
+    assert out[1]["rare_frac"] == 0.5
+
+
+def test_bigram_rarity_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], ["doc_id", "text"]
+    )
+    rows = bigram_rarity(df).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+
+
+# ---------------------------------------------------------------- projection
+def test_projection_signs_deterministic_pm1():
+    a = projection_signs(16, 4, seed=5)
+    b = projection_signs(16, 4, seed=5)
+    assert a == b
+    assert {v for row in a for v in row} <= {-1, 1}
+    assert projection_signs(16, 4, seed=6) != a
+
+
+def test_random_project_shape_and_scale(spark):
+    dim = 16
+    df = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.0] * dim)], ["vec_id", "embedding"]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in random_project(df, out_dim=4, dim=dim, seed=5).collect()
+    }
+    assert set(out[0].asDict()) == {"vec_id", "proj_0", "proj_1", "proj_2", "proj_3"}
+    # all-ones vector: proj_j = (sum of signs)/sqrt(d) — integer/4
+    signs = projection_signs(dim, 4, seed=5)
+    for j in range(4):
+        assert out[0][f"proj_{j}"] == pytest.approx(
+            sum(signs[j]) / math.sqrt(dim), abs=1e-6
+        )
+        assert out[1][f"proj_{j}"] == 0.0
+
+
+def test_random_project_preserves_norm_roughly(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    proj = random_project(emb, out_dim=32, dim=64, seed=5)
+    pnorm = proj.select(
+        F.sqrt(sum(F.col(f"proj_{j}") ** 2 for j in range(32))).alias("pn"),
+        "vec_id",
+    )
+    onorm = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") ** 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("on"),
+    )
+    joined = pnorm.join(onorm, "vec_id").select(
+        (F.col("pn") / F.col("on")).alias("ratio")
+    )
+    ratios = [r["ratio"] for r in joined.collect()]
+    # JL: 32-of-64 sign projection keeps norms within a loose band
+    assert all(0.4 < r < 1.8 for r in ratios)
+
+
+# ---------------------------------------------------------------- mixture
+def test_mixture_plan_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "en") for i in range(8)]
+        + [(100 + i, "w " * 10, "fr") for i in range(2)],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["domain"]: r
+        for r in mixture_plan(
+            df, {"en": 0.5, "fr": 0.5}, domain_col="lang"
+        ).collect()
+    }
+    assert out["en"]["current_share"] == 0.8
+    assert out["en"]["keep_rate"] == pytest.approx(0.5 / 0.8)
+    assert out["fr"]["keep_rate"] == 1.0  # under-represented: never upsampled
+    assert out["en"]["expected_tokens"] == math.floor(80 * 0.5 / 0.8)
+
+
+def test_mixture_plan_missing_domain_gets_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "xx")], ["doc_id", "text", "lang"]
+    )
+    out = {
+        r["domain"]: r
+        for r in mixture_plan(df, {"en": 1.0}, domain_col="lang").collect()
+    }
+    assert out["xx"]["target_share"] == 0.0
+    assert out["xx"]["keep_rate"] == 0.0
+    assert out["xx"]["expected_tokens"] == 0
