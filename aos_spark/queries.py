@@ -3251,9 +3251,11 @@ _R5_FRONT = [
     "bag_difference_except_all", "reconcile_tables",
     "sequence_gap_detection", "sketch_quantile_histogram",
     "range_frame_window_spend", "overlapping_order_windows",
-    # r5-new queries (queries_r5.py) — 45 + 5 fills the 50-query sample
+    # r5-new queries (queries_r5.py) — 45 + 5 fills the 50-query sample;
+    # the three curation-policy queries land at 51-53 for the r6 sample
     "span_dedup_retention", "bloom_semijoin_prune", "lm_bigram_rarity",
     "embedding_random_projection", "domain_mixture_plan",
+    "per_source_cap", "token_budget_selection", "quality_decile_shards",
 ]
 assert set(_R5_FRONT) <= set(QUERIES), sorted(set(_R5_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _R5_FRONT} | {

@@ -195,3 +195,146 @@ R5_ORACLES = {
     "embedding_random_projection": _random_projection_oracle(),
     "domain_mixture_plan": _mixture_oracle(MIXTURE_TARGETS),
 }
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + quality score + lang/source, the shared front of the
+    curation-policy queries below."""
+    from aos_spark.llm import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.quality_features(d)
+        .withColumn("quality", TX.quality_score())
+        .select("doc_id", "lang", "source", "n_tokens", "quality")
+    )
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (crawler over-representation control, the
+    RefinedWeb/Dolma per-domain cap): within each source keep the top
+    ``cap`` docs by (quality DESC, doc_id), report kept/dropped and the
+    surviving token mass. One partitioned window (source key) + one
+    aggregation — no global sort anywhere."""
+    from pyspark.sql import Window
+
+    cap = 15
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = _scored_docs(spark, sf_dir).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("__rn") <= cap).cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("__rn") <= cap, F.col("n_tokens")).otherwise(0).cast("long")
+        ).alias("kept_tokens"),
+    )
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy selection under a per-language token budget (the
+    data-selection step of a fixed-size pretraining mix): order each
+    language's docs by quality, admit while the running token total stays
+    within budget, report what was admitted and the effective quality
+    cutoff. The cumulative window is PARTITIONED by language — per-domain
+    budgets keep the pattern scale-safe where a single global budget
+    would force a global sort."""
+    from pyspark.sql import Window
+
+    budget = 2000
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = _scored_docs(spark, sf_dir).withColumn(
+        "__cum", F.sum(F.col("n_tokens").cast("long")).over(w)
+    )
+    sel = cum.filter(F.col("__cum") <= budget)
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum(F.col("n_tokens").cast("long")).alias("selected_tokens"),
+        F.min("quality").alias("quality_cutoff"),
+    )
+
+
+def q_quality_decile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile shard assignment (curriculum bucketing): NTILE(10)
+    over (quality DESC, doc_id) within each language, then per-shard
+    accounting. Windows stay language-partitioned; outputs are exact
+    selections (min/max) and integer sums only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    tiled = _scored_docs(spark, sf_dir).withColumn(
+        "decile", F.ntile(10).over(w)
+    )
+    return tiled.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+def _curation_oracles() -> dict[str, str]:
+    from aos_spark.queries import ORACLE_QUALITY
+
+    scored = f"""
+scored AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, d.lang, d.source
+  FROM ({ORACLE_QUALITY}) q JOIN documents d USING (doc_id))
+"""
+    per_source_cap = f"""
+WITH {scored},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= 15 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM ranked GROUP BY source
+"""
+    token_budget = f"""
+WITH {scored},
+cum AS (
+  SELECT lang, n_tokens, quality,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM scored)
+SELECT lang, COUNT(*) AS n_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS selected_tokens,
+       MIN(quality) AS quality_cutoff
+FROM cum WHERE running <= 2000 GROUP BY lang
+"""
+    deciles = f"""
+WITH {scored},
+tiled AS (
+  SELECT lang, n_tokens, quality,
+         CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS decile
+  FROM scored)
+SELECT lang, decile, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM tiled GROUP BY lang, decile
+"""
+    return {
+        "per_source_cap": per_source_cap,
+        "token_budget_selection": token_budget,
+        "quality_decile_shards": deciles,
+    }
+
+
+R5_QUERIES.update(
+    {
+        "per_source_cap": q_per_source_cap,
+        "token_budget_selection": q_token_budget_selection,
+        "quality_decile_shards": q_quality_decile_shards,
+    }
+)
+R5_ORACLES.update(_curation_oracles())

@@ -199,3 +199,36 @@ def test_mixture_plan_missing_domain_gets_zero(spark):
     assert out["xx"]["target_share"] == 0.0
     assert out["xx"]["keep_rate"] == 0.0
     assert out["xx"]["expected_tokens"] == 0
+
+
+# ------------------------------------------------------- curation policies
+def test_per_source_cap_bounds_kept(spark, sf_dir):
+    from aos_spark.queries_r5 import q_per_source_cap
+
+    rows = q_per_source_cap(spark, sf_dir).collect()
+    assert rows, "expected at least one source"
+    for r in rows:
+        assert r["n_kept"] <= 15
+        assert r["n_kept"] <= r["n_docs"]
+
+
+def test_token_budget_selection_within_budget(spark, sf_dir):
+    from aos_spark.queries_r5 import q_token_budget_selection
+
+    for r in q_token_budget_selection(spark, sf_dir).collect():
+        assert r["selected_tokens"] <= 2000
+        assert r["n_selected"] >= 1
+
+
+def test_quality_decile_shards_ordered(spark, sf_dir):
+    from aos_spark.queries_r5 import q_quality_decile_shards
+
+    rows = q_quality_decile_shards(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, shard_rows in by_lang.items():
+        shard_rows.sort(key=lambda r: r["decile"])
+        # decile k's worst quality is >= decile k+1's best quality
+        for a, b in zip(shard_rows, shard_rows[1:]):
+            assert a["min_quality"] >= b["max_quality"] - 1e-9
