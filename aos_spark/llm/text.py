@@ -1,12 +1,14 @@
 """Text analysis operators: language-ID, quality scoring, token counting,
 document fingerprinting.
 
-All pure Catalyst expressions (regexp/split/transform) — no Python UDFs —
-so they run inside whole-stage codegen and scale linearly with input size.
+Pure Catalyst expressions (regexp/split/transform) running inside
+whole-stage codegen, with ONE exception: compression_ratio needs zlib
+and runs as an Arrow-batched pandas UDF (the sanctioned Python tier).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -453,4 +455,39 @@ def bigram_rarity(
             "n_rare",
             (F.col("n_rare") / F.col("n_bigrams")).alias("rare_frac"),
         )
+    )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes), the
+    Dolma/Gopher-family degeneracy signal: highly repetitive or templated
+    text compresses far below normal prose, random gibberish compresses
+    above it. No SQL engine exposes zlib, so this operator carries no
+    DuckDB oracle — determinism (fixed zlib level 6) and bounds are
+    pytest-locked instead.
+
+    Runs as ONE Arrow-batched pandas UDF (the sanctioned Python tier —
+    per-batch zlib over a bytes Series, never per-row Python in Catalyst),
+    zero shuffle: the signal is a pure projection."""
+    import zlib
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.select(
+        id_col, _ratio(F.col(text_col)).alias("compression_ratio")
     )

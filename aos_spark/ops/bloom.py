@@ -53,7 +53,10 @@ def bloom_build(
     assert m_bits % 64 == 0
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, n_hashes)))
     words = (
-        df.select(pos.alias("pos"))
+        # NULL keys can never match an equi-semi-join, so they are not
+        # members; dropping them also keeps word_idx non-null below.
+        df.filter(F.col(key_col).isNotNull())
+        .select(pos.alias("pos"))
         .select(
             F.shiftright("pos", 6).alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),

@@ -115,3 +115,47 @@ def argmax_per_group(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def sequence_gaps(
+    df: DataFrame, id_col: str = "event_id", bucket: int = 4096
+) -> DataFrame:
+    """Holes in an integer id sequence WITHOUT a global sort: two-level
+    islands. Ids bucket by ``id div bucket``; intra-bucket holes come
+    from a bucket-partitioned lag window, cross-bucket holes (including
+    runs of entirely-missing buckets) from the lag of per-bucket
+    (min, max) summaries — a frame bucket× smaller than the ids. The one
+    ordered window left runs over that summary (n/bucket rows; recurse
+    the trick if it ever stops fitting). Output (gap_start, gap_end,
+    gap_len) is identical to the single-global-window islands idiom."""
+    ids = df.select(id_col).distinct().withColumn(
+        "__b", F.floor(F.col(id_col) / bucket)
+    )
+    wv = Window.partitionBy("__b").orderBy(id_col)
+    intra = (
+        ids.withColumn("__prev", F.lag(id_col).over(wv))
+        .filter(
+            F.col("__prev").isNotNull() & (F.col(id_col) - F.col("__prev") > 1)
+        )
+        .select(
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col(id_col) - 1).alias("gap_end"),
+        )
+    )
+    summary = ids.groupBy("__b").agg(
+        F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
+    )
+    ws = Window.orderBy("__b")
+    inter = (
+        summary.withColumn("__pmx", F.lag("__mx").over(ws))
+        .filter(F.col("__pmx").isNotNull() & (F.col("__mn") - F.col("__pmx") > 1))
+        .select(
+            (F.col("__pmx") + 1).alias("gap_start"),
+            (F.col("__mn") - 1).alias("gap_end"),
+        )
+    )
+    return intra.unionByName(inter).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+    )

@@ -797,27 +797,20 @@ FROM a FULL OUTER JOIN p ON a.bucket = p.bucket
 
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap detection over an id sequence (completeness audit for ingested
-    logs): non-error event ids → lag window → every hole reported as
-    (gap_start, gap_end, gap_len). One global sort over the DISTINCT id
-    projection — at scale, range-partition the ids first; the window
-    itself is the standard islands idiom."""
-    from pyspark.sql import Window
+    logs) WITHOUT a global sort: ids bucket by ``id div B``, intra-bucket
+    holes come from a bucket-PARTITIONED lag window, and cross-bucket
+    holes (including runs of entirely-missing buckets) come from the lag
+    of per-bucket (min, max) summaries — a frame B× smaller than the ids,
+    the same two-level reduction as cumulative_distinct_users. The only
+    ordered window left runs over the summary frame (n/B rows; recurse
+    the same trick if that ever stops fitting). Results are identical to
+    the single-window islands idiom (oracle unchanged)."""
     from pyspark.sql import functions as F
 
+    from aos_spark.ops.windows import sequence_gaps
+
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") != "error")
-    ids = ev.select("event_id").distinct()
-    w = Window.orderBy("event_id")
-    return (
-        ids.withColumn("__prev", F.lag("event_id").over(w))
-        .filter(
-            F.col("__prev").isNotNull() & (F.col("event_id") - F.col("__prev") > 1)
-        )
-        .select(
-            (F.col("__prev") + 1).alias("gap_start"),
-            (F.col("event_id") - 1).alias("gap_end"),
-            (F.col("event_id") - F.col("__prev") - 1).alias("gap_len"),
-        )
-    )
+    return sequence_gaps(ev, "event_id", bucket=4096)
 
 
 ORACLE_SEQUENCE_GAPS = """

@@ -179,6 +179,32 @@ def main() -> None:
     )
     timed("cohort_retention", cohort, results)
 
+    # 10. span-level dedup on the same ~1M synthetic doc corpus: 26-word
+    # docs -> 2 spans each; the every-10th near-dups share their first
+    # 20-token span, so the keeper window sees real collisions.
+    from aos_spark.llm.dedup import span_dedup_retention
+
+    timed("span_dedup_1m_docs", span_dedup_retention(docs_lsh, span=20), results)
+
+    # 11. bloom semi-join: n-row fact against an n/100-key build side —
+    # the bitset must stay O(m) regardless of n, and the probe is a scan
+    # filter (no join) ahead of the exact semi-join.
+    from aos_spark.ops.bloom import bloom_semijoin
+
+    fact = spark.range(n).select((F.col("id") * 7 % (n * 2)).alias("fk"))
+    build = spark.range(n // 100).select((F.col("id") * 14).alias("bk"))
+    timed(
+        "bloom_semijoin_fact_n",
+        bloom_semijoin(fact, "fk", build, "bk", m_bits=1 << 22).groupBy().count(),
+        results,
+    )
+
+    # 12. bigram rarity at ~1M docs: the occurrence explode (~25M rows)
+    # and the zipfian-hot count join are the stress points.
+    from aos_spark.llm.text import bigram_rarity
+
+    timed("bigram_rarity_1m_docs", bigram_rarity(docs_lsh), results)
+
     print(json.dumps({"rows": n, "timings": results}))
 
 

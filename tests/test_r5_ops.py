@@ -232,3 +232,73 @@ def test_quality_decile_shards_ordered(spark, sf_dir):
         # decile k's worst quality is >= decile k+1's best quality
         for a, b in zip(shard_rows, shard_rows[1:]):
             assert a["min_quality"] >= b["max_quality"] - 1e-9
+
+
+# ------------------------------------------------------- two-level gap scan
+def test_sequence_gaps_two_level_equals_naive(spark):
+    from pyspark.sql import Window
+
+    from aos_spark.ops.windows import sequence_gaps
+
+    # ids with: intra-bucket gap (3..4 missing), cross-bucket gap spanning
+    # two entirely-missing buckets (25..49 missing at bucket=10), and a
+    # boundary-adjacent gap (60 present, 59 missing)
+    present = [0, 1, 2, 5, 8, 9, 10, 11, 24, 50, 52, 58, 60, 61]
+    df = spark.createDataFrame([(i,) for i in present], ["event_id"])
+    got = {
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in sequence_gaps(df, "event_id", bucket=10).collect()
+    }
+    w = Window.orderBy("event_id")
+    naive = {
+        (r["gs"], r["ge"], r["ge"] - r["gs"] + 1)
+        for r in df.select(
+            (F.lag("event_id").over(w) + 1).alias("gs"),
+            (F.col("event_id") - 1).alias("ge"),
+        )
+        .filter(F.col("gs").isNotNull() & (F.col("ge") >= F.col("gs")))
+        .collect()
+    }
+    assert got == naive
+    assert (25, 49, 25) in got  # the multi-missing-bucket hole
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    build = spark.createDataFrame([(1,), (None,), (2,)], schema)
+    bits = bloom_build(build, "k", m_bits=1 << 10)
+    probe = spark.createDataFrame([(1,), (2,), (999,)], schema).filter(
+        bloom_might_contain(F.col("k"), bits)
+    )
+    assert {r["k"] for r in probe.collect()} >= {1, 2}
+
+
+def test_bloom_empty_build_prunes_everything(spark):
+    build = spark.range(0).withColumnRenamed("id", "k")
+    bits = bloom_build(build, "k", m_bits=1 << 10)
+    assert all(w == 0 for w in bits)
+    assert spark.range(100).filter(
+        bloom_might_contain(F.col("id"), bits)
+    ).count() == 0
+
+
+# ------------------------------------------------------- compression ratio
+def test_compression_ratio_separates_repetitive_text(spark):
+    import zlib
+
+    from aos_spark.llm.text import compression_ratio
+
+    rep = "spam " * 200
+    prose = " ".join(f"word{i} mixes with token{i*7%13}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, None), (4, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    # deterministic: matches local zlib level 6 exactly
+    raw = rep.encode()
+    assert out[1] == len(zlib.compress(raw, 6)) / len(raw)
+    assert out[1] < 0.1          # degenerate text crushes
+    assert out[2] > out[1] * 3   # varied prose compresses far less
+    assert out[3] is None and out[4] is None
