@@ -302,3 +302,23 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert out[1] < 0.1          # degenerate text crushes
     assert out[2] > out[1] * 3   # varied prose compresses far less
     assert out[3] is None and out[4] is None
+
+
+# ------------------------------------------------------- empty-input safety
+def test_r5_ops_empty_corpus(spark):
+    from aos_spark.llm.text import compression_ratio
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert span_dedup_retention(empty).count() == 0
+    assert bigram_rarity(empty).count() == 0
+    assert compression_ratio(empty).count() == 0
+    assert mixture_plan(empty, {"en": 1.0}, domain_col="lang").count() == 0
+
+
+def test_sequence_gaps_empty_and_single(spark):
+    from aos_spark.ops.windows import sequence_gaps
+
+    empty = spark.createDataFrame([], "event_id long")
+    assert sequence_gaps(empty).count() == 0
+    one = spark.createDataFrame([(5,)], ["event_id"])
+    assert sequence_gaps(one).count() == 0
