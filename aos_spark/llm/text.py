@@ -428,6 +428,14 @@ def bigram_rarity(
     zipfian-hot (stop-bigram heads), which is exactly the AQE skew-join
     case: the plan relies on adaptive skew splitting rather than salting
     because the hot side is the SMALL aggregated table, not the fan-out.
+
+    A one-shuffle variant (corpus_freq as count().over(Window.partitionBy
+    (g))) measured ~2× faster warm at 250k unskewed synthetic docs
+    (6.9 s vs 14.4 s) but is rejected for the default: a window cannot be
+    skew-split, so one stop-bigram with 10⁹ occurrences serializes onto a
+    single task at corpus scale, while the join path AQE-splits it. The
+    join formulation trades local wall-clock for the shape that survives
+    zipfian text at 100 TB.
     """
     toks = df.select(
         id_col,
