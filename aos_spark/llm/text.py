@@ -8,7 +8,6 @@ and runs as an Arrow-batched pandas UDF (the sanctioned Python tier).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -481,11 +480,11 @@ def compression_ratio(
     zero shuffle: the signal is a pure projection."""
     import zlib
 
+    import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
-    @pandas_udf(DoubleType())
-    def _ratio(texts: pd.Series) -> pd.Series:
+    def _kernel(texts):
         def one(t):
             if t is None:
                 return None
@@ -495,6 +494,12 @@ def compression_ratio(
             return len(zlib.compress(raw, 6)) / len(raw)
 
         return texts.map(one)
+
+    # real class objects (not strings) so pandas_udf's hint inference works
+    # without a module-level pandas import — this module stays importable
+    # pandas-free for its pure-Catalyst operators
+    _kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_kernel, DoubleType())
 
     return df.select(
         id_col, _ratio(F.col(text_col)).alias("compression_ratio")

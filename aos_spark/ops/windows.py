@@ -128,8 +128,13 @@ def sequence_gaps(
     ordered window left runs over that summary (n/bucket rows; recurse
     the trick if it ever stops fitting). Output (gap_start, gap_end,
     gap_len) is identical to the single-global-window islands idiom."""
+    # exact integer floor-division: subtract the (always non-negative)
+    # pmod first so `div` truncation equals floor for any sign, and no
+    # value ever routes through double (floor(id/bucket) misassigns
+    # buckets for ids above 2^53)
     ids = df.select(id_col).distinct().withColumn(
-        "__b", F.floor(F.col(id_col) / bucket)
+        "__b",
+        F.expr(f"({id_col} - pmod({id_col}, {bucket})) div {bucket}"),
     )
     wv = Window.partitionBy("__b").orderBy(id_col)
     intra = (

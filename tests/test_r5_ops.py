@@ -322,3 +322,17 @@ def test_sequence_gaps_empty_and_single(spark):
     assert sequence_gaps(empty).count() == 0
     one = spark.createDataFrame([(5,)], ["event_id"])
     assert sequence_gaps(one).count() == 0
+
+
+def test_bloom_join_tier_matches_exact(spark):
+    from aos_spark.ops.bloom import LITERAL_MAX_BITS
+
+    fact = spark.range(0, 5000).select(F.col("id").alias("fk"))
+    build = spark.range(0, 5000, 3).select(F.col("id").alias("bk"))
+    m = LITERAL_MAX_BITS * 4  # force the broadcast-join tier
+    got = bloom_semijoin(fact, "fk", build, "bk", m_bits=m)
+    expected = fact.join(
+        build.withColumnRenamed("bk", "fk"), "fk", "left_semi"
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
