@@ -338,3 +338,107 @@ R5_QUERIES.update(
     }
 )
 R5_ORACLES.update(_curation_oracles())
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import pq as PQ
+
+    return PQ.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import pq as PQ
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return PQ.pq_topk(e, queries, top_k=10)
+
+
+def _pq_sql_parts(dim: int = 64, n_sub: int = 8, k: int = 16, seed: int = 9):
+    """Shared SQL fragments mirroring llm/pq.py's arithmetic exactly:
+    identical literals (repr), identical expression trees, DECIMAL
+    fragment accumulation."""
+    from aos_spark.llm.pq import _sq_norm, pq_codebooks
+
+    books = pq_codebooks(dim, n_sub, k, seed)
+    sub_dim = dim // n_sub
+
+    def sub(j: str | int) -> str:
+        if isinstance(j, int):
+            return f"v[{j * sub_dim + 1}:{j * sub_dim + sub_dim}]"
+        return f"qv[{j}*{sub_dim}+1 : {j}*{sub_dim}+{sub_dim}]"
+
+    def lst(cent: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+
+    code_cols = []
+    for j, book in enumerate(books):
+        cands = ", ".join(
+            f"[(-2.0 * list_dot_product({sub(j)}, {lst(cent)})) + CAST({_sq_norm(cent)!r} AS DOUBLE), "
+            f"CAST({c} AS DOUBLE)]"
+            for c, cent in enumerate(book)
+        )
+        code_cols.append(
+            f"CAST(list_sort([{cands}])[1][2] AS INTEGER) AS code_{j}"
+        )
+    codes_sql = (
+        "SELECT vec_id, " + ",\n       ".join(code_cols)
+        + " FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    )
+
+    frag_values = ",\n    ".join(
+        f"({j}, {c}, {lst(cent)}, CAST({_sq_norm(cent)!r} AS DOUBLE))"
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    )
+    return codes_sql, frag_values, sub
+
+
+def _pq_encode_oracle() -> str:
+    codes_sql, _, _ = _pq_sql_parts()
+    return codes_sql
+
+
+def _pq_topk_oracle(top_k: int = 10) -> str:
+    codes_sql, frag_values, sub = _pq_sql_parts()
+    return f"""
+WITH codes AS ({codes_sql}),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+frag AS (
+  SELECT q.query_id, v.j, v.c,
+         CAST((list_dot_product({sub('v.j')}, {sub('v.j')})
+               - 2.0 * list_dot_product({sub('v.j')}, v.cent)) + v.cc
+              AS DECIMAL(28,12)) AS d
+  FROM q, (VALUES
+    {frag_values}) v(j, c, cent, cc)),
+ex AS (
+  SELECT vec_id AS neighbor_id, u.j,
+         CASE u.j {' '.join(f'WHEN {j} THEN code_{j}' for j in range(8))} END AS c
+  FROM codes, UNNEST(range(0, 8)) u(j)),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(SUM(d) AS DOUBLE), 6) AS approx_dist
+  FROM ex JOIN frag USING (j, c)
+  GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, approx_dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY approx_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {top_k}
+"""
+
+
+R5_QUERIES.update(
+    {
+        "embedding_pq_encode": q_pq_encode,
+        "sim_pq_topk": q_pq_topk,
+    }
+)
+R5_ORACLES.update(
+    {
+        "embedding_pq_encode": _pq_encode_oracle(),
+        "sim_pq_topk": _pq_topk_oracle(),
+    }
+)
