@@ -111,6 +111,7 @@ def pq_encode(
     seed: int = 9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Encode vectors to (id, code_0..code_{n_sub-1}): per subspace, the
     nearest-centroid id by squared L2 (compared as ``-2<x,c> + ||c||²``,
@@ -127,9 +128,13 @@ def pq_encode(
     aggregates in ONE id-keyed groupBy (partial aggregation shrinks the
     exchange to one row per id per partition). One narrow shuffle bought
     full codegen: 1.2 s warm at the same size. Distance arithmetic is
-    left-associated, bit-identical to the oracle's list_dot_product."""
+    left-associated, bit-identical to the oracle's list_dot_product.
+
+    Pass ``books`` (e.g. per-subspace ``llm.cluster.kmeans_fit`` output)
+    to use trained codebooks instead of the deterministic default — the
+    plan shape is identical; only the broadcast table's values change."""
     spark = df.sparkSession
-    books = pq_codebooks(dim, n_sub, k, seed)
+    books = books if books is not None else pq_codebooks(dim, n_sub, k, seed)
     sub_dim = dim // n_sub
     cent_df = _centroid_df(spark, books, sub_dim)
     subs = _subvectors(df, id_col, vec_col, n_sub, sub_dim)

@@ -12,6 +12,11 @@ operators the earlier rounds had not yet covered as gate queries.
   codegen'd front half of sketch-based ANN/dedup (llm/similarity).
 - **domain_mixture_plan** — DoReMi/Pile-style domain re-weighting plan
   (llm/sampling.mixture_plan).
+- **per_source_cap / token_budget_selection / quality_decile_shards** —
+  curation policies over the shared quality-score front, all with
+  source/language-partitioned windows (no global sort).
+- **embedding_pq_encode / sim_pq_topk** — product quantization with
+  deterministic codebooks (llm/pq): relational encode + ADC top-k.
 
 Determinism follows the repo contract: integer counts cast to BIGINT in
 oracles, decimal accumulation for money sums, ROUND(x, 6) for float

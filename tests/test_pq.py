@@ -77,3 +77,34 @@ def test_pq_topk_ranks_are_dense_and_bounded(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, 11))
+
+
+def test_pq_encode_accepts_trained_codebooks(spark, sf_dir):
+    """Trained (here: data-derived) codebooks plug into the same plan:
+    centroids taken from actual corpus subvectors give zero quantization
+    error for the donor vectors' own subspaces."""
+    # filter (not limit) so the frame re-evaluates to the same 8 rows
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 8
+    )
+    rows = emb.collect()
+    # build each subspace's codebook from the 8 donor subvectors
+    books = [
+        [
+            [float(x) for x in r["embedding"][j * 8 : (j + 1) * 8]]
+            for r in rows
+        ]
+        for j in range(8)
+    ]
+    got = {
+        r["vec_id"]: r
+        for r in pq_encode(emb, k=8, books=books).collect()
+    }
+    # donor i's nearest centroid in every subspace is its own subvector
+    # (distance 0), modulo duplicate subvectors which tie to the lowest id
+    for i, r in enumerate(rows):
+        codes = [got[r["vec_id"]][f"code_{j}"] for j in range(8)]
+        for j, c in enumerate(codes):
+            assert books[j][c] == [
+                float(x) for x in r["embedding"][j * 8 : (j + 1) * 8]
+            ]
