@@ -163,16 +163,20 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """ADC top-k: approximate squared-L2 distance between each query and
     every encoded corpus vector as Σ_j ||q_j − c(code_j)||², from
-    per-(query, subspace, code) distance fragments.
+    per-(query, subspace, code) distance fragments. Pass ``books`` for
+    trained codebooks — the SAME books drive both the corpus encode and
+    the query fragments (mixing trained and default books would silently
+    score against the wrong centroids).
 
     The fragments frame is tiny (|Q|·n_sub·k rows) and BROADCASTS; the
     corpus side is its exploded code list (n_sub skinny rows per vector),
     map-side joined, then aggregated per (query, vector) — one shuffle
     whose payload is two ids and a double, regardless of dim."""
-    books = pq_codebooks(dim, n_sub, k, seed)
+    books = books if books is not None else pq_codebooks(dim, n_sub, k, seed)
     sub_dim = dim // n_sub
     # Fragments are RELATIONAL for the same reason as pq_encode — an
     # earlier version inlined all n_sub·k fragment expressions into one
@@ -197,7 +201,7 @@ def pq_topk(
         .select(query_id_col, "j", "c", "d")
     )
 
-    codes = pq_encode(corpus, dim, n_sub, k, seed, vec_col, id_col)
+    codes = pq_encode(corpus, dim, n_sub, k, seed, vec_col, id_col, books=books)
     exploded = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(

@@ -128,13 +128,18 @@ def sequence_gaps(
     ordered window left runs over that summary (n/bucket rows; recurse
     the trick if it ever stops fitting). Output (gap_start, gap_end,
     gap_len) is identical to the single-global-window islands idiom."""
-    # exact integer floor-division: subtract the (always non-negative)
-    # pmod first so `div` truncation equals floor for any sign, and no
-    # value ever routes through double (floor(id/bucket) misassigns
-    # buckets for ids above 2^53)
+    # exact integer floor-division for the FULL long range: truncating
+    # `div` minus one when the (truncated, sign-following) remainder is
+    # negative. Never routes through double (floor(id/bucket) misassigns
+    # buckets above 2^53) and never forms id - pmod(id, bucket), which
+    # can underflow past Long.MIN_VALUE for ids in the lowest partial
+    # bucket of a non-power-of-two bucket size.
     ids = df.select(id_col).distinct().withColumn(
         "__b",
-        F.expr(f"({id_col} - pmod({id_col}, {bucket})) div {bucket}"),
+        F.expr(
+            f"({id_col} div {bucket})"
+            f" - (CASE WHEN {id_col} % {bucket} < 0 THEN 1 ELSE 0 END)"
+        ),
     )
     wv = Window.partitionBy("__b").orderBy(id_col)
     intra = (

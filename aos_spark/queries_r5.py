@@ -342,7 +342,10 @@ R5_QUERIES.update(
         "quality_decile_shards": q_quality_decile_shards,
     }
 )
-R5_ORACLES.update(_curation_oracles())
+# NOTE: _curation_oracles() imports aos_spark.queries — on a DIRECT
+# import of this module that re-enters here circularly and queries.py
+# snapshots R5_QUERIES mid-initialization, so EVERY query registration
+# must happen before that call; it lives at the BOTTOM of this file.
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,3 +450,6 @@ R5_ORACLES.update(
         "sim_pq_topk": _pq_topk_oracle(),
     }
 )
+# LAST: triggers the circular import of aos_spark.queries (see the NOTE
+# above) — all R5_QUERIES entries must already be registered by now
+R5_ORACLES.update(_curation_oracles())

@@ -187,19 +187,19 @@ def main() -> None:
     timed("span_dedup_1m_docs", span_dedup_retention(docs_lsh, span=20), results)
 
     # 11. bloom semi-join: n-row fact against an n/100-key build side —
-    # the bitset must stay O(m) regardless of n, and the probe is a scan
-    # filter (no join) ahead of the exact semi-join. bloom_build's eager
-    # aggregate runs at construction, so construct INSIDE the clock: the
-    # build phase is exactly what this entry exists to measure.
+    # the bitset must stay O(m) regardless of n. m=2^22 dispatches to the
+    # broadcast-join probe tier, a fully LAZY plan (no eager bitset
+    # collect — that is the ≤2^17 literal tier), so the standard timed()
+    # wrapper measures build + probe + verify end-to-end.
     from aos_spark.ops.bloom import bloom_semijoin
 
     fact = spark.range(n).select((F.col("id") * 7 % (n * 2)).alias("fk"))
     build = spark.range(n // 100).select((F.col("id") * 14).alias("bk"))
-    t0 = time.time()
-    bloom_semijoin(fact, "fk", build, "bk", m_bits=1 << 22).groupBy().count(
-    ).write.format("noop").mode("overwrite").save()
-    results["bloom_semijoin_fact_n"] = round(time.time() - t0, 2)
-    print(f"bloom_semijoin_fact_n: {results['bloom_semijoin_fact_n']}s", file=sys.stderr)
+    timed(
+        "bloom_semijoin_fact_n",
+        bloom_semijoin(fact, "fk", build, "bk", m_bits=1 << 22).groupBy().count(),
+        results,
+    )
 
     # 12. bigram rarity at ~1M docs: the occurrence explode (~25M rows)
     # and the zipfian-hot count join are the stress points.
