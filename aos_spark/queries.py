@@ -3256,7 +3256,7 @@ _R5_FRONT = [
     "span_dedup_retention", "bloom_semijoin_prune", "lm_bigram_rarity",
     "embedding_random_projection", "domain_mixture_plan",
     "per_source_cap", "token_budget_selection", "quality_decile_shards",
-    "embedding_pq_encode", "sim_pq_topk",
+    "embedding_pq_encode", "sim_pq_topk", "semantic_dedup",
 ]
 assert set(_R5_FRONT) <= set(QUERIES), sorted(set(_R5_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _R5_FRONT} | {

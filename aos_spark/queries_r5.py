@@ -450,6 +450,42 @@ R5_ORACLES.update(
         "sim_pq_topk": _pq_topk_oracle(),
     }
 )
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import dedup as D
+
+    return D.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_clusters=8
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, v AS cvec, vnorm AS cnorm
+  FROM vecs ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, v, vnorm, centroid_id FROM (
+    SELECT x.vec_id, x.v, x.vnorm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.cvec) / (x.vnorm * c.cnorm) DESC,
+                      c.centroid_id) AS rn
+    FROM vecs x CROSS JOIN cents c) WHERE rn = 1),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b USING (centroid_id)
+  WHERE b.vec_id < a.vec_id
+    AND ROUND(list_dot_product(a.v, b.v) / (a.vnorm * b.vnorm), 6) >= 0.25)
+SELECT a.vec_id, a.centroid_id AS cluster_id,
+       d.vec_id IS NULL AS keep
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
+R5_QUERIES.update({"semantic_dedup": q_semantic_dedup})
+R5_ORACLES.update({"semantic_dedup": ORACLE_SEMANTIC_DEDUP})
 # LAST: triggers the circular import of aos_spark.queries (see the NOTE
 # above) — all R5_QUERIES entries must already be registered by now
 R5_ORACLES.update(_curation_oracles())

@@ -336,3 +336,44 @@ def test_bloom_join_tier_matches_exact(spark):
     )
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+# ------------------------------------------------------- semantic dedup
+def test_semantic_dedup_drops_higher_id_near_dup(spark):
+    from aos_spark.llm.dedup import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.99, 0.01, 0.0, 0.0]     # cosine ~1 with base
+    far = [0.0, 0.0, 1.0, 0.0]        # orthogonal
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["vec_id", "embedding"]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, threshold=0.9, n_clusters=1).collect()
+    }
+    assert out[0]["keep"] is True     # lowest id always survives
+    assert out[1]["keep"] is False    # near-dup of a lower id
+    assert out[2]["keep"] is True     # far vector untouched
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    from aos_spark.llm.dedup import semantic_dedup
+
+    # vec 2 is a near-dup of vec 0, but with 2 clusters seeded by vecs
+    # 0 and 1, vec 2 lands with vec 0 and IS dropped; vec 3 (near vec 1)
+    # lands with vec 1 and is dropped there — each only compared within
+    # its own cluster
+    v0 = [1.0, 0.0]
+    v1 = [0.0, 1.0]
+    df = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, [0.999, 0.01]), (3, [0.01, 0.999])],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, threshold=0.9, n_clusters=2).collect()
+    }
+    assert out[2]["cluster_id"] == 0 and out[2]["keep"] is False
+    assert out[3]["cluster_id"] == 1 and out[3]["keep"] is False
+    assert out[0]["keep"] is True and out[1]["keep"] is True
