@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 VIEW_PARTITION_COLS = ["country", "track_id", "forecast_compact", "wind_threshold"]
 
@@ -213,3 +214,64 @@ def export_filename_compat(
             sub.write.mode("overwrite").parquet(target)
         written.append(target)
     return written
+
+
+def write_training_shards(
+    df,
+    path: str,
+    tokens_per_shard: int = 100_000,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    n_buckets: int = 8,
+):
+    """Write a curated corpus as token-budgeted TRAINING SHARDS — the
+    final hop of the dedup→filter→pack pipeline, producing the partition
+    layout a trainer's data loader consumes (one directory per shard,
+    each holding ~``tokens_per_shard`` tokens).
+
+    Shard ids are two-level and fully deterministic: an md5 hash bucket
+    (llm.sampling.hash_bucket — reproducible, never RNG) spreads
+    documents across ``n_buckets`` independent streams, and a
+    bucket-partitioned cumulative token sum splits each stream every
+    ``tokens_per_shard`` tokens — shard = bucket * 10^6 + slice. The
+    cumulative window is PARTITIONED (the same scale rule as
+    llm.packing.pack_into_chunks): no global sort, and n_buckets bounds
+    the per-task sequential scan, so pick n_buckets ≈ corpus_tokens /
+    (a few hundred M) at scale. A shard may overshoot its budget by at
+    most one document (documents are never split across shards).
+
+    Returns the per-shard manifest (shard, n_docs, n_tokens) — also
+    written to ``<path>/_manifest`` — and writes the data partitioned by
+    ``shard`` with dynamic partition overwrite (idempotent re-runs)."""
+    from pyspark.sql import Window
+
+    from aos_spark.llm.sampling import hash_bucket
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_count_col).cast("long")).over(w)
+    sharded = (
+        df.withColumn("__bucket", hash_bucket(id_col, n_buckets, "shard"))
+        # a document's shard is decided by its FIRST token's offset
+        .withColumn("__start", cum - F.col(token_count_col).cast("long"))
+        .withColumn(
+            "shard",
+            F.col("__bucket").cast("long") * 1_000_000
+            + F.expr(f"__start div {tokens_per_shard}"),
+        )
+        .drop("__bucket", "__start")
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_count_col).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest

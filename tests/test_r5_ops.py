@@ -377,3 +377,40 @@ def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
     assert out[2]["cluster_id"] == 0 and out[2]["keep"] is False
     assert out[3]["cluster_id"] == 1 and out[3]["keep"] is False
     assert out[0]["keep"] is True and out[1]["keep"] is True
+
+
+# ------------------------------------------------------- shard writer
+def test_write_training_shards_budget_and_manifest(spark, tmp_path):
+    from aos_spark.io.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + (i % 5)) for i in range(200)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, tokens_per_shard=300).collect()
+    assert sum(r["n_docs"] for r in manifest) == 200
+    # budget: overshoot bounded by one document (max doc = 14 tokens)
+    for r in manifest:
+        assert r["n_tokens"] <= 300 + 14
+    # round-trip: partition layout readable, doc set complete, and the
+    # recomputed per-shard sums match the manifest
+    back = spark.read.parquet(path.rstrip("/") + "/shard=*")
+    assert back.count() == 200
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(f"{path}/_manifest").collect()
+    }
+    assert got == {r["shard"]: (r["n_docs"], r["n_tokens"]) for r in manifest}
+
+
+def test_write_training_shards_idempotent(spark, tmp_path):
+    from aos_spark.io.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(50)], ["doc_id", "n_tokens"]
+    )
+    path = str(tmp_path / "shards2")
+    m1 = {r["shard"]: r["n_tokens"] for r in write_training_shards(df, path, 100).collect()}
+    m2 = {r["shard"]: r["n_tokens"] for r in write_training_shards(df, path, 100).collect()}
+    assert m1 == m2
