@@ -1,0 +1,62 @@
+"""Partitioning-invariance: the determinism contract (decimal
+accumulation, single final divisions, ROUND'd dot products) claims query
+results are independent of physical partitioning. This runs the most
+float-sensitive gate queries under two different shuffle-partition
+settings and requires BIT-IDENTICAL rows — the failure mode it guards is
+an order-dependent double SUM whose result drifts with partial-
+aggregation grouping, which the DuckDB oracle can miss whenever one
+Spark layout happens to match DuckDB's summation order."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from aos_spark.cache import release_tracked
+from aos_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# every query here emits unrounded-or-aggregated doubles somewhere in
+# its output — the surface where partial-agg order could leak
+FLOAT_SENSITIVE = [
+    "q1_pricing_summary",
+    "stats_correlation",
+    "a1_a2_probability_expected",
+    "lm_bigram_rarity",
+    "token_budget_selection",
+    "sim_pq_topk",
+    "incremental_agg_merge",
+    "domain_mixture_plan",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.select(*cols).collect():
+        key = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                key.append(math.nan if v != v else v.hex())
+            else:
+                key.append(repr(v))
+        rows.append(tuple(key))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_result_is_partitioning_invariant(spark, name):
+    fn = QUERIES[name]
+    out = {}
+    for parts in ("3", "13"):
+        release_tracked()
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            out[parts] = _canon(fn(spark, SF))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert out["3"] == out["13"], f"{name} drifts with partitioning"
