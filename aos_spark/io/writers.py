@@ -232,46 +232,64 @@ def write_training_shards(
     Shard ids are two-level and fully deterministic: an md5 hash bucket
     (llm.sampling.hash_bucket — reproducible, never RNG) spreads
     documents across ``n_buckets`` independent streams, and a
-    bucket-partitioned cumulative token sum splits each stream every
-    ``tokens_per_shard`` tokens — shard = bucket * 10^6 + slice. The
-    cumulative window is PARTITIONED (the same scale rule as
-    llm.packing.pack_into_chunks): no global sort, and n_buckets bounds
-    the per-task sequential scan, so pick n_buckets ≈ corpus_tokens /
-    (a few hundred M) at scale. A shard may overshoot its budget by at
-    most one document (documents are never split across shards).
+    bucket-partitioned cumulative token sum (the SHARED mechanism
+    llm.packing.bucketed_token_offsets — one algorithm, two callers)
+    splits each stream every ``tokens_per_shard`` tokens — shard =
+    bucket·2^40 + slice, collision-free for any realistic setting (a
+    bucket would need 2^40 slices to wrap). No global sort; n_buckets
+    bounds the per-task sequential scan, so pick n_buckets ≈
+    corpus_tokens / (a few hundred M) at scale. A shard may overshoot
+    its budget by at most one document (documents are never split).
+    Any pre-existing ``shard`` column on the input (e.g. from
+    pack_into_chunks, which salts differently) is REPLACED.
 
-    Returns the per-shard manifest (shard, n_docs, n_tokens) — also
-    written to ``<path>/_manifest`` — and writes the data partitioned by
-    ``shard`` with dynamic partition overwrite (idempotent re-runs)."""
-    from pyspark.sql import Window
+    The write is a full SNAPSHOT: static partition overwrite (forced
+    per-write, overriding the session's dynamic mode) truncates the
+    whole path first, so a re-run over a SHRUNKEN corpus cannot leave
+    stale trailing shard directories disagreeing with the manifest.
+    Returns the per-shard manifest (shard, n_docs, n_tokens), also
+    written to ``<path>/_manifest``; both the data write and the
+    manifest read the SAME persisted frame, so the expensive
+    bucket+window pass runs once and the manifest always describes the
+    files actually written."""
+    from aos_spark.llm.packing import bucketed_token_offsets
 
-    from aos_spark.llm.sampling import hash_bucket
-
-    w = (
-        Window.partitionBy("__bucket")
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded = bucketed_token_offsets(
+        df,
+        id_col,
+        n_buckets,
+        "shard",
+        token_count_col=F.col(token_count_col),
     )
-    cum = F.sum(F.col(token_count_col).cast("long")).over(w)
+    # a document's shard is decided by its FIRST token's offset
     sharded = (
-        df.withColumn("__bucket", hash_bucket(id_col, n_buckets, "shard"))
-        # a document's shard is decided by its FIRST token's offset
-        .withColumn("__start", cum - F.col(token_count_col).cast("long"))
-        .withColumn(
+        sharded.withColumn(
             "shard",
-            F.col("__bucket").cast("long") * 1_000_000
-            + F.expr(f"__start div {tokens_per_shard}"),
+            F.col("__bucket").cast("long") * (1 << 40)
+            + F.expr(f"__tok_start div {tokens_per_shard}"),
         )
-        .drop("__bucket", "__start")
+        .drop("__bucket", "__tok_start", "__tok_end")
+        .persist()
     )
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
-    manifest = (
-        sharded.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col(token_count_col).cast("long")).alias("n_tokens"),
+    try:
+        (
+            sharded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("shard")
+            .parquet(path)
         )
-        .orderBy("shard")
-    )
-    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
-    return manifest
+        manifest = (
+            sharded.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(token_count_col).cast("long")).alias("n_tokens"),
+            )
+            .orderBy("shard")
+        )
+        manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+        # materialize the return value off the cache before releasing it
+        rows = manifest.collect()
+    finally:
+        sharded.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, manifest.schema)

@@ -146,3 +146,38 @@ def sliding_window_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def bucketed_token_offsets(
+    df: DataFrame,
+    id_col: str,
+    n_buckets: int,
+    salt: str,
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """The shared bucket-stream mechanism behind pack_into_chunks and
+    io.writers.write_training_shards: md5 hash-bucket each row into one
+    of ``n_buckets`` independent streams, then a bucket-PARTITIONED
+    cumulative token sum ordered by id. Returns the input columns plus
+    (__bucket, __tok_start, __tok_end) — integer arithmetic end-to-end
+    (exact past 2^53 tokens/stream, unlike a double divide), one shuffle.
+    """
+    n_tokens = (
+        token_count_col
+        if token_count_col is not None
+        else F.col("n_tokens")
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.withColumn(
+        "__bucket", hash_bucket(id_col, n_buckets, salt)
+    ).withColumn("__n_tok", n_tokens.cast("long"))
+    cum = F.sum("__n_tok").over(w)
+    return (
+        base.withColumn("__tok_end", cum)
+        .withColumn("__tok_start", F.col("__tok_end") - F.col("__n_tok"))
+        .drop("__n_tok")
+    )

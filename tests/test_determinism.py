@@ -9,8 +9,6 @@ Spark layout happens to match DuckDB's summation order."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 from aos_spark.cache import release_tracked
@@ -40,7 +38,8 @@ def _canon(df):
         for c in cols:
             v = r[c]
             if isinstance(v, float):
-                key.append(math.nan if v != v else v.hex())
+                # strings only — a mixed NaN/hex column must stay sortable
+                key.append("nan" if v != v else v.hex())
             else:
                 key.append(repr(v))
         rows.append(tuple(key))
@@ -51,6 +50,7 @@ def _canon(df):
 def test_result_is_partitioning_invariant(spark, name):
     fn = QUERIES[name]
     out = {}
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     for parts in ("3", "13"):
         release_tracked()
         spark.catalog.clearCache()
@@ -58,5 +58,5 @@ def test_result_is_partitioning_invariant(spark, name):
         try:
             out[parts] = _canon(fn(spark, SF))
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert out["3"] == out["13"], f"{name} drifts with partitioning"

@@ -414,3 +414,22 @@ def test_write_training_shards_idempotent(spark, tmp_path):
     m1 = {r["shard"]: r["n_tokens"] for r in write_training_shards(df, path, 100).collect()}
     m2 = {r["shard"]: r["n_tokens"] for r in write_training_shards(df, path, 100).collect()}
     assert m1 == m2
+
+
+def test_write_training_shards_snapshot_on_shrunken_rerun(spark, tmp_path):
+    """A re-run over a smaller corpus must not leave stale trailing
+    shard directories from the earlier, larger run (static-overwrite
+    snapshot semantics)."""
+    from aos_spark.io.writers import write_training_shards
+
+    path = str(tmp_path / "shards3")
+    big = spark.createDataFrame([(i, 50) for i in range(100)], ["doc_id", "n_tokens"])
+    write_training_shards(big, path, tokens_per_shard=100)
+    small = spark.createDataFrame([(i, 50) for i in range(10)], ["doc_id", "n_tokens"])
+    manifest = write_training_shards(small, path, tokens_per_shard=100).collect()
+    back = spark.read.parquet(path)
+    assert back.count() == 10
+    assert sum(r["n_docs"] for r in manifest) == 10
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {
+        r["shard"] for r in manifest
+    }
