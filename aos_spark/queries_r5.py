@@ -17,6 +17,8 @@ operators the earlier rounds had not yet covered as gate queries.
   source/language-partitioned windows (no global sort).
 - **embedding_pq_encode / sim_pq_topk** — product quantization with
   deterministic codebooks (llm/pq): relational encode + ADC top-k.
+- **semantic_dedup** — SemDeDup cluster-then-prune over the IVF
+  machinery (llm/dedup.semantic_dedup).
 
 Determinism follows the repo contract: integer counts cast to BIGINT in
 oracles, decimal accumulation for money sums, ROUND(x, 6) for float

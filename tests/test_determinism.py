@@ -27,6 +27,8 @@ FLOAT_SENSITIVE = [
     "sim_pq_topk",
     "incremental_agg_merge",
     "domain_mixture_plan",
+    "semantic_dedup",
+    "span_dedup_retention",
 ]
 
 
