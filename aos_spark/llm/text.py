@@ -504,3 +504,64 @@ def compression_ratio(
     return df.select(
         id_col, _ratio(F.col(text_col)).alias("compression_ratio")
     )
+
+
+def postings_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and a CAPPED, sorted posting list — the search-/
+    dedup-serving sibling of tf-idf (same `[^a-z0-9]+` tokenizer as the
+    shingle pipelines).
+
+    Scale discipline: a hot term's postings are capped BEFORE
+    materialization — a term-partitioned row_number window keeps only the
+    ``max_postings`` lowest doc ids, so no aggregation ever builds an
+    array proportional to corpus size (a naive collect_list of a
+    stop-word's postings is a single-task OOM at 100 TB). df / tf stay
+    exact over ALL occurrences; only the sample list is capped, and the
+    cap is part of the operator contract (mirrored by the oracle).
+
+    Physical shape: explode → (term, doc) partial-agg'd count → one
+    term-keyed window + one term-keyed agg on the same partitioning.
+    Output: term, df, tf_total (BIGINT), postings (comma-joined string —
+    strings, not arrays, so results hash across engines).
+    """
+    from pyspark.sql import Window
+
+    occ = df.select(
+        id_col,
+        F.explode(
+            F.array_remove(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+            )
+        ).alias("term"),
+    )
+    per_doc = occ.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term").orderBy(id_col)
+    capped = per_doc.withColumn("__rn", F.row_number().over(w))
+    return (
+        capped.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= max_postings, F.col(id_col)
+                            )
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

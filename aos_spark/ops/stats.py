@@ -78,3 +78,116 @@ def grouped_correlation(
     the exact moments."""
     moments = df.groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
     return derive_stats(moments)
+
+
+def lagged_autocorrelation(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lag: int = 1,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group lag-``k`` autocorrelation of an ordered series, built
+    from the same exact decimal moments as :func:`grouped_correlation`.
+
+    Pairs (xₜ, xₜ₋ₖ) come from ONE group-partitioned ``lag`` window (the
+    series must already be one row per ``order_col`` value per group);
+    the moment aggregate then reuses the deterministic machinery above,
+    so the autocorrelation is bit-identical on any partitioning and in
+    any engine following the same formula. Physical shape: one key-hash
+    shuffle shared by the window and the moment agg (same partitioning —
+    Catalyst elides the second exchange).
+
+    Note the same magnitude caveat as ``moment_aggs``: values are
+    accumulated as DECIMAL(18, scale), so per-row magnitudes must stay
+    under 10^(18-scale); pre-scale wider series before calling.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    lagged = df.withColumn("__prev", F.lag(value_col, lag).over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    return grouped_correlation(lagged, group_cols, value_col, "__prev", scale)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier screening via median absolute deviation:
+    flag rows where |x − median| > k · MAD, with both the median and the
+    MAD computed EXACTLY by the repo's rank-and-interpolate pattern
+    (see q_percentile_cont) — never an engine-native approximate
+    quantile, whose tie conventions differ across engines.
+
+    Two group-partitioned ranking windows (values, then deviations),
+    two broadcast-sized per-group stat frames joined back, one final
+    rollup — every shuffle is keyed by the group columns, nothing is
+    globally sorted. Every derived number is a fixed sequence of IEEE754
+    ops on identical operands in any engine, so the outlier rule
+    (including boundary cases) is deterministic. The deviation frame
+    feeds three consumers (the MAD ranking, the flag join, the rollup),
+    so it is persisted via the repo's tracked cache — without it the
+    fact scans 4×; with it, once (callers release via
+    ``cache.release_tracked()``, same contract as the dedup pipelines).
+
+    Scale caveat (same one percentile_cont_interp documents): the
+    ranking windows partition on the GROUP columns, so per-group data
+    volume lands on one task's sort. Fine for dimension-cardinality
+    groups; for a handful of groups over a 100 TB fact, use the
+    fixed-bin mergeable sketch (ops/sketches.quantile_histogram) or
+    range-partition pre-bucketing instead of exact ranks.
+
+    Output per group: n_rows, median, mad, n_outliers, outlier_frac.
+    """
+    from pyspark.sql import Window
+
+    from aos_spark.cache import persist_tracked
+
+    def _p50(frame: DataFrame, col: str) -> DataFrame:
+        """Exact interpolated median of ``col`` per group → one row per
+        group with column __med."""
+        w = Window.partitionBy(*group_cols).orderBy(col, *tiebreak_cols)
+        cw = Window.partitionBy(*group_cols)
+        ranked = frame.select(
+            *group_cols,
+            F.col(col).alias("__v"),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(cw).alias("__n"),
+        )
+        idx = F.lit(0.5) * (F.col("__n") - 1).cast("double")
+        lo = F.floor(idx).cast("bigint") + 1
+        hi = F.least(lo + 1, F.col("__n"))
+        v_lo = F.min(F.when(F.col("__rn") == lo, F.col("__v")))
+        v_hi = F.min(F.when(F.col("__rn") == hi, F.col("__v")))
+        frac = F.min(F.when(F.col("__rn") == lo, idx - F.floor(idx)))
+        return ranked.groupBy(*group_cols).agg(
+            (v_lo + frac * (v_hi - v_lo)).alias("__med")
+        )
+
+    med = _p50(df, value_col)
+    with_dev = persist_tracked(
+        df.join(med, on=group_cols).withColumn(
+            "__dev", F.abs(F.col(value_col) - F.col("__med"))
+        )
+    )
+    mad = _p50(with_dev, "__dev").withColumnRenamed("__med", "__mad")
+    flagged = with_dev.join(mad, on=group_cols).withColumn(
+        "__is_out", F.col("__dev") > F.lit(k) * F.col("__mad")
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("__med"), 6).alias("median"),
+        F.round(F.min("__mad"), 6).alias("mad"),
+        F.sum(F.col("__is_out").cast("long")).alias("n_outliers"),
+        F.round(
+            F.sum(F.col("__is_out").cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_frac"),
+    )

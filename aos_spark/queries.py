@@ -3215,10 +3215,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 from aos_spark.queries_r4 import R4_ORACLES, R4_QUERIES  # noqa: E402
 from aos_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 from aos_spark.queries_r5 import R5_ORACLES, R5_QUERIES  # noqa: E402
+from aos_spark.queries_r5b import R5B_ORACLES, R5B_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
 QUERIES.update(R4_QUERIES)
 QUERIES.update(R5_QUERIES)
+QUERIES.update(R5B_QUERIES)
 
 # Round-5 gate rotation (VERDICT r4 "Next round" #3): the driver's
 # correctness gate samples the FIRST 50 entries, so iteration order decides
@@ -3356,3 +3358,4 @@ ORACLES: dict[str, str] = {
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(R4_ORACLES)
 ORACLES.update(R5_ORACLES)
+ORACLES.update(R5B_ORACLES)

@@ -1,0 +1,233 @@
+"""Round-5 second wave: sequence analytics, robust statistics, and the
+inverted-index builder.
+
+- **event_transition_matrix** — first-order Markov transitions of
+  per-user event sequences (ops/sequences.transition_matrix); the
+  product-analytics sibling of the reference's chronological track
+  windows (SURVEY.md §2.5 W1/W2).
+- **user_burst_hours** — per-user hourly rate-burst screening with an
+  integer-exact trailing-RANGE rule (ops/sequences.burst_hours).
+- **term_postings_index** — inverted index with capped posting lists
+  (llm/text.postings_index), the serving-side complement of tf-idf.
+- **order_autocorrelation** — lag-1 autocorrelation of the daily average
+  order value per year, on the exact decimal-moment machinery
+  (ops/stats.lagged_autocorrelation). The series is the daily AVERAGE,
+  not the daily sum, deliberately: per-day magnitudes are then
+  independent of scale factor, so the squared-moment sums stay under the
+  2^53 exact-double bound that moment_aggs requires at ANY corpus size.
+- **mad_outlier_bounds** — median-absolute-deviation outlier screening
+  (ops/stats.mad_outliers): both quantiles via the repo's exact
+  rank-and-interpolate pattern, never an engine-native approximate
+  quantile.
+
+Determinism follows the repo contract: BIGINT counts, exact-int
+divisions, fixed IEEE op order mirrored literally by each oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aos_spark.io.readers import read_sf_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_sf_table(spark, sf_dir, name)
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.ops import sequences as SQ
+
+    return SQ.transition_matrix(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", ["ts", "event_id"]
+    )
+
+
+ORACLE_TRANSITION = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events),
+c AS (
+  SELECT prev_state, event_type AS next_state, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+SELECT prev_state, next_state, n_transitions,
+       n_transitions / CAST(SUM(n_transitions) OVER (PARTITION BY prev_state) AS DOUBLE) AS prob
+FROM c
+"""
+
+
+def q_user_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.ops import sequences as SQ
+
+    return SQ.burst_hours(
+        _t(spark, sf_dir, "events"), "user_id", "ts", lookback_hours=3, factor=2
+    )
+
+
+ORACLE_BURST = """
+WITH hourly AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT user_id, n,
+         SUM(n) OVER w AS trail_sum,
+         COUNT(n) OVER w AS trail_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY hour_id
+               RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+f AS (
+  SELECT user_id, n,
+         (trail_n > 0 AND n * trail_n >= 2 * trail_sum) AS is_burst
+  FROM t)
+SELECT user_id, COUNT(*) AS n_active_hours,
+       CAST(SUM(CASE WHEN is_burst THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours,
+       MAX(n) AS peak_hourly,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM f GROUP BY user_id
+"""
+
+
+def q_term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import text as TX
+
+    return TX.postings_index(
+        _t(spark, sf_dir, "documents"), min_df=2, max_postings=20
+    )
+
+
+ORACLE_POSTINGS = r"""
+WITH occ AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents) x, UNNEST(x.t) AS u(term)),
+per_doc AS (SELECT term, doc_id, COUNT(*) AS tf FROM occ GROUP BY 1, 2)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+       array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+                                      x -> CAST(x AS VARCHAR)), ',') AS postings
+FROM per_doc GROUP BY term HAVING COUNT(*) >= 2
+"""
+
+
+def q_order_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily average order value, per year.
+    The daily mean is ONE IEEE division of two exactly-converted values
+    (cent-unit decimal sum < 2^53, exact in double; integer count), so
+    the series feeding the moment machinery is bit-identical across
+    engines at any scale factor."""
+    from aos_spark.ops import stats as ST
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_price")
+    )
+    return ST.lagged_autocorrelation(daily, ["yr"], "day", "avg_price", lag=1)
+
+
+ORACLE_AUTOCORR = """
+WITH daily AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+         date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_price
+  FROM orders GROUP BY 1, 2),
+lagged AS (
+  SELECT yr, avg_price AS x, LAG(avg_price) OVER (PARTITION BY yr ORDER BY day) AS y
+  FROM daily),
+m AS (
+  SELECT yr,
+         COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_x,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_y,
+         CAST(ROUND(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xy,
+         CAST(ROUND(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xx,
+         CAST(ROUND(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_yy
+  FROM lagged WHERE y IS NOT NULL GROUP BY yr)
+SELECT yr, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+       ROUND((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS covar_xy,
+       ROUND(SQRT((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_x,
+       ROUND(SQRT((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_y,
+       ROUND(((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+             / SQRT(((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                    * ((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))), 6) AS corr_xy
+FROM m
+"""
+
+
+def q_mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.ops import stats as ST
+
+    return ST.mad_outliers(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        ["o_orderkey"],
+        k=1.5,
+    )
+
+
+def _mad_oracle(k: float = 1.5) -> str:
+    lo = "CAST(FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1"
+    hi = f"LEAST({lo} + 1, n)"
+    frac = "0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))"
+
+    def p50(v: str) -> str:
+        return (
+            f"MIN({v}) FILTER (WHERE rn = {lo})"
+            f" + MIN({frac}) FILTER (WHERE rn = {lo})"
+            f" * (MIN({v}) FILTER (WHERE rn = {hi}) - MIN({v}) FILTER (WHERE rn = {lo}))"
+        )
+
+    return f"""
+WITH r1 AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+med AS (SELECT g, {p50('v')} AS med FROM r1 GROUP BY g),
+d AS (
+  SELECT o.o_orderpriority AS g, ABS(o.o_totalprice - m.med) AS dev,
+         m.med, o.o_orderkey AS k2
+  FROM orders o JOIN med m ON o.o_orderpriority = m.g),
+r2 AS (
+  SELECT g, dev, med,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev, k2) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM d),
+madt AS (SELECT g, {p50('dev')} AS mad FROM r2 GROUP BY g),
+f AS (
+  SELECT d.g, d.dev, d.med, madt.mad, (d.dev > {k!r} * madt.mad) AS is_out
+  FROM d JOIN madt USING (g))
+SELECT g AS o_orderpriority, COUNT(*) AS n_rows,
+       ROUND(MIN(med), 6) AS median, ROUND(MIN(mad), 6) AS mad,
+       CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_frac
+FROM f GROUP BY g
+"""
+
+
+R5B_QUERIES = {
+    "event_transition_matrix": q_event_transition_matrix,
+    "user_burst_hours": q_user_burst_hours,
+    "term_postings_index": q_term_postings_index,
+    "order_autocorrelation": q_order_autocorrelation,
+    "mad_outlier_bounds": q_mad_outlier_bounds,
+}
+
+R5B_ORACLES = {
+    "event_transition_matrix": ORACLE_TRANSITION,
+    "user_burst_hours": ORACLE_BURST,
+    "term_postings_index": ORACLE_POSTINGS,
+    "order_autocorrelation": ORACLE_AUTOCORR,
+    "mad_outlier_bounds": _mad_oracle(),
+}

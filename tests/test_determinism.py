@@ -29,6 +29,9 @@ FLOAT_SENSITIVE = [
     "domain_mixture_plan",
     "semantic_dedup",
     "span_dedup_retention",
+    "event_transition_matrix",
+    "order_autocorrelation",
+    "mad_outlier_bounds",
 ]
 
 
