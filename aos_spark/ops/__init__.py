@@ -7,6 +7,7 @@ from aos_spark.ops import (  # noqa: F401
     filters,
     probability,
     rollup,
+    sequences,
     severity,
     topk,
     vulnerability,

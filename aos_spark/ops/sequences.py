@@ -17,7 +17,7 @@ the same formula (the DuckDB oracles do).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,3 +118,68 @@ def burst_hours(
         F.max("__n").alias("peak_hourly"),
         F.sum("__n").alias("total_events"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    gap_seconds: int = 21600,
+    max_len: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session journeys: gap-sessionize (same rule as
+    ops/windows.sessionize), take each session's first ``max_len`` states
+    in event order, join them into a '>'-separated path string, count
+    path frequencies corpus-wide, and return the top ``k`` with ranks.
+
+    Physical shape: ONE key-hash shuffle serves the session-id window,
+    the within-session row_number window, AND the per-session path
+    aggregate (hash partitioning on the key satisfies the (key, session)
+    clustering requirement, so Catalyst inserts no further exchange —
+    only sorts). The path-count frame then shrinks to |distinct paths|
+    (bounded by |states|^max_len, independent of event volume), and the
+    global top-k uses ops/topk.topk_global — TakeOrderedAndProject, never
+    a partition-less window. The path string is capped at ``max_len``
+    states, so no per-session state is ever unbounded.
+
+    Output: path, n_sessions (BIGINT), rank_in_group (1-based).
+    """
+    from aos_spark.ops.topk import topk_global
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    gap = epoch - F.lag(epoch).over(w)
+    with_sid = df.select(
+        key_col, ts_col, tiebreak_col, state_col
+    ).withColumn(
+        "__start", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    ).withColumn(
+        "__sid",
+        F.sum("__start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy(key_col, "__sid").orderBy(ts_col, tiebreak_col)
+    paths = (
+        with_sid.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= max_len)
+        .groupBy(key_col, "__sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col), F.col(tiebreak_col), F.col(state_col)
+                            )
+                        )
+                    ),
+                    lambda x: x[state_col],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return topk_global(counts, "n_sessions", "path", k=k)

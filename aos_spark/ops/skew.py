@@ -62,3 +62,71 @@ def salted_join(
     small_s = small.withColumn("__salt", F.explode(salts))
     out = big_s.join(small_s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_distribution_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-key-column skew diagnostics — the measurement feeding the
+    salting decisions above (and CMS-fed salting in ops/sketches).
+
+    Deliberately RATIONAL arithmetic only (the tf-idf precedent: ln()
+    differs in the last ulp across libms, which the repo's bit-exact
+    oracle contract cannot tolerate). The concentration measure is
+    Simpson's Σc²: it is EXACTLY the self-join row count of the key —
+    the quantity a shuffle-join's cost is proportional to — and
+    ``eff_keys = n_rows² / Σc²`` (inverse Simpson) is the effective
+    number of distinct keys (1 = one key dominates, n_keys = uniform).
+
+    Per column: one map-side-combined count shuffle, then a scalar
+    aggregate over the counts frame; the per-column one-row results
+    union. Counts accumulate as DECIMAL(38,0) (exact at any volume);
+    the two derived ratios are single IEEE divisions of operands that
+    convert to double exactly while Σc² and n_rows stay under 2^53 —
+    beyond that the ratios carry the documented ≤1-ulp conversion
+    rounding (the moment_aggs note), with counts themselves still exact.
+
+    Output per key column: key_col, n_keys, n_rows, max_count,
+    top_share, selfjoin_rows, eff_keys, skew_factor
+    (= max_count·n_keys/n_rows, the hot-key over-representation vs
+    uniform).
+    """
+    from functools import reduce
+
+    outs = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__c").alias("n_rows"),
+            F.max("__c").alias("max_count"),
+            F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias(
+                "__s2"
+            ),
+        )
+        outs.append(
+            stats.select(
+                F.lit(c).alias("key_col"),
+                "n_keys",
+                "n_rows",
+                "max_count",
+                F.round(F.col("max_count") / F.col("n_rows"), 6).alias(
+                    "top_share"
+                ),
+                F.col("__s2").cast("long").alias("selfjoin_rows"),
+                F.round(
+                    (
+                        F.col("n_rows").cast("double")
+                        * F.col("n_rows").cast("double")
+                    )
+                    / F.col("__s2").cast("double"),
+                    6,
+                ).alias("eff_keys"),
+                F.round(
+                    (F.col("max_count") * F.col("n_keys"))
+                    / F.col("n_rows"),
+                    6,
+                ).alias("skew_factor"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)

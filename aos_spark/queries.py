@@ -288,8 +288,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
-                OR epoch(ts) - LAG(epoch(ts)) OVER w > 21600
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 21600
               THEN 1 ELSE 0 END AS start_flag
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

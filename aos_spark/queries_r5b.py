@@ -231,3 +231,96 @@ R5B_ORACLES = {
     "order_autocorrelation": ORACLE_AUTOCORR,
     "mad_outlier_bounds": _mad_oracle(),
 }
+
+
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.ops import sequences as SQ
+
+    return SQ.session_paths(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        gap_seconds=21600,
+        max_len=5,
+        k=20,
+    )
+
+
+# NOTE: the gap test uses FLOOR(epoch(ts)) — Spark's unix_timestamp
+# truncates to whole seconds, and for positive epochs trunc == floor, so
+# the oracle replicates the truncation rather than comparing fractional
+# gaps (which could disagree within 1 s of the threshold).
+ORACLE_SESSION_PATHS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 21600
+              THEN 1 ELSE 0 END AS start_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(start_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM sid),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM rn WHERE rn <= 5 GROUP BY user_id, session_id),
+counts AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path),
+top AS (SELECT * FROM counts ORDER BY n_sessions DESC, path ASC LIMIT 20)
+SELECT path, n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)
+         AS rank_in_group
+FROM top
+"""
+
+
+_SKEW_COLS = ["l_suppkey", "l_partkey", "l_orderkey"]
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.ops import skew as SK
+
+    return SK.key_distribution_profile(
+        _t(spark, sf_dir, "lineitem"), _SKEW_COLS
+    )
+
+
+def _skew_oracle(cols: list[str]) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS key_col,
+       COUNT(*) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       MAX(c) AS max_count,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+       CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS selfjoin_rows,
+       ROUND((CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+             / CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE), 6) AS eff_keys,
+       ROUND((MAX(c) * COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6) AS skew_factor
+FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY {c})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+R5B_QUERIES.update(
+    {
+        "session_path_topk": q_session_path_topk,
+        "key_skew_profile": q_key_skew_profile,
+    }
+)
+R5B_ORACLES.update(
+    {
+        "session_path_topk": ORACLE_SESSION_PATHS,
+        "key_skew_profile": _skew_oracle(_SKEW_COLS),
+    }
+)

@@ -207,6 +207,51 @@ def main() -> None:
 
     timed("bigram_rarity_1m_docs", bigram_rarity(docs_lsh), results)
 
+    # 13. Markov transition matrix at n events: the lag window is the only
+    # data-sized stage; the count/normalize frames are |states|²-bounded.
+    from aos_spark.ops.sequences import session_paths, transition_matrix
+
+    seq_ev = ev.select(
+        "user_id",
+        "ts",
+        F.col("user_id").alias("event_id"),  # placeholder unique-ish tiebreak
+        (F.col("user_id") % 8).cast("string").alias("state"),
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    timed(
+        "transition_matrix_n_events",
+        transition_matrix(seq_ev, "user_id", "state", ["ts", "event_id"]),
+        results,
+    )
+
+    # 14. session paths at n events: same key shuffle; the path-count
+    # frame is |states|^max_len-bounded, top-k via TakeOrdered.
+    timed(
+        "session_paths_n_events",
+        session_paths(seq_ev, "user_id", "ts", "state", "event_id"),
+        results,
+    )
+
+    # 15. burst detection at n events: hourly rollup shrinks the window
+    # input by ~events-per-hour before the RANGE frame runs.
+    from aos_spark.ops.sequences import burst_hours
+
+    timed("burst_hours_n_events", burst_hours(ev, "user_id", "ts"), results)
+
+    # 16. postings index at ~1M docs: the cap window must keep hot-term
+    # state bounded while df/tf stay exact.
+    from aos_spark.llm.text import postings_index
+
+    timed("postings_index_1m_docs", postings_index(docs_lsh), results)
+
+    # 17. key skew profile on a 90%-hot key column at n rows: one count
+    # shuffle + a scalar agg per profiled column.
+    from aos_spark.ops.skew import key_distribution_profile
+
+    hotk = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k")
+    )
+    timed("key_skew_profile_hot", key_distribution_profile(hotk, ["k"]), results)
+
     print(json.dumps({"rows": n, "timings": results}))
 
 

@@ -193,3 +193,66 @@ def test_mad_groups_are_independent(spark):
     assert out["a"]["median"] == 2.0
     assert out["b"]["median"] == 1002.0
     assert out["a"]["n_outliers"] == out["b"]["n_outliers"] == 0
+
+
+# ------------------------------------------------------------ session paths
+def test_session_paths_counts_and_rank(spark):
+    from aos_spark.ops.sequences import session_paths
+
+    rows = []
+    # 3 users, each one session "a>b"; 1 user with session "a>c"
+    for u in range(3):
+        rows += [(u * 10, dt.datetime(2024, 1, 1, 0, 0), u, "a"),
+                 (u * 10 + 1, dt.datetime(2024, 1, 1, 0, 1), u, "b")]
+    rows += [(100, dt.datetime(2024, 1, 1, 0, 0), 9, "a"),
+             (101, dt.datetime(2024, 1, 1, 0, 1), 9, "c")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {r["path"]: r for r in session_paths(
+        df, "user_id", "ts", "event_type", "event_id").collect()}
+    assert out["a>b"]["n_sessions"] == 3 and out["a>b"]["rank_in_group"] == 1
+    assert out["a>c"]["n_sessions"] == 1 and out["a>c"]["rank_in_group"] == 2
+
+
+def test_session_paths_gap_splits_and_max_len_caps(spark):
+    from aos_spark.ops.sequences import session_paths
+
+    rows = [(0, dt.datetime(2024, 1, 1, 0, 0), 1, "a"),
+            (1, dt.datetime(2024, 1, 1, 0, 1), 1, "b"),
+            # > 6h gap -> new session
+            (2, dt.datetime(2024, 1, 1, 12, 0), 1, "c")]
+    # a 7-event session, path capped at first 5
+    rows += [(10 + i, dt.datetime(2024, 1, 2, 0, i), 2, s)
+             for i, s in enumerate("abcdefg")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    paths = {r["path"] for r in session_paths(
+        df, "user_id", "ts", "event_type", "event_id", max_len=5).collect()}
+    assert paths == {"a>b", "c", "a>b>c>d>e"}
+
+
+# --------------------------------------------------------------- key skew
+def test_key_skew_profile_exact_counts(spark):
+    from aos_spark.ops.skew import key_distribution_profile
+
+    # k: a,a,a,b  -> n_keys=2, max=3, selfjoin=9+1=10, eff=16/10=1.6
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",)], ["k"]
+    )
+    r = key_distribution_profile(df, ["k"]).collect()[0]
+    assert r["key_col"] == "k"
+    assert r["n_keys"] == 2 and r["n_rows"] == 4 and r["max_count"] == 3
+    assert r["selfjoin_rows"] == 10
+    assert abs(r["eff_keys"] - 1.6) < 1e-9
+    assert abs(r["top_share"] - 0.75) < 1e-9
+    assert abs(r["skew_factor"] - 1.5) < 1e-9  # 3*2/4
+
+
+def test_key_skew_uniform_vs_hot(spark):
+    from aos_spark.ops.skew import key_distribution_profile
+
+    uniform = spark.createDataFrame([(i % 10,) for i in range(100)], ["k"])
+    hot = spark.createDataFrame([(0 if i < 91 else i,) for i in range(100)], ["k"])
+    ru = key_distribution_profile(uniform, ["k"]).collect()[0]
+    rh = key_distribution_profile(hot, ["k"]).collect()[0]
+    assert abs(ru["eff_keys"] - 10.0) < 1e-9  # perfectly uniform
+    assert rh["eff_keys"] < 1.3  # one key dominates
+    assert rh["skew_factor"] > ru["skew_factor"]
