@@ -266,3 +266,110 @@ def run_foreach_batch_impact(
         .start()
     )
     q.awaitTermination()
+
+
+BURST_OUTPUT_SCHEMA = (
+    "user_id BIGINT, hour_start TIMESTAMP, n_events BIGINT, "
+    "trail_hours INT, is_burst BOOLEAN"
+)
+BURST_STATE_SCHEMA = (
+    "open_hour BIGINT, open_n BIGINT, "
+    "hist_hours ARRAY<BIGINT>, hist_counts ARRAY<BIGINT>"
+)
+
+
+def burst_stream(
+    stream: DataFrame, lookback_hours: int = 3, factor: int = 2
+) -> DataFrame:
+    """Streaming face of ops/sequences.burst_hours: per-user hourly
+    rate-burst detection with the same INTEGER-EXACT rule
+    (``n · |trail| ≥ factor · Σtrail``), evaluated the moment an hour
+    COMPLETES (the first event of a later hour closes it) instead of in
+    a batch RANGE window.
+
+    State per key: the open (hour, count) pair plus the trailing
+    ``lookback_hours`` completed hours — O(lookback) per user, bounded.
+    Events are processed in event-time order within each micro-batch;
+    a cross-batch event older than the open hour cannot reopen a closed
+    hour — it is folded into the open hour's trail history if that hour
+    is still inside the lookback horizon, else dropped (documented
+    at-most-once lateness, the same ordering assumption
+    sessionize_stream makes; put a watermark-driven dedup_stream in
+    front for exactly-once feeds).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        hours = (events["ts"].astype("int64") // (3600 * 10**9)).tolist()
+
+        if state.exists:
+            open_hour, open_n, hist_hours, hist_counts = state.get
+            hist = list(zip(list(hist_hours), list(hist_counts)))
+            open_hour = None if open_hour < 0 else open_hour
+        else:
+            open_hour, open_n, hist = None, 0, []
+
+        out = []
+
+        def close_open():
+            nonlocal hist
+            trail = [
+                (hh, nn)
+                for hh, nn in hist
+                if open_hour - lookback_hours <= hh <= open_hour - 1
+            ]
+            s = sum(nn for _, nn in trail)
+            burst = bool(trail) and open_n * len(trail) >= factor * s
+            out.append((key[0], open_hour, open_n, len(trail), burst))
+            hist = [
+                (hh, nn) for hh, nn in hist if hh >= open_hour - lookback_hours
+            ] + [(open_hour, open_n)]
+
+        for h in hours:
+            if open_hour is None:
+                open_hour, open_n = h, 1
+            elif h == open_hour:
+                open_n += 1
+            elif h < open_hour:  # late event: fold into history if in horizon
+                if h >= open_hour - lookback_hours:
+                    if any(hh == h for hh, _ in hist):
+                        hist = [
+                            (hh, nn + 1) if hh == h else (hh, nn)
+                            for hh, nn in hist
+                        ]
+                    else:
+                        hist.append((h, 1))
+            else:
+                close_open()
+                open_hour, open_n = h, 1
+
+        state.update(
+            (
+                int(open_hour) if open_hour is not None else -1,
+                int(open_n),
+                [int(hh) for hh, _ in hist],
+                [int(nn) for _, nn in hist],
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "hour_start": pd.to_datetime(
+                        [r[1] * 3600 for r in out], unit="s"
+                    ),
+                    "n_events": [r[2] for r in out],
+                    "trail_hours": [r[3] for r in out],
+                    "is_burst": [r[4] for r in out],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -307,3 +307,63 @@ def test_stream_static_enrichment_join(spark, dirs, tmp_path):
     ).count() == 0
     # types outside the dim (signup/error) survive with NULL weight
     assert got.filter(F.col("weight").isNull()).count() > 0
+
+
+def test_stateful_burst_stream_across_batches(spark, dirs, tmp_path):
+    """burst_stream: an hour's verdict is emitted when a later hour's
+    first event closes it, with the integer-exact trailing rule — and
+    the open hour correctly survives a micro-batch boundary in state."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "burst_in")
+    out_dir = str(tmp_path / "burst_out")
+    ckpt = str(tmp_path / "burst_ckpt")
+    os.makedirs(in_dir)
+
+    def drop(tag, rows):
+        spark.createDataFrame(
+            [(i, ts, uid, "t", 0.0, None) for i, (ts, uid) in enumerate(rows)],
+            sjobs.EVENTS_SCHEMA,
+        ).coalesce(1).write.parquet(os.path.join(in_dir, tag))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    # batch 1: hours 0,1,2 with 2 events each (hour 2 stays open)
+    drop("b1", [(at(h, m), 1) for h in range(3) for m in (0, 30)])
+    q = (
+        sjobs.burst_stream(sjobs.read_event_stream(spark, in_dir + "/*"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["hour_start"].hour: r for r in spark.read.parquet(out_dir).collect()}
+    # hours 0 and 1 are closed; hour 0 has no trail, hour 1 is 2 vs 2 (not 2x)
+    assert set(rows) == {0, 1}
+    assert rows[0]["trail_hours"] == 0 and not rows[0]["is_burst"]
+    assert rows[1]["trail_hours"] == 1 and not rows[1]["is_burst"]
+
+    # batch 2: 5 events in hour 3 (closes hour 2: 2 vs trail {2,2} -> no),
+    # then 1 event in hour 4 (closes hour 3: 5*3=15 >= 2*(2+2+2)=12 -> BURST)
+    drop("b2", [(at(3, m), 1) for m in range(5)] + [(at(4, 0), 1)])
+    q = (
+        sjobs.burst_stream(sjobs.read_event_stream(spark, in_dir + "/*"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["hour_start"].hour: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[2]["trail_hours"] == 2 and not rows[2]["is_burst"]
+    assert rows[3]["n_events"] == 5 and rows[3]["trail_hours"] == 3
+    assert rows[3]["is_burst"]
