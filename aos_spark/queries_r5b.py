@@ -324,3 +324,94 @@ R5B_ORACLES.update(
         "key_skew_profile": _skew_oracle(_SKEW_COLS),
     }
 )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl admission check: the 80% hash-bucket slice of the
+    corpus is the admitted history, the 20% slice is today's batch —
+    the same deterministic split decontamination_pairs uses."""
+    from aos_spark.llm import dedup as D
+    from aos_spark.llm import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id", 100, "split")
+    return D.incremental_dedup(
+        d.filter(b < 80), d.filter(b >= 80), threshold=0.3
+    )
+
+
+def _incremental_dedup_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    # imported lazily: aos_spark.queries is mid-initialization when this
+    # module loads, but _SHINGLES_SQL is bound well before the
+    # queries_r5b import at its tail (same contract as queries_r5's
+    # _curation_oracles note)
+    from aos_spark.llm import dedup as D
+    from aos_spark.queries import _SHINGLES_SQL
+
+    rows = num_hashes // bands
+    prime = D.MINHASH_PRIME
+    sig_items = ", ".join(
+        f"list_aggregate(list_transform(hashed, h -> (h * {a} + {b}) % {prime}), 'min')"
+        for a, b in D.minhash_params(num_hashes)
+    )
+    band_structs = ", ".join(
+        f"struct_pack(band := {bi}, "
+        f"band_key := array_to_string(sig[{bi * rows + 1}:{bi * rows + rows}], '|'))"
+        for bi in range(bands)
+    )
+    jac = (
+        "ROUND(CAST(len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS DOUBLE)"
+        " / (len(x.shingles) + len(y.shingles)"
+        " - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))), 6)"
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+split AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+),
+hashed_t AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)) AS hashed
+  FROM sh),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM hashed_t),
+banded AS (
+  SELECT doc_id, shingles, UNNEST([{band_structs}], recursive := true) FROM sig
+),
+hist_hits AS (
+  SELECT DISTINCT y.doc_id AS id
+  FROM banded x
+  JOIN split sx ON x.doc_id = sx.doc_id AND sx.bucket < 80
+  JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+  JOIN split sy ON y.doc_id = sy.doc_id AND sy.bucket >= 80
+  WHERE {jac} >= {threshold}
+),
+batch_hits AS (
+  SELECT DISTINCT y.doc_id AS id
+  FROM banded x
+  JOIN split sx ON x.doc_id = sx.doc_id AND sx.bucket >= 80
+  JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id
+  JOIN split sy ON y.doc_id = sy.doc_id AND sy.bucket >= 80
+  WHERE {jac} >= {threshold}
+)
+SELECT s.doc_id,
+       h.id IS NOT NULL AS dup_of_history,
+       p.id IS NOT NULL AS dup_in_batch,
+       (h.id IS NULL AND p.id IS NULL) AS keep
+FROM split s
+LEFT JOIN hist_hits h ON s.doc_id = h.id
+LEFT JOIN batch_hits p ON s.doc_id = p.id
+WHERE s.bucket >= 80
+"""
+
+
+R5B_QUERIES.update({"incremental_dedup_status": q_incremental_dedup})
+R5B_ORACLES.update(
+    {"incremental_dedup_status": _incremental_dedup_oracle()}
+)

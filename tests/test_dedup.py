@@ -224,3 +224,40 @@ def test_components_raise_on_max_iter_exhaustion(spark):
         dup_clusters(pairs, max_iter=1, algorithm="propagate").collect()
     with pytest.raises(RuntimeError, match="max_iter"):
         dup_clusters(pairs, max_iter=1, algorithm="star").collect()
+
+
+def test_incremental_dedup_classifies_batch(spark):
+    from aos_spark.llm.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    history = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (10, base + " tail"),            # near-dup of history doc 1
+            (11, "completely different words about spark shuffles and joins"),
+            (12, "completely different words about spark shuffles and joins ok"),
+            (13, "nothing like anything else in any corpus at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(history, batch, threshold=0.3).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["dup_of_history"] and not out[10]["keep"]
+    assert not out[11]["dup_of_history"] and out[11]["keep"]  # earlier id wins
+    assert out[12]["dup_in_batch"] and not out[12]["keep"]
+    assert out[13]["keep"] and not out[13]["dup_of_history"] and not out[13]["dup_in_batch"]
+
+
+def test_incremental_dedup_empty_history_keeps_all_uniques(spark):
+    from aos_spark.llm.dedup import incremental_dedup
+
+    history = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "one unique doc full of words for shingling purposes today")],
+        ["doc_id", "text"],
+    )
+    rows = incremental_dedup(history, batch, threshold=0.3).collect()
+    assert len(rows) == 1 and rows[0]["keep"]

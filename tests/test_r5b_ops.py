@@ -256,3 +256,37 @@ def test_key_skew_uniform_vs_hot(spark):
     assert abs(ru["eff_keys"] - 10.0) < 1e-9  # perfectly uniform
     assert rh["eff_keys"] < 1.3  # one key dominates
     assert rh["skew_factor"] > ru["skew_factor"]
+
+
+# ------------------------------------------------------- empty-input safety
+def test_r5b_ops_empty_inputs(spark):
+    from aos_spark.ops.sequences import session_paths
+    from aos_spark.ops.skew import key_distribution_profile
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"]).count() == 0
+    assert burst_hours(ev, "user_id", "ts").count() == 0
+    assert session_paths(ev, "user_id", "ts", "event_type", "event_id").count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert postings_index(docs).count() == 0
+
+    num = spark.createDataFrame([], "g string, id long, v double")
+    assert lagged_autocorrelation(num, ["g"], "id", "v").count() == 0
+    assert mad_outliers(num, ["g"], "v", ["id"]).count() == 0
+
+    # skew profile on an empty frame: one row per column with zero counts
+    rows = key_distribution_profile(
+        spark.createDataFrame([], "k long"), ["k"]
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n_keys"] == 0
+
+
+def test_single_event_per_user_yields_no_transitions(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, "a"), (2, _ts(0), 2, "b")],
+        ["event_id", "ts", "user_id", "state"],
+    )
+    assert transition_matrix(df, "user_id", "state", ["ts", "event_id"]).count() == 0
