@@ -72,3 +72,55 @@ def triangle_count(
     return wedges.join(closure, ["x", "y"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def pagerank_step(
+    edges: DataFrame, src: str = "src", dst: str = "dst", damping: float = 0.85
+) -> DataFrame:
+    """One PageRank power iteration from the uniform unnormalized start
+    (r₀ = 1 per node), made ORDER-INDEPENDENT by integer micro-unit
+    arithmetic: each edge's contribution is ``round(10¹²/outdeg)`` as a
+    BIGINT, summed exactly, and only the final rank derivation touches
+    floating point (int64→double conversion is IEEE round-to-nearest —
+    deterministic in every engine at any magnitude, unlike a float SUM,
+    whose result depends on partial-aggregation order).
+
+    rank(v) = (1−d) + d · Σ_{u→v} round(10¹²/outdeg(u)) / 10¹²
+
+    Every node must have outdeg ≥ 1 (no dangling handling here — feed a
+    bidirectional edge list, as the gate query does with the
+    buyer-supplier graph, or add self-loops). The full algorithm is this
+    step in a driver loop with localCheckpoint lineage cuts, exactly the
+    dup_clusters pattern; one step is the gate-verified unit (the
+    kmeans_lloyd_step precedent).
+
+    Physical shape: outdeg agg (src-keyed X) → contribution join on the
+    SAME src partitioning → dst-keyed rank agg (map-side combined) → a
+    node-keyed join attaching outdeg. All shuffles keyed; nothing
+    quadratic, nothing partition-less.
+    """
+    outdeg = edges.groupBy(F.col(src).alias("__s")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    contrib = edges.join(
+        outdeg, edges[src] == F.col("__s")
+    ).select(
+        F.col(dst).alias("__d"),
+        F.round(F.lit(1e12) / F.col("out_degree"), 0)
+        .cast("long")
+        .alias("__c"),
+    )
+    ranks = contrib.groupBy("__d").agg(
+        F.count(F.lit(1)).alias("in_edges"),
+        F.sum("__c").alias("__sum"),
+    )
+    return ranks.join(outdeg, ranks["__d"] == outdeg["__s"]).select(
+        F.col("__d").alias("node"),
+        "out_degree",
+        "in_edges",
+        F.round(
+            F.lit(1.0 - damping)
+            + F.lit(damping) * (F.col("__sum") / F.lit(1e12)),
+            6,
+        ).alias("rank"),
+    )

@@ -415,3 +415,199 @@ R5B_QUERIES.update({"incremental_dedup_status": q_incremental_dedup})
 R5B_ORACLES.update(
     {"incremental_dedup_status": _incremental_dedup_oracle()}
 )
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import dedup as D
+
+    return D.lsh_recall_eval(
+        _t(spark, sf_dir, "documents"),
+        sample_buckets=20,
+        threshold=0.3,
+    )
+
+
+def _lsh_recall_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    sample_buckets: int = 20,
+) -> str:
+    from aos_spark.llm import dedup as D
+    from aos_spark.queries import _SHINGLES_SQL
+
+    rows = num_hashes // bands
+    prime = D.MINHASH_PRIME
+    sig_items = ", ".join(
+        f"list_aggregate(list_transform(hashed, h -> (h * {a} + {b}) % {prime}), 'min')"
+        for a, b in D.minhash_params(num_hashes)
+    )
+    band_structs = ", ".join(
+        f"struct_pack(band := {bi}, "
+        f"band_key := array_to_string(sig[{bi * rows + 1}:{bi * rows + rows}], '|'))"
+        for bi in range(bands)
+    )
+    jac = (
+        "ROUND(CAST(len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS DOUBLE)"
+        " / (len(x.shingles) + len(y.shingles)"
+        " - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))), 6)"
+    )
+    return f"""
+WITH sample_ids AS (
+  SELECT doc_id FROM documents
+  WHERE CAST('0x' || substring(md5('lsh_eval' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 100 < {sample_buckets}
+),
+sh AS (
+  SELECT * FROM ({_SHINGLES_SQL}) s WHERE s.doc_id IN (SELECT doc_id FROM sample_ids)
+),
+truth AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE {jac} >= {threshold}
+),
+hashed_t AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)) AS hashed
+  FROM sh),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM hashed_t),
+banded AS (
+  SELECT doc_id, shingles, UNNEST([{band_structs}], recursive := true) FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+hits AS (SELECT * FROM truth WHERE (id_a, id_b) IN (SELECT (id_a, id_b) FROM cand)),
+counts AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM sample_ids) AS n_sample_docs,
+         (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+         (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+         (SELECT COUNT(*) FROM hits) AS n_hit_pairs
+)
+SELECT n_sample_docs, n_true_pairs, n_candidate_pairs, n_hit_pairs,
+       CASE WHEN n_true_pairs > 0
+            THEN ROUND(n_hit_pairs / CAST(n_true_pairs AS DOUBLE), 6)
+            ELSE 1.0 END AS recall,
+       CASE WHEN n_candidate_pairs > 0
+            THEN ROUND(n_hit_pairs / CAST(n_candidate_pairs AS DOUBLE), 6)
+            ELSE 1.0 END AS precision
+FROM counts
+"""
+
+
+R5B_QUERIES.update({"lsh_recall_eval": q_lsh_recall_eval})
+R5B_ORACLES.update({"lsh_recall_eval": _lsh_recall_oracle()})
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation signal: which sources duplicate which — near-dup pairs
+    (production minhash path, threshold 0.3) rolled up to an unordered
+    source×source matrix with exact pair counts and a decimal-exact mean
+    jaccard. The source dim join is doc-keyed (broadcast at gate scale,
+    plain keyed join beyond); the pair frame is the already-bounded LSH
+    output, so the rollup adds one small shuffle."""
+    from aos_spark.llm import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, threshold=0.3)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "jaccard",
+        )
+    )
+    return j.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jaccard").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_jaccard"),
+    )
+
+
+def _cross_source_oracle() -> str:
+    from aos_spark.queries import _minhash_oracle
+
+    return f"""
+WITH pairs AS ({_minhash_oracle(threshold=0.3)}),
+j AS (
+  SELECT LEAST(da.source, db.source) AS source_lo,
+         GREATEST(da.source, db.source) AS source_hi,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id)
+SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+FROM j GROUP BY source_lo, source_hi
+"""
+
+
+R5B_QUERIES.update({"cross_source_dup_matrix": q_cross_source_dup_matrix})
+R5B_ORACLES.update({"cross_source_dup_matrix": _cross_source_oracle()})
+
+
+def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic PageRank iteration over the bidirectional
+    buyer-supplier graph (distinct customer↔supplier purchase edges from
+    orders ⋈ lineitem). Bidirectional edges guarantee outdeg ≥ 1 — no
+    dangling-node redistribution needed."""
+    from aos_spark.ops import graph as G
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.union(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return G.pagerank_step(edges)
+
+
+def _pagerank_oracle(damping: float = 0.85) -> str:
+    # (1-damping) in PYTHON float arithmetic (0.15000000000000002), so the
+    # oracle adds bit-identical literals to the Spark plan's lit(1.0-d)
+    return f"""
+WITH cs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs),
+outdeg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src),
+contrib AS (
+  SELECT e.dst, CAST(ROUND(1e12 / o.out_degree, 0) AS BIGINT) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src),
+ranks AS (
+  SELECT dst AS node, COUNT(*) AS in_edges, CAST(SUM(c) AS BIGINT) AS s
+  FROM contrib GROUP BY dst)
+SELECT r.node, o.out_degree, r.in_edges,
+       ROUND(CAST({1.0 - damping!r} AS DOUBLE)
+             + CAST({damping!r} AS DOUBLE) * (r.s / 1e12), 6) AS rank
+FROM ranks r JOIN outdeg o ON r.node = o.src
+"""
+
+
+R5B_QUERIES.update({"graph_pagerank_step": q_pagerank_step})
+R5B_ORACLES.update({"graph_pagerank_step": _pagerank_oracle()})

@@ -261,3 +261,21 @@ def test_incremental_dedup_empty_history_keeps_all_uniques(spark):
     )
     rows = incremental_dedup(history, batch, threshold=0.3).collect()
     assert len(rows) == 1 and rows[0]["keep"]
+
+
+def test_lsh_recall_eval_invariants_and_identical_docs(spark):
+    from aos_spark.llm.dedup import lsh_recall_eval
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, twin) for i in range(4)]  # identical docs: always recalled
+    rows += [(100 + i, f"unique{i} filler{i} words{i} about{i} nothing{i} shared{i} at{i} all{i}")
+             for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # sample everything (100/100 buckets) so the eval set is the corpus
+    r = lsh_recall_eval(df, sample_buckets=100, threshold=0.3).collect()[0]
+    assert r["n_sample_docs"] == 10
+    assert r["n_true_pairs"] == 6  # C(4,2) identical twins
+    assert r["n_hit_pairs"] == r["n_true_pairs"]  # identical sigs always collide
+    assert r["recall"] == 1.0
+    assert 0.0 <= r["precision"] <= 1.0
+    assert r["n_hit_pairs"] <= r["n_candidate_pairs"]

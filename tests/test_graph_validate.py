@@ -94,3 +94,34 @@ def test_reconcile_locates_perturbation(spark):
     bad = out.filter(~F.col("match"))
     assert 1 <= bad.count() <= 2  # change-bucket + delete-bucket (may collide)
     assert out.agg(F.sum("n_rows_b")).first()[0] == 1_999
+
+
+def test_pagerank_step_cycle_is_uniform(spark):
+    from aos_spark.ops.graph import pagerank_step
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    rows = {r["node"]: r for r in pagerank_step(edges).collect()}
+    # every node: outdeg 1, one incoming full contribution -> rank 1.0
+    assert set(rows) == {"a", "b", "c"}
+    for r in rows.values():
+        assert r["out_degree"] == 1 and r["in_edges"] == 1
+        assert abs(r["rank"] - 1.0) < 1e-9
+
+
+def test_pagerank_step_star_concentrates_rank(spark):
+    from aos_spark.ops.graph import pagerank_step
+
+    leaves = ["l1", "l2", "l3", "l4"]
+    edges = spark.createDataFrame(
+        [("hub", l) for l in leaves] + [(l, "hub") for l in leaves],
+        ["src", "dst"],
+    )
+    rows = {r["node"]: r for r in pagerank_step(edges).collect()}
+    # hub receives 4 full contributions: 0.15 + 0.85*4 = 3.55
+    assert abs(rows["hub"]["rank"] - 3.55) < 1e-6
+    # each leaf receives 1/4 of the hub: 0.15 + 0.85*0.25 = 0.3625
+    for l in leaves:
+        assert abs(rows[l]["rank"] - 0.3625) < 1e-6
+    assert rows["hub"]["out_degree"] == 4 and rows["hub"]["in_edges"] == 4
