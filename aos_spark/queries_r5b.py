@@ -574,7 +574,13 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = (
+    from aos_spark.cache import persist_tracked
+
+    # persist the distinct purchase-edge frame: it feeds the forward and
+    # reversed halves of the union, each consumed by the outdeg aggregate
+    # AND the contribution join — unpersisted, the orders⋈lineitem pass
+    # replays 6× (12 scans; the triangle_count lesson, ops/graph.py)
+    cs = persist_tracked(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
