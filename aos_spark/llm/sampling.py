@@ -191,3 +191,30 @@ def mixture_plan(
             F.floor(F.col("n_tokens") * F.col("keep_rate")).cast("long"),
         )
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Materialize a ``mixture_plan``: per-domain deterministic hash-
+    threshold selection (the per-row-rate sibling of fraction_sample).
+    Each domain's keep rate becomes an integer bucket threshold
+    (``round(rate · n_buckets)``, HALF-UP in-plan — not Python round's
+    banker's rounding), the plan broadcasts (|domains| rows), and the
+    selection is a pushed filter — no shuffle of the corpus, no RNG, the
+    same docs survive under any partitioning and in any engine.
+    """
+    rates = plan.select(
+        F.col("domain").alias("__dom"),
+        F.round(F.col("keep_rate") * n_buckets, 0).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("__dom"))
+        .filter(hash_bucket(id_col, n_buckets, salt) < F.col("__thr"))
+        .drop("__dom", "__thr")
+    )

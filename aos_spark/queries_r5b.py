@@ -617,3 +617,138 @@ FROM ranks r JOIN outdeg o ON r.node = o.src
 
 R5B_QUERIES.update({"graph_pagerank_step": q_pagerank_step})
 R5B_ORACLES.update({"graph_pagerank_step": _pagerank_oracle()})
+
+
+def q_mixture_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_plan EXECUTED: per-domain hash-threshold selection at the
+    plan's keep rates, then per-domain accounting plus the realized
+    post-selection token share — the check that the mix actually moved
+    toward the targets. Selection is a pushed filter; the only shuffles
+    are the plan's own aggregate and the final rollup."""
+    from aos_spark.llm import sampling as S
+    from aos_spark.queries_r5 import MIXTURE_TARGETS
+
+    d = _t(spark, sf_dir, "documents")
+    plan = S.mixture_plan(d, MIXTURE_TARGETS, domain_col="lang")
+    kept = S.apply_mixture(d, plan, domain_col="lang")
+    n_tokens = F.size(
+        F.array_remove(F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), "")
+    )
+    per = kept.groupBy(F.col("lang").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(n_tokens).cast("long").alias("kept_tokens"),
+    )
+    total = per.agg(F.sum("kept_tokens").cast("long").alias("__tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_kept",
+        "kept_tokens",
+        F.round(F.col("kept_tokens") / F.col("__tot"), 6).alias("realized_share"),
+    )
+
+
+def _mixture_apply_oracle(targets: dict[str, float]) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)" for k, v in targets.items()
+    )
+    return rf"""
+WITH per AS (
+  SELECT lang AS domain, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+rates AS (
+  SELECT domain,
+         CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                          COALESCE(CASE domain {cases} END, CAST(0.0 AS DOUBLE))
+                          / (n_tokens / total)) * 1000000, 0) AS BIGINT) AS thr
+  FROM per, tot),
+kept AS (
+  SELECT d.lang AS domain,
+         len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9'']+'), x -> x <> '')) AS t
+  FROM documents d JOIN rates r ON d.lang = r.domain
+  WHERE CAST('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < r.thr),
+agg AS (
+  SELECT domain, COUNT(*) AS n_kept, CAST(SUM(t) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY domain),
+ktot AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS kt FROM agg)
+SELECT domain, n_kept, kept_tokens,
+       ROUND(kept_tokens / CAST(kt AS DOUBLE), 6) AS realized_share
+FROM agg, ktot
+"""
+
+
+from aos_spark.queries_r5 import MIXTURE_TARGETS as _MIX_TARGETS  # noqa: E402
+
+R5B_QUERIES.update({"mixture_apply_stats": q_mixture_apply_stats})
+R5B_ORACLES.update({"mixture_apply_stats": _mixture_apply_oracle(_MIX_TARGETS)})
+
+
+def q_monthly_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per customer nation: broadcast
+    customer→nation dims onto orders, one (nation, month) decimal rollup,
+    one nation-partitioned lag window, one exact-operand pct division.
+    The report shape every warehouse runs daily — shuffles only on the
+    rollup keys, the growth window rides the same partitioning."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    g = monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+    return g.select(
+        "nation",
+        "month",
+        "revenue",
+        "prev_revenue",
+        F.when(
+            F.col("prev_revenue").isNotNull(),
+            F.round(
+                (F.col("revenue") - F.col("prev_revenue"))
+                / F.col("prev_revenue"),
+                6,
+            ),
+        ).alias("mom_growth"),
+    )
+
+
+ORACLE_MONTHLY_GROWTH = """
+WITH monthly AS (
+  SELECT n_name AS nation,
+         -- DuckDB month-level date_trunc returns DATE; Spark returns
+         -- TIMESTAMP — align the types for the hash compare
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+g AS (
+  SELECT nation, month, revenue,
+         LAG(revenue) OVER (PARTITION BY nation ORDER BY month) AS prev_revenue
+  FROM monthly)
+SELECT nation, month, revenue, prev_revenue,
+       CASE WHEN prev_revenue IS NOT NULL
+            THEN ROUND((revenue - prev_revenue) / prev_revenue, 6)
+            END AS mom_growth
+FROM g
+"""
+
+
+R5B_QUERIES.update({"monthly_growth_by_nation": q_monthly_growth_by_nation})
+R5B_ORACLES.update({"monthly_growth_by_nation": ORACLE_MONTHLY_GROWTH})

@@ -63,3 +63,30 @@ def test_stratified_exact_n(spark, docs):
     # small stratum is returned whole
     small = docs.filter(F.col("doc_id") < 3)
     assert sampling.stratified_exact_n(small, ["stratum"], n=5).count() == 3
+
+
+def test_apply_mixture_extreme_rates(spark):
+    from aos_spark.llm.sampling import apply_mixture, mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", "some words here") for i in range(40)],
+        ["doc_id", "lang", "text"],
+    )
+    # target 'en' only: fr gets rate 0 (absent from targets), en rate 1
+    plan = mixture_plan(df, {"en": 1.0}, domain_col="lang")
+    kept = apply_mixture(df, plan, domain_col="lang").collect()
+    assert {r["lang"] for r in kept} == {"en"}
+    assert len(kept) == 20  # rate 1.0 keeps every en doc
+
+
+def test_apply_mixture_is_deterministic(spark):
+    from aos_spark.llm.sampling import apply_mixture, mixture_plan
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 4 else "fr", "w " * (i % 7 + 1)) for i in range(200)],
+        ["doc_id", "lang", "text"],
+    )
+    plan = mixture_plan(df, {"en": 0.3, "fr": 0.7}, domain_col="lang")
+    a = sorted(r["doc_id"] for r in apply_mixture(df, plan).collect())
+    b = sorted(r["doc_id"] for r in apply_mixture(df.repartition(7), plan).collect())
+    assert a == b and 0 < len(a) < 200
