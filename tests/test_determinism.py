@@ -32,6 +32,10 @@ FLOAT_SENSITIVE = [
     "event_transition_matrix",
     "order_autocorrelation",
     "mad_outlier_bounds",
+    "cross_source_dup_matrix",
+    "mixture_apply_stats",
+    "monthly_growth_by_nation",
+    "graph_pagerank_step",
 ]
 
 
