@@ -752,3 +752,56 @@ FROM g
 
 R5B_QUERIES.update({"monthly_growth_by_nation": q_monthly_growth_by_nation})
 R5B_ORACLES.update({"monthly_growth_by_nation": ORACLE_MONTHLY_GROWTH})
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@10 of the IVF probe against the
+    brute-force ground truth on the same query set — the standard metric
+    that justifies an (n_centroids, nprobe) choice. Both sides are the
+    production operators (llm/similarity); the comparison adds one
+    semi-join on (query, neighbor) plus two query-keyed counts."""
+    from aos_spark.llm import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = SIM.brute_force_topk(e, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = SIM.ivf_topk(e, queries, k=10).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    pt = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    ph = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__h"))
+    return (
+        pt.join(ph, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("__h"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("__h"), F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from aos_spark.queries import ORACLE_SIM_BRUTE, ORACLE_SIM_IVF
+
+    return f"""
+WITH truth AS ({ORACLE_SIM_BRUTE}),
+approx AS ({ORACLE_SIM_IVF}),
+hits AS (
+  SELECT t.query_id, t.neighbor_id
+  FROM truth t JOIN approx a USING (query_id, neighbor_id)),
+pt AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+ph AS (SELECT query_id, COUNT(*) AS n_hits FROM hits GROUP BY 1)
+SELECT pt.query_id, pt.n_truth, COALESCE(ph.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(ph.n_hits, 0) / CAST(pt.n_truth AS DOUBLE), 6) AS recall_at_k
+FROM pt LEFT JOIN ph ON pt.query_id = ph.query_id
+"""
+
+
+R5B_QUERIES.update({"ann_recall_eval": q_ann_recall_eval})
+R5B_ORACLES.update({"ann_recall_eval": _ann_recall_oracle()})
