@@ -1,24 +1,23 @@
-"""Round-5 second wave: sequence analytics, robust statistics, and the
-inverted-index builder.
+"""Round-5 second/third wave gate queries.
 
-- **event_transition_matrix** — first-order Markov transitions of
-  per-user event sequences (ops/sequences.transition_matrix); the
-  product-analytics sibling of the reference's chronological track
-  windows (SURVEY.md §2.5 W1/W2).
-- **user_burst_hours** — per-user hourly rate-burst screening with an
-  integer-exact trailing-RANGE rule (ops/sequences.burst_hours).
-- **term_postings_index** — inverted index with capped posting lists
-  (llm/text.postings_index), the serving-side complement of tf-idf.
-- **order_autocorrelation** — lag-1 autocorrelation of the daily average
-  order value per year, on the exact decimal-moment machinery
-  (ops/stats.lagged_autocorrelation). The series is the daily AVERAGE,
-  not the daily sum, deliberately: per-day magnitudes are then
-  independent of scale factor, so the squared-moment sums stay under the
-  2^53 exact-double bound that moment_aggs requires at ANY corpus size.
-- **mad_outlier_bounds** — median-absolute-deviation outlier screening
-  (ops/stats.mad_outliers): both quantiles via the repo's exact
-  rank-and-interpolate pattern, never an engine-native approximate
-  quantile.
+Sequence analytics: **event_transition_matrix** (Markov transitions,
+ops/sequences), **user_burst_hours** (integer-exact trailing-RANGE burst
+rule), **session_path_topk** (journey mining on ONE user-keyed shuffle).
+
+Robust statistics: **order_autocorrelation** (decimal-moment lag-1 corr
+of the daily AVERAGE order value — the average, not the sum, keeps the
+squared moments under the 2^53 exact-double bound at any SF),
+**mad_outlier_bounds** (two rank-exact interpolated medians),
+**key_skew_profile** (rational-only concentration: Σc² = the exact
+self-join fan-out; no ln(), the tf-idf cross-libm precedent),
+**monthly_growth_by_nation** (MoM pct change on broadcast dims).
+
+Corpus/serving tier: **term_postings_index** (capped inverted index),
+**incremental_dedup_status** (batch-vs-history LSH admission),
+**lsh_recall_eval** / **ann_recall_eval** (banding / IVF quality
+measurement against exact ground truth), **cross_source_dup_matrix**,
+**mixture_apply_stats** (mixture plan EXECUTED via per-domain hash
+thresholds), **graph_pagerank_step** (integer micro-unit PageRank).
 
 Determinism follows the repo contract: BIGINT counts, exact-int
 divisions, fixed IEEE op order mirrored literally by each oracle.
