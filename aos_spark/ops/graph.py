@@ -124,3 +124,65 @@ def pagerank_step(
             6,
         ).alias("rank"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+) -> DataFrame:
+    """Full PageRank power iteration: ``iterations`` rounds of the
+    micro-unit step with ranks carried as BIGINT micro-units end to end,
+    so every iteration is partitioning-independent and the composition is
+    too (no float accumulation ever crosses a shuffle). Driver-loop +
+    localCheckpoint per round — the dup_clusters pattern; each round is
+    one src-keyed contribution join + one dst-keyed aggregate.
+
+    rank_{t+1}(v) = (1−d)·10¹² + d-weighted Σ round(rank_t(u)/outdeg(u))
+    (the damping multiply is applied per-edge on exact integers:
+    ``round(d · contrib)``), starting from rank_0 = 10¹² per node.
+
+    Returns (node, rank) with rank scaled back to doubles (rank mass ≈ 1
+    per node, the unnormalized convention of pagerank_step). Requires
+    outdeg ≥ 1 for every node (bidirectional edge lists).
+    """
+    from aos_spark.cache import persist_tracked
+
+    e = persist_tracked(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
+    outdeg = persist_tracked(
+        e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    )
+    ranks = outdeg.select("s", F.lit(10**12).alias("r"))  # nodes = sources
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, "s")
+            .join(outdeg, "s")
+            .select(
+                F.col("d"),
+                F.round(
+                    F.lit(damping)
+                    * F.round(F.col("r") / F.col("od"), 0),
+                    0,
+                )
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("d").alias("s"))
+            .agg(F.sum("c").alias("__in"))
+            .select(
+                "s",
+                (
+                    F.lit(int(round((1.0 - damping) * 10**12)))
+                    + F.col("__in")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("s").alias("node"),
+        F.round(F.col("r") / F.lit(1e12), 6).alias("rank"),
+    )

@@ -125,3 +125,35 @@ def test_pagerank_step_star_concentrates_rank(spark):
     for l in leaves:
         assert abs(rows[l]["rank"] - 0.3625) < 1e-6
     assert rows["hub"]["out_degree"] == 4 and rows["hub"]["in_edges"] == 4
+
+
+def test_pagerank_loop_matches_python_replica(spark):
+    import math
+    from collections import defaultdict
+
+    from aos_spark.ops.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c"),
+             ("d", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+
+    def half_up(x):
+        return math.floor(x + 0.5)  # Spark F.round(x, 0) for positive x
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = {n: 10**12 for n in outdeg}
+    base = half_up(0.15 * 10**12)
+    for _ in range(8):
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += half_up(0.85 * half_up(r[s] / outdeg[s]))
+        r = {n: base + inc[n] for n in outdeg}
+    ref = {n: round(v / 1e12, 6) for n, v in r.items()}
+    assert set(got) == set(ref)
+    for n in ref:
+        assert abs(got[n] - ref[n]) < 1e-9, (n, got[n], ref[n])
+    # structural sanity: the well-connected hub 'a' outranks the leaf 'd'
+    assert got["a"] > got["d"]

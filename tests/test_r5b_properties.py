@@ -125,3 +125,33 @@ def test_postings_index_matches_naive(docs, cap):
         for t, ds in by_term.items()
     }
     assert got == ref
+
+
+_vals = st.lists(
+    st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=_vals, k=st.sampled_from([1.5, 3.0]))
+def test_mad_outliers_matches_statistics_reference(vals, k):
+    import statistics
+
+    from aos_spark.ops.stats import mad_outliers
+
+    spark = _spark()
+    vals = [float(v) for v in vals]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], ["grp", "id", "v"]
+    )
+    row = mad_outliers(df, ["grp"], "v", ["id"], k=k).collect()[0]
+    med = statistics.median(vals)
+    devs = [abs(v - med) for v in vals]
+    mad = statistics.median(devs)
+    n_out = sum(1 for d in devs if d > k * mad)
+    assert row["n_rows"] == len(vals)
+    assert abs(row["median"] - med) < 1e-6
+    assert abs(row["mad"] - mad) < 1e-6
+    assert row["n_outliers"] == n_out
