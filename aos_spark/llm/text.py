@@ -518,20 +518,28 @@ def postings_index(
     dedup-serving sibling of tf-idf (same `[^a-z0-9]+` tokenizer as the
     shingle pipelines).
 
-    Scale discipline: a hot term's postings are capped BEFORE
-    materialization — a term-partitioned row_number window keeps only the
-    ``max_postings`` lowest doc ids, so no aggregation ever builds an
-    array proportional to corpus size (a naive collect_list of a
-    stop-word's postings is a single-task OOM at 100 TB). df / tf stay
-    exact over ALL occurrences; only the sample list is capped, and the
-    cap is part of the operator contract (mirrored by the oracle).
+    Scale discipline: a hot term's postings are capped with a TWO-LEVEL
+    top-K — per-(term, salt) row_number windows keep each bucket's
+    ``max_postings`` lowest doc ids across 32 parallel tasks, then the
+    term-level merge ranks at most 32·max_postings survivors (the global
+    K smallest are always within their bucket's K smallest). A single
+    term-partitioned window would funnel a stop-word's entire posting
+    set through one task's sort (review catch) — the same hot-key
+    pathology the salting helpers exist for. df / tf stay exact over ALL
+    occurrences; only the sample list is capped, and the cap is part of
+    the operator contract (mirrored by the oracle).
 
-    Physical shape: explode → (term, doc) partial-agg'd count → one
-    term-keyed window + one term-keyed agg on the same partitioning.
-    Output: term, df, tf_total (BIGINT), postings (comma-joined string —
-    strings, not arrays, so results hash across engines).
+    Physical shape: explode → (term, doc) partial-agg'd count
+    (persisted — it feeds both the stats aggregate and the candidate
+    path; at warehouse scale this frame IS the posting list) →
+    salt-bucketed cap windows → bounded term-level merge → term-keyed
+    join with the exact stats. Output: term, df, tf_total (BIGINT),
+    postings (comma-joined string — strings, not arrays, so results hash
+    across engines).
     """
     from pyspark.sql import Window
+
+    from aos_spark.cache import persist_tracked
 
     occ = df.select(
         id_col,
@@ -541,27 +549,33 @@ def postings_index(
             )
         ).alias("term"),
     )
-    per_doc = occ.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.partitionBy("term").orderBy(id_col)
-    capped = per_doc.withColumn("__rn", F.row_number().over(w))
-    return (
-        capped.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("tf_total"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("__rn") <= max_postings, F.col(id_col)
-                            )
-                        )
-                    ),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("postings"),
-        )
-        .filter(F.col("df") >= min_df)
+    per_doc = persist_tracked(
+        occ.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
     )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+    )
+    n_salts = 32
+    w1 = Window.partitionBy("term", "__salt").orderBy(id_col)
+    cand = (
+        per_doc.withColumn(
+            "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
+        )
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= max_postings)
+    )
+    postings = cand.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    1,
+                    max_postings,
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(postings, "term").filter(F.col("df") >= min_df)

@@ -111,16 +111,21 @@ def pagerank_step(
         .alias("__c"),
     )
     ranks = contrib.groupBy("__d").agg(
-        F.count(F.lit(1)).alias("in_edges"),
+        F.count(F.lit(1)).alias("__in_edges"),
         F.sum("__c").alias("__sum"),
     )
-    return ranks.join(outdeg, ranks["__d"] == outdeg["__s"]).select(
-        F.col("__d").alias("node"),
+    # LEFT join from the node universe (= sources, which the outdeg ≥ 1
+    # precondition makes complete): a zero-IN-degree node still exists and
+    # holds the teleport mass (1−d) — an inner join would silently drop it
+    # (review catch).
+    return outdeg.join(ranks, outdeg["__s"] == ranks["__d"], "left").select(
+        F.col("__s").alias("node"),
         "out_degree",
-        "in_edges",
+        F.coalesce(F.col("__in_edges"), F.lit(0)).alias("in_edges"),
         F.round(
             F.lit(1.0 - damping)
-            + F.lit(damping) * (F.col("__sum") / F.lit(1e12)),
+            + F.lit(damping)
+            * (F.coalesce(F.col("__sum"), F.lit(0)) / F.lit(1e12)),
             6,
         ).alias("rank"),
     )
@@ -170,14 +175,21 @@ def pagerank(
                 .alias("c"),
             )
         )
+        # LEFT from the node universe: a node nobody links to keeps the
+        # teleport mass and keeps CONTRIBUTING on its out-edges next round
+        # — the inner-join form silently dropped it after round 1 and
+        # lost its recurring contributions (review catch)
+        incoming = contrib.groupBy(F.col("d").alias("s")).agg(
+            F.sum("c").alias("__in")
+        )
         ranks = (
-            contrib.groupBy(F.col("d").alias("s"))
-            .agg(F.sum("c").alias("__in"))
+            outdeg.select("s")
+            .join(incoming, "s", "left")
             .select(
                 "s",
                 (
                     F.lit(int(round((1.0 - damping) * 10**12)))
-                    + F.col("__in")
+                    + F.coalesce(F.col("__in"), F.lit(0))
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)

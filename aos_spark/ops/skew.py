@@ -113,6 +113,10 @@ def key_distribution_profile(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.round(F.col("max_count") / F.col("n_rows"), 6).alias(
                     "top_share"
                 ),
+                # exact while Σc² ≤ 2^63−1 (≈9.2e18 self-join rows — far
+                # past the point the diagnostic's answer is "never run
+                # this join"); beyond that the ANSI-off cast nulls, which
+                # itself reads as "off the scale"
                 F.col("__s2").cast("long").alias("selfjoin_rows"),
                 F.round(
                     (
@@ -122,9 +126,15 @@ def key_distribution_profile(df: DataFrame, cols: list[str]) -> DataFrame:
                     / F.col("__s2").cast("double"),
                     6,
                 ).alias("eff_keys"),
+                # product computed in DOUBLE: a long·long product wraps
+                # past 2^63 (review catch); each factor converts exactly
+                # below 2^53 and the ratio is what matters
                 F.round(
-                    (F.col("max_count") * F.col("n_keys"))
-                    / F.col("n_rows"),
+                    (
+                        F.col("max_count").cast("double")
+                        * F.col("n_keys").cast("double")
+                    )
+                    / F.col("n_rows").cast("double"),
                     6,
                 ).alias("skew_factor"),
             )

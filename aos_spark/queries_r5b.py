@@ -306,7 +306,8 @@ SELECT '{c}' AS key_col,
        CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS selfjoin_rows,
        ROUND((CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
              / CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE), 6) AS eff_keys,
-       ROUND((MAX(c) * COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6) AS skew_factor
+       ROUND((CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+             / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 6) AS skew_factor
 FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY {c})""")
     return "\nUNION ALL\n".join(parts)
 
@@ -607,10 +608,13 @@ contrib AS (
 ranks AS (
   SELECT dst AS node, COUNT(*) AS in_edges, CAST(SUM(c) AS BIGINT) AS s
   FROM contrib GROUP BY dst)
-SELECT r.node, o.out_degree, r.in_edges,
+-- LEFT from the node universe (sources): a zero-in-degree node keeps the
+-- teleport mass instead of vanishing — mirrors ops/graph.pagerank_step
+SELECT o.src AS node, o.out_degree,
+       CAST(COALESCE(r.in_edges, 0) AS BIGINT) AS in_edges,
        ROUND(CAST({1.0 - damping!r} AS DOUBLE)
-             + CAST({damping!r} AS DOUBLE) * (r.s / 1e12), 6) AS rank
-FROM ranks r JOIN outdeg o ON r.node = o.src
+             + CAST({damping!r} AS DOUBLE) * (COALESCE(r.s, 0) / 1e12), 6) AS rank
+FROM outdeg o LEFT JOIN ranks r ON o.src = r.node
 """
 
 

@@ -214,7 +214,6 @@ def main() -> None:
     seq_ev = ev.select(
         "user_id",
         "ts",
-        F.col("user_id").alias("event_id"),  # placeholder unique-ish tiebreak
         (F.col("user_id") % 8).cast("string").alias("state"),
     ).withColumn("event_id", F.monotonically_increasing_id())
     timed(

@@ -157,3 +157,23 @@ def test_pagerank_loop_matches_python_replica(spark):
         assert abs(got[n] - ref[n]) < 1e-9, (n, got[n], ref[n])
     # structural sanity: the well-connected hub 'a' outranks the leaf 'd'
     assert got["a"] > got["d"]
+
+
+def test_pagerank_keeps_zero_in_degree_nodes(spark):
+    """Review regression: node c has outdeg >= 1 but NO in-edges — it must
+    keep the teleport mass (not vanish) and keep contributing to 'a' in
+    every iteration, in both the single step and the loop."""
+    from aos_spark.ops.graph import pagerank, pagerank_step
+
+    edges = spark.createDataFrame(
+        [("c", "a"), ("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    step = {r["node"]: r for r in pagerank_step(edges).collect()}
+    assert set(step) == {"a", "b", "c"}
+    assert step["c"]["in_edges"] == 0
+    assert abs(step["c"]["rank"] - 0.15000000000000002) < 1e-12
+
+    loop = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    assert set(loop) == {"a", "b", "c"}
+    # c's teleport mass keeps flowing: a gets contributions from BOTH b and c
+    assert loop["a"] > loop["b"] > loop["c"] > 0
