@@ -175,5 +175,9 @@ def test_pagerank_keeps_zero_in_degree_nodes(spark):
 
     loop = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
     assert set(loop) == {"a", "b", "c"}
-    # c's teleport mass keeps flowing: a gets contributions from BOTH b and c
-    assert loop["a"] > loop["b"] > loop["c"] > 0
+    # c keeps exactly the teleport mass (nothing links to it); the a<->b
+    # 2-cycle oscillates under power iteration, so assert mass, not order:
+    # total mass obeys T = 0.45 + 0.85*T_prev from T_0 = 3 -> stays 3
+    assert abs(loop["c"] - 0.15) < 1e-6
+    assert min(loop["a"], loop["b"]) > loop["c"]
+    assert abs(sum(loop.values()) - 3.0) < 1e-5
