@@ -579,3 +579,72 @@ def postings_index(
         ).alias("postings")
     )
     return stats.join(postings, "term").filter(F.col("df") >= min_df)
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: within-document term co-occurrence scored by
+    RATIONAL lift — ``(n_xy · N) / (n_x · n_y)`` (>1 = the pair co-occurs
+    more than independence predicts). Lift is monotone with PMI but uses
+    no ln(), keeping the repo's cross-libm determinism contract (the
+    tf-idf precedent); each factor converts to double exactly below 2^53
+    and the score is two multiplies + one division in fixed order.
+
+    Shape: per-doc DISTINCT terms (persisted — feeds the df aggregate,
+    both pair-join sides, and the doc count) → doc-keyed self-join whose
+    fan-out is bounded by (distinct terms per doc)², i.e. document
+    length, never corpus size → (term_a, term_b) count with map-side
+    combine; ``min_pair_count`` bounds the output to recurring pairs.
+    Term document frequencies are vocabulary-sized and broadcast back.
+    """
+    from aos_spark.cache import persist_tracked
+
+    td = persist_tracked(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.array_remove(
+                        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    tf = td.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = td.agg(F.count_distinct("doc").alias("__n"))
+    pairs = (
+        td.select("doc", F.col("term").alias("term_a"))
+        .join(td.select("doc", F.col("term").alias("term_b")), "doc")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_pair_count)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(tf.select(F.col("term").alias("term_a"), F.col("dfreq").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(tf.select(F.col("term").alias("term_b"), F.col("dfreq").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(nd))
+    )
+    return out.select(
+        "term_a",
+        "term_b",
+        "n_xy",
+        "df_a",
+        "df_b",
+        F.round(
+            (F.col("n_xy").cast("double") * F.col("__n").cast("double"))
+            / (F.col("df_a").cast("double") * F.col("df_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )

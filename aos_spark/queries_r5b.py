@@ -808,3 +808,82 @@ FROM pt LEFT JOIN ph ON pt.query_id = ph.query_id
 
 R5B_QUERIES.update({"ann_recall_eval": q_ann_recall_eval})
 R5B_ORACLES.update({"ann_recall_eval": _ann_recall_oracle()})
+
+
+def q_term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import text as TX
+
+    return TX.cooccurrence_lift(
+        _t(spark, sf_dir, "documents"), min_pair_count=5
+    )
+
+
+ORACLE_COOCCURRENCE = r"""
+WITH td AS (
+  SELECT DISTINCT doc_id AS doc, u.term
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents) x, UNNEST(x.t) AS u(term)),
+tf AS (SELECT term, COUNT(*) AS dfreq FROM td GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc) AS n FROM td),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_xy
+  FROM td a JOIN td b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+SELECT p.term_a, p.term_b, p.n_xy,
+       ta.dfreq AS df_a, tb.dfreq AS df_b,
+       ROUND((CAST(p.n_xy AS DOUBLE) * CAST(nd.n AS DOUBLE))
+             / (CAST(ta.dfreq AS DOUBLE) * CAST(tb.dfreq AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN tf ta ON p.term_a = ta.term
+JOIN tf tb ON p.term_b = tb.term, nd
+"""
+
+
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation diagnostic: declared language label vs the n-gram
+    heuristic's detection, as a confusion matrix with per-label shares.
+    One codegen'd detection pass + one tiny (labels × detections)
+    rollup; the share window runs over the bounded confusion frame."""
+    from pyspark.sql import Window
+
+    from aos_spark.llm import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    conf = d.groupBy(
+        F.col("lang").alias("labeled_lang"),
+        TX.detect_language().alias("detected_lang"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    per_label = Window.partitionBy("labeled_lang")
+    return conf.withColumn(
+        "share",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(per_label), 6),
+    )
+
+
+def _language_confusion_oracle() -> str:
+    from aos_spark.queries import _langid_oracle
+
+    return f"""
+WITH detected AS ({_langid_oracle()}),
+conf AS (
+  SELECT labeled_lang, detected_lang, COUNT(*) AS n_docs
+  FROM detected GROUP BY 1, 2)
+SELECT labeled_lang, detected_lang, n_docs,
+       ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6) AS share
+FROM conf
+"""
+
+
+R5B_QUERIES.update(
+    {
+        "term_cooccurrence_lift": q_term_cooccurrence_lift,
+        "language_confusion_matrix": q_language_confusion,
+    }
+)
+R5B_ORACLES.update(
+    {
+        "term_cooccurrence_lift": ORACLE_COOCCURRENCE,
+        "language_confusion_matrix": _language_confusion_oracle(),
+    }
+)

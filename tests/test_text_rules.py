@@ -90,3 +90,46 @@ def test_build_vocab_min_df_and_per_doc_distinct(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["term"]: r["df"] for r in build_vocab(df, min_df=2).collect()}
     assert got == {"apple": 3, "banana": 2}
+
+
+def test_cooccurrence_lift_known_values(spark):
+    from aos_spark.llm.text import cooccurrence_lift
+
+    # 'a b' together in 4 docs, 'a' alone in 2, 'b' alone in 2, 'c d' in 4
+    rows = [(i, "a b") for i in range(4)]
+    rows += [(10 + i, "a") for i in range(2)]
+    rows += [(20 + i, "b") for i in range(2)]
+    rows += [(30 + i, "c d") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["term_a"], r["term_b"]): r
+        for r in cooccurrence_lift(df, min_pair_count=2).collect()
+    }
+    ab = out[("a", "b")]
+    # N=12, n_ab=4, df_a=6, df_b=6 -> lift = 4*12/(6*6) = 1.333333
+    assert ab["n_xy"] == 4 and ab["df_a"] == 6 and ab["df_b"] == 6
+    assert abs(ab["lift"] - 4 * 12 / 36) < 1e-6
+    cd = out[("c", "d")]
+    # perfectly-associated pair: lift = 4*12/(4*4) = 3
+    assert abs(cd["lift"] - 3.0) < 1e-6
+    assert cd["lift"] > ab["lift"]
+
+
+def test_cooccurrence_counts_doc_once_despite_repeats(spark):
+    from aos_spark.llm.text import cooccurrence_lift
+
+    df = spark.createDataFrame(
+        [(i, "x y x y x") for i in range(3)], ["doc_id", "text"]
+    )
+    r = cooccurrence_lift(df, min_pair_count=1).collect()[0]
+    assert (r["term_a"], r["term_b"]) == ("x", "y")
+    assert r["n_xy"] == 3  # distinct per doc, not token-level
+
+
+def test_language_confusion_shares_sum_to_one(spark):
+    from aos_spark.queries_r5b import q_language_confusion
+    import pyspark.sql.functions as F
+
+    out = q_language_confusion(spark, "/root/testdata/sf0.001")
+    sums = out.groupBy("labeled_lang").agg(F.sum("share").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
