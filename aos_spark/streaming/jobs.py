@@ -373,3 +373,53 @@ def burst_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = "user_id BIGINT, prev_state STRING, next_state STRING"
+TRANSITION_STATE_SCHEMA = "last_epoch DOUBLE, last_state STRING"
+
+
+def transition_stream(stream: DataFrame) -> DataFrame:
+    """Streaming face of ops/sequences.transition_matrix: per-user state
+    transitions emitted incrementally, with the LAST (timestamp, state)
+    pair carried in per-key state so the transition across a micro-batch
+    boundary is never lost. Emits one row per observed transition
+    (append mode); the matrix itself is the downstream
+    groupBy(prev, next) the batch face performs — kept separate so the
+    emitted stream can ALSO feed alerting/sessionization consumers.
+    State is O(1) per key. Same ordering assumption as
+    sessionize_stream: events sorted within batch, cross-batch late
+    events are not reordered."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        epochs = (events["ts"].astype("int64") / 1e9).tolist()
+        states = events["event_type"].tolist()
+        if state.exists:
+            last_e, last_s = state.get
+        else:
+            last_e, last_s = None, None
+        out = []
+        for e, s in zip(epochs, states):
+            if last_s is not None:
+                out.append((key[0], last_s, s))
+            last_e, last_s = e, s
+        state.update((float(last_e), str(last_s)))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "prev_state": [r[1] for r in out],
+                    "next_state": [r[2] for r in out],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -367,3 +367,52 @@ def test_stateful_burst_stream_across_batches(spark, dirs, tmp_path):
     assert rows[2]["trail_hours"] == 2 and not rows[2]["is_burst"]
     assert rows[3]["n_events"] == 5 and rows[3]["trail_hours"] == 3
     assert rows[3]["is_burst"]
+
+
+def test_stateful_transition_stream_across_batches(spark, dirs, tmp_path):
+    """transition_stream: the last state before a micro-batch boundary is
+    carried in state, so the cross-batch transition is emitted."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "trans_in")
+    out_dir = str(tmp_path / "trans_out")
+    ckpt = str(tmp_path / "trans_ckpt")
+    os.makedirs(in_dir)
+
+    def drop(tag, rows):
+        spark.createDataFrame(
+            [(i, ts, uid, et, 0.0, None) for i, (ts, uid, et) in enumerate(rows)],
+            sjobs.EVENTS_SCHEMA,
+        ).coalesce(1).write.parquet(os.path.join(in_dir, tag))
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run():
+        q = (
+            sjobs.transition_stream(sjobs.read_event_stream(spark, in_dir + "/*"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop("b1", [(t0, 1, "a"), (t0 + dt.timedelta(minutes=1), 1, "b")])
+    run()
+    pairs = {
+        (r["prev_state"], r["next_state"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert pairs == {("a", "b")}
+
+    # batch 2 starts with 'c': the b->c transition spans the batch boundary
+    drop("b2", [(t0 + dt.timedelta(minutes=2), 1, "c"),
+                (t0 + dt.timedelta(minutes=3), 1, "a")])
+    run()
+    pairs = {
+        (r["prev_state"], r["next_state"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert pairs == {("a", "b"), ("b", "c"), ("c", "a")}
