@@ -122,3 +122,71 @@ def kmeans_lloyd_step(
             F.round(F.col("__s").cast("double") / F.col("__n"), 6).alias("centroid"),
         )
     )
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-drift diagnostic: cosine similarity matrix between
+    per-label centroids (are two sources/classes converging?).
+
+    Centroid components accumulate as INTEGER MICRO-UNITS
+    (``round(val·10⁶)`` per element, BIGINT-summed — the pagerank trick),
+    so the per-label mean is partitioning- and engine-independent; the
+    pairwise cosine then runs over |labels|² centroid pairs — a frame
+    whose size is independent of corpus volume — with the same
+    sequential-fold dot product the ANN tier uses (llm/similarity).
+
+    Physical shape: posexplode (map-side) → (label, dim) micro-unit agg →
+    per-label ordered re-collect (|dims| rows per label) → tiny centroid
+    self-join. One data-sized shuffle total.
+    """
+    from pyspark.sql import functions as F
+
+    from aos_spark.llm.similarity import dot_expr
+
+    x = df.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    c = x.groupBy("lbl", "dim").agg(
+        F.sum(
+            F.round(F.col("val").cast("double") * F.lit(1e6), 0).cast("long")
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        c.select(
+            "lbl",
+            "dim",
+            (
+                (F.col("mu") / F.lit(1e6)) / F.col("n").cast("double")
+            ).alias("val"),
+        )
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("cvec")
+        )
+    )
+    a = cent.select(F.col("lbl").alias("label_a"), F.col("cvec").alias("va"))
+    b = cent.select(F.col("lbl").alias("label_b"), F.col("cvec").alias("vb"))
+    return (
+        a.join(b, F.col("label_a") <= F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                dot_expr("va", "vb")
+                / (
+                    F.sqrt(dot_expr("va", "va"))
+                    * F.sqrt(dot_expr("vb", "vb"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

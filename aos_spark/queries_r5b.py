@@ -887,3 +887,36 @@ R5B_ORACLES.update(
         "language_confusion_matrix": _language_confusion_oracle(),
     }
 )
+
+
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aos_spark.llm import cluster as CL
+
+    return CL.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_CENTROID_SIM = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT label, u.dim,
+         CAST(ROUND(v[u.dim + 1] * 1000000.0, 0) AS BIGINT) AS mu
+  FROM e, UNNEST(range(len(v))) AS u(dim)),
+c AS (
+  SELECT label, dim,
+         (CAST(SUM(mu) AS BIGINT) / 1000000.0) / CAST(COUNT(*) AS DOUBLE) AS val
+  FROM x GROUP BY 1, 2),
+cent AS (
+  SELECT label,
+         list_transform(list_sort(list(struct_pack(dim := dim, val := val))),
+                        s -> s.val) AS cvec
+  FROM c GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(list_dot_product(a.cvec, b.cvec)
+             / (sqrt(list_dot_product(a.cvec, a.cvec))
+                * sqrt(list_dot_product(b.cvec, b.cvec))), 6) AS cosine
+FROM cent a JOIN cent b ON a.label <= b.label
+"""
+
+
+R5B_QUERIES.update({"label_centroid_similarity": q_label_centroid_similarity})
+R5B_ORACLES.update({"label_centroid_similarity": ORACLE_CENTROID_SIM})

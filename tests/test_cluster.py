@@ -138,3 +138,20 @@ def test_default_seeding_non_contiguous_ids(spark):
     # every vector assigned exactly once: per-dim member counts sum to 4
     n = sum(r["n_members"] for r in got if r["dim"] == 0)
     assert n == 4
+
+
+def test_label_centroid_similarity_self_and_opposite(spark):
+    from aos_spark.llm.cluster import label_centroid_similarity
+
+    # label 0 vectors along +x, label 1 along -x, label 2 along +y
+    rows = [(i, [1.0, 0.0], 0) for i in range(3)]
+    rows += [(10 + i, [-1.0, 0.0], 1) for i in range(3)]
+    rows += [(20 + i, [0.0, 2.0], 2) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_similarity(df).collect()
+    }
+    assert out[(0, 0)] == 1.0 and out[(1, 1)] == 1.0 and out[(2, 2)] == 1.0
+    assert abs(out[(0, 1)] - (-1.0)) < 1e-6  # opposite centroids
+    assert abs(out[(0, 2)]) < 1e-6  # orthogonal centroids
