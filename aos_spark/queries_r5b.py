@@ -920,3 +920,65 @@ FROM cent a JOIN cent b ON a.label <= b.label
 
 R5B_QUERIES.update({"label_centroid_similarity": q_label_centroid_similarity})
 R5B_ORACLES.update({"label_centroid_similarity": ORACLE_CENTROID_SIM})
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer iteration, relationally: corpus word-frequency
+    table (vocabulary-bounded) → adjacent character pairs per word
+    (substring projection, no explode of the corpus — pairs explode off
+    the VOCAB frame) → frequency-weighted pair counts → top-20 merge
+    candidates via the window-free global top-k. The full trainer is
+    this step in a driver loop re-tokenizing against the merged symbol
+    (the dup_clusters/pagerank loop pattern); one step is the
+    gate-verified unit (the kmeans_lloyd_step precedent)."""
+    from aos_spark.ops.topk import topk_global
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.array_remove(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").alias("merge_count")
+    )
+    return topk_global(counts, "merge_count", "pair", k=20)
+
+
+ORACLE_BPE = r"""
+WITH words AS (
+  SELECT u.word, COUNT(*) AS freq
+  FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents) x, UNNEST(x.t) AS u(word)
+  GROUP BY u.word HAVING length(u.word) >= 2),
+pairs AS (
+  SELECT freq, p.pair
+  FROM words, UNNEST(list_transform(range(1, length(word)), i -> substr(word, CAST(i AS INTEGER), 2))) AS p(pair)),
+counts AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS merge_count
+  FROM pairs GROUP BY pair),
+top AS (SELECT * FROM counts ORDER BY merge_count DESC, pair ASC LIMIT 20)
+SELECT pair, merge_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY merge_count DESC, pair ASC) AS INT) AS rank_in_group
+FROM top
+"""
+
+
+R5B_QUERIES.update({"bpe_merge_candidates": q_bpe_merge_candidates})
+R5B_ORACLES.update({"bpe_merge_candidates": ORACLE_BPE})

@@ -133,3 +133,22 @@ def test_language_confusion_shares_sum_to_one(spark):
     out = q_language_confusion(spark, "/root/testdata/sf0.001")
     sums = out.groupBy("labeled_lang").agg(F.sum("share").alias("s")).collect()
     assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
+
+
+def test_bpe_merge_candidates_counts(spark, tmp_path):
+    """'abab' x3 + 'ab' x2: pair 'ab' appears 2x in abab (positions 1,3)
+    and 1x in ab -> weighted count 3*2 + 2*1 = 8; 'ba' only inside abab."""
+    import os
+
+    from aos_spark.queries_r5b import q_bpe_merge_candidates
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "abab abab abab ab ab", "en", "s", 20)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["pair"]: r for r in q_bpe_merge_candidates(spark, d).collect()}
+    assert out["ab"]["merge_count"] == 8
+    assert out["ba"]["merge_count"] == 3
+    assert out["ab"]["rank_in_group"] == 1
