@@ -36,6 +36,8 @@ FLOAT_SENSITIVE = [
     "mixture_apply_stats",
     "monthly_growth_by_nation",
     "graph_pagerank_step",
+    "label_centroid_similarity",
+    "term_cooccurrence_lift",
 ]
 
 
