@@ -143,9 +143,7 @@ def label_centroid_similarity(
     per-label ordered re-collect (|dims| rows per label) → tiny centroid
     self-join. One data-sized shuffle total.
     """
-    from pyspark.sql import functions as F
-
-    from aos_spark.llm.similarity import dot_expr
+    from aos_spark.llm.similarity import cosine_from_norms, norm_expr
 
     x = df.select(
         F.col(label_col).alias("lbl"),
@@ -172,21 +170,28 @@ def label_centroid_similarity(
                 lambda s: s["val"],
             ).alias("cvec")
         )
+        # norm once per centroid (the ANN tier's cosine_from_norms
+        # pattern), not once per pair — same IEEE arithmetic, the norm
+        # aggregation just runs |labels| times instead of |labels|²
+        .withColumn("cnorm", norm_expr(F.col("cvec")))
     )
-    a = cent.select(F.col("lbl").alias("label_a"), F.col("cvec").alias("va"))
-    b = cent.select(F.col("lbl").alias("label_b"), F.col("cvec").alias("vb"))
+    a = cent.select(
+        F.col("lbl").alias("label_a"),
+        F.col("cvec").alias("va"),
+        F.col("cnorm").alias("na"),
+    )
+    b = cent.select(
+        F.col("lbl").alias("label_b"),
+        F.col("cvec").alias("vb"),
+        F.col("cnorm").alias("nb"),
+    )
     return (
         a.join(b, F.col("label_a") <= F.col("label_b"))
         .select(
             "label_a",
             "label_b",
-            F.round(
-                dot_expr("va", "vb")
-                / (
-                    F.sqrt(dot_expr("va", "va"))
-                    * F.sqrt(dot_expr("vb", "vb"))
-                ),
-                6,
-            ).alias("cosine"),
+            F.round(cosine_from_norms("va", "vb", "na", "nb"), 6).alias(
+                "cosine"
+            ),
         )
     )

@@ -375,7 +375,9 @@ def burst_stream(
     )
 
 
-TRANSITION_OUTPUT_SCHEMA = "user_id BIGINT, prev_state STRING, next_state STRING"
+TRANSITION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, ts TIMESTAMP, prev_state STRING, next_state STRING"
+)
 TRANSITION_STATE_SCHEMA = "last_epoch DOUBLE, last_state STRING"
 
 
@@ -383,18 +385,27 @@ def transition_stream(stream: DataFrame) -> DataFrame:
     """Streaming face of ops/sequences.transition_matrix: per-user state
     transitions emitted incrementally, with the LAST (timestamp, state)
     pair carried in per-key state so the transition across a micro-batch
-    boundary is never lost. Emits one row per observed transition
-    (append mode); the matrix itself is the downstream
-    groupBy(prev, next) the batch face performs — kept separate so the
-    emitted stream can ALSO feed alerting/sessionization consumers.
-    State is O(1) per key. Same ordering assumption as
-    sessionize_stream: events sorted within batch, cross-batch late
-    events are not reordered."""
+    boundary is never lost. Emits one row per observed transition with
+    the arriving event's timestamp (append mode), so downstream
+    consumers can window/order the stream; the matrix itself is the
+    downstream groupBy(prev, next) the batch face performs.
+
+    Determinism mirrors the batch face's contract exactly: within a
+    batch, events sort by (ts, event_id) — a deterministic TOTAL order,
+    never bare ts (equal-timestamp ties would make the emitted pairs
+    partition-dependent, review catch). Cross-batch late events (older
+    than the carried last_epoch) are DROPPED, not spliced backwards —
+    a temporally-backwards transition is never emitted; feed a
+    watermarked dedup/sort upstream for exactly-ordered feeds.
+    State is O(1) per key.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
-        events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         epochs = (events["ts"].astype("int64") / 1e9).tolist()
         states = events["event_type"].tolist()
         if state.exists:
@@ -403,16 +414,19 @@ def transition_stream(stream: DataFrame) -> DataFrame:
             last_e, last_s = None, None
         out = []
         for e, s in zip(epochs, states):
+            if last_e is not None and e < last_e:
+                continue  # cross-batch late event: documented drop
             if last_s is not None:
-                out.append((key[0], last_s, s))
+                out.append((key[0], e, last_s, s))
             last_e, last_s = e, s
         state.update((float(last_e), str(last_s)))
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [r[0] for r in out],
-                    "prev_state": [r[1] for r in out],
-                    "next_state": [r[2] for r in out],
+                    "ts": pd.to_datetime([r[1] for r in out], unit="s"),
+                    "prev_state": [r[2] for r in out],
+                    "next_state": [r[3] for r in out],
                 }
             )
 

@@ -126,11 +126,11 @@ def test_cooccurrence_counts_doc_once_despite_repeats(spark):
     assert r["n_xy"] == 3  # distinct per doc, not token-level
 
 
-def test_language_confusion_shares_sum_to_one(spark):
+def test_language_confusion_shares_sum_to_one(spark, sf_dir):
     from aos_spark.queries_r5b import q_language_confusion
     import pyspark.sql.functions as F
 
-    out = q_language_confusion(spark, "/root/testdata/sf0.001")
+    out = q_language_confusion(spark, sf_dir)
     sums = out.groupBy("labeled_lang").agg(F.sum("share").alias("s")).collect()
     assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
 
