@@ -982,3 +982,133 @@ FROM top
 
 R5B_QUERIES.update({"bpe_merge_candidates": q_bpe_merge_candidates})
 R5B_ORACLES.update({"bpe_merge_candidates": ORACLE_BPE})
+
+
+def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value per priority: rank within group,
+    drop the floor(0.05·n) lowest and highest ranks (EXACT integer
+    bounds — no interpolation, so the trim is engine-trivial), decimal
+    mean of the survivors. The robust-aggregation sibling of
+    mad_outlier_bounds; same group-ranked shape and caveat."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    cw = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    ).withColumn("cut", F.floor(F.col("n") * 0.05).cast("long"))
+    kept = ranked.filter(
+        (F.col("rn") > F.col("cut")) & (F.col("rn") <= F.col("n") - F.col("cut"))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.min("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("trimmed_mean"),
+    )
+
+
+ORACLE_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+cutoff AS (SELECT *, CAST(FLOOR(n * 0.05) AS BIGINT) AS cut FROM ranked),
+kept AS (SELECT * FROM cutoff WHERE rn > cut AND rn <= n - cut)
+SELECT o_orderpriority,
+       CAST(MIN(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+FROM kept GROUP BY o_orderpriority
+"""
+
+
+def q_revenue_pareto_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) per nation: rank each nation's
+    customers by lifetime order revenue, report what share of the
+    nation's revenue its top-10% customers hold. Customer revenues roll
+    up decimal-exact; the ranking window and running sum are PARTITIONED
+    by nation (customer-dim-sized frames); the share is one division of
+    exactly-converted decimal sums."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("rev").desc(), F.col("cust").asc()
+    )
+    cw = Window.partitionBy("nation")
+    ranked = cust_rev.select(
+        "nation",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n_cust"),
+    ).withColumn("top_k", F.ceil(F.col("n_cust") * 0.1).cast("long"))
+    return ranked.groupBy("nation").agg(
+        F.min("n_cust").alias("n_customers"),
+        F.min("top_k").alias("n_top_customers"),
+        F.round(
+            F.sum(F.when(F.col("rn") <= F.col("top_k"), F.col("rev"))).cast(
+                "double"
+            )
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+ORACLE_PARETO = """
+WITH cust_rev AS (
+  SELECT n_name AS nation, o_custkey AS cust,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nation, rev,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY rev DESC, cust ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY nation) AS n_cust
+  FROM cust_rev),
+cut AS (SELECT *, CAST(CEIL(n_cust * 0.1) AS BIGINT) AS top_k FROM ranked)
+SELECT nation,
+       CAST(MIN(n_cust) AS BIGINT) AS n_customers,
+       MIN(top_k) AS n_top_customers,
+       ROUND(CAST(SUM(CASE WHEN rn <= top_k THEN rev END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS top_decile_share
+FROM cut GROUP BY nation
+"""
+
+
+R5B_QUERIES.update(
+    {
+        "trimmed_mean_prices": q_trimmed_mean_prices,
+        "revenue_pareto_by_nation": q_revenue_pareto_by_nation,
+    }
+)
+R5B_ORACLES.update(
+    {
+        "trimmed_mean_prices": ORACLE_TRIMMED_MEAN,
+        "revenue_pareto_by_nation": ORACLE_PARETO,
+    }
+)

@@ -214,3 +214,21 @@ def test_array_agg_sorted_string_is_sorted_distinct(spark, sf_dir):
         got = r["statuses"].split(",")
         assert got == sorted(set(got))  # sorted, no dups
         assert set(got) == want[r["o_orderpriority"]]
+
+
+def test_trimmed_mean_is_outlier_robust(spark, tmp_path):
+    import os
+
+    from aos_spark.queries_r5b import q_trimmed_mean_prices
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # 40 orders at ~100, one absurd outlier; 5% trim (cut=2) removes it
+    rows = [(i, "1-URGENT", 100.0 + (i % 5)) for i in range(40)]
+    rows.append((99, "1-URGENT", 1_000_000.0))
+    spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    r = q_trimmed_mean_prices(spark, d).collect()[0]
+    assert r["n_rows"] == 41 and r["n_kept"] == 37
+    assert 100.0 <= r["trimmed_mean"] <= 105.0  # outlier gone
