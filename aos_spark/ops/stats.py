@@ -191,3 +191,29 @@ def mad_outliers(
             6,
         ).alias("outlier_frac"),
     )
+
+
+def grouped_linregress(
+    df: DataFrame, group_cols: list[str], x: str, y: str, scale: int = 6
+) -> DataFrame:
+    """Per-group ordinary-least-squares line (slope/intercept/r) from the
+    SAME exact decimal moments as grouped_correlation — slope =
+    cov/var_x and intercept = (Σy − slope·Σx)/n are fixed IEEE sequences
+    over the order-independent moment sums, so the fit is bit-identical
+    on any partitioning and engine. One map-combined shuffle, same
+    magnitude caveats as moment_aggs."""
+    m = df.groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
+    n = F.col("n").cast("double")
+    cov = (F.col("sum_xy") - F.col("sum_x") * F.col("sum_y") / n) / (n - 1)
+    var_x = (F.col("sum_xx") - F.col("sum_x") * F.col("sum_x") / n) / (n - 1)
+    var_y = (F.col("sum_yy") - F.col("sum_y") * F.col("sum_y") / n) / (n - 1)
+    slope = cov / var_x
+    return m.select(
+        *group_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sum_y") - slope * F.col("sum_x")) / n, 6).alias(
+            "intercept"
+        ),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("r"),
+    )

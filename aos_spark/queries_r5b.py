@@ -1112,3 +1112,76 @@ R5B_ORACLES.update(
         "revenue_pareto_by_nation": ORACLE_PARETO,
     }
 )
+
+
+def q_revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of the daily average order value per customer nation
+    (is a market heating up?): broadcast dims → (nation, day) decimal
+    rollup → exact-moment regression (ops/stats.grouped_linregress),
+    x = integer day index (exact), y = the exactly-converted daily
+    mean — the same determinism recipe as order_autocorrelation."""
+    from aos_spark.ops import stats as ST
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.date_trunc("day", F.col("o_orderdate")),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("day_idx"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_price")
+        )
+    )
+    return ST.grouped_linregress(
+        daily.withColumn("day_d", F.col("day_idx").cast("double")),
+        ["nation"],
+        "day_d",
+        "avg_price",
+    )
+
+
+ORACLE_TREND = """
+WITH daily AS (
+  SELECT n_name AS nation,
+         CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(date_trunc('day', o_orderdate) AS DATE)) AS DOUBLE) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT nation,
+         COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_x,
+         CAST(ROUND(SUM(CAST(y AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_y,
+         CAST(ROUND(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xy,
+         CAST(ROUND(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xx,
+         CAST(ROUND(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_yy
+  FROM daily GROUP BY nation)
+SELECT nation, n,
+       ROUND(((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+             / ((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS slope,
+       ROUND((sum_y - (((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                       / ((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) * sum_x)
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND(((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+             / SQRT(((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                    * ((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))), 6) AS r
+FROM m
+"""
+
+
+R5B_QUERIES.update({"revenue_trend_by_nation": q_revenue_trend_by_nation})
+R5B_ORACLES.update({"revenue_trend_by_nation": ORACLE_TREND})

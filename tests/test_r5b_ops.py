@@ -290,3 +290,27 @@ def test_single_event_per_user_yields_no_transitions(spark):
         ["event_id", "ts", "user_id", "state"],
     )
     assert transition_matrix(df, "user_id", "state", ["ts", "event_id"]).count() == 0
+
+
+def test_grouped_linregress_recovers_known_line(spark):
+    from aos_spark.ops.stats import grouped_linregress
+
+    # y = 3x + 7 exactly; r must be 1
+    df = spark.createDataFrame(
+        [("g", float(i), 3.0 * i + 7.0) for i in range(50)], ["grp", "x", "y"]
+    )
+    row = grouped_linregress(df, ["grp"], "x", "y").collect()[0]
+    assert abs(row["slope"] - 3.0) < 1e-6
+    assert abs(row["intercept"] - 7.0) < 1e-4
+    assert abs(row["r"] - 1.0) < 1e-6
+
+
+def test_grouped_linregress_flat_series(spark):
+    from aos_spark.ops.stats import grouped_linregress
+
+    df = spark.createDataFrame(
+        [("g", float(i), 5.0 + (1.0 if i % 2 else -1.0)) for i in range(40)],
+        ["grp", "x", "y"],
+    )
+    row = grouped_linregress(df, ["grp"], "x", "y").collect()[0]
+    assert abs(row["slope"]) < 0.01  # alternating noise, no trend
