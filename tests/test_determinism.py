@@ -38,6 +38,9 @@ FLOAT_SENSITIVE = [
     "graph_pagerank_step",
     "label_centroid_similarity",
     "term_cooccurrence_lift",
+    "revenue_trend_by_nation",
+    "trimmed_mean_prices",
+    "revenue_pareto_by_nation",
 ]
 
 
