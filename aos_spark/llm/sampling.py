@@ -218,3 +218,77 @@ def apply_mixture(
         .filter(hash_bucket(id_col, n_buckets, salt) < F.col("__thr"))
         .drop("__dom", "__thr")
     )
+
+
+def proportional_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget_pct: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "alloc",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) proportional sampling: split a total
+    budget of ``budget_pct`` percent of the corpus across strata exactly
+    proportional to their sizes, with the rounding slack handed to the
+    strata with the largest remainders — so Σ alloc == budget EXACTLY,
+    the property floor- or round-per-stratum allocation lacks.
+
+    All allocation arithmetic is INTEGER (base = ⌊B·c/N⌋, remainder
+    = B·c mod N, ties broken by stratum name), so the plan is
+    SF- and engine-reproducible with no float anywhere. Selection inside
+    each stratum is the md5-rank rule of stratified_exact_n: the alloc_i
+    smallest hashes win, deterministic under any partitioning.
+
+    Plan: stratum counts (one map-combined shuffle) → the allocation is
+    computed entirely on the |strata|-sized frame (1-row total broadcast
+    + a remainder-rank window over |strata| rows) → broadcast back onto
+    the corpus → per-stratum rank window (one stratum-keyed shuffle) →
+    filter rank ≤ alloc. Two corpus shuffles total, both keyed by the
+    strata; every other frame is dim-sized.
+
+    Returns the selected rows plus ``__alloc`` (the stratum's quota) and
+    ``__stratum_n`` (its population)."""
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__stratum_n"))
+    total = counts.agg(F.sum("__stratum_n").alias("__n_total"))
+    sized = counts.crossJoin(F.broadcast(total)).withColumn(
+        "__budget",
+        F.floor(F.col("__n_total") * F.lit(int(budget_pct)) / 100).cast("long"),
+    )
+    sized = (
+        sized.withColumn(
+            "__base",
+            F.floor(
+                (F.col("__budget") * F.col("__stratum_n")) / F.col("__n_total")
+            ).cast("long"),
+        )
+        .withColumn(
+            "__rem",
+            F.col("__budget") * F.col("__stratum_n")
+            - F.col("__base") * F.col("__n_total"),
+        )
+    )
+    w_left = Window.orderBy(F.col("__rem").desc(), *[F.col(c) for c in strata_cols])
+    leftover = sized.agg(
+        (F.first("__budget") - F.sum("__base")).alias("__leftover")
+    )
+    alloc = (
+        sized.withColumn("__rk", F.row_number().over(w_left))
+        .crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "__alloc",
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .select(*strata_cols, "__stratum_n", "__alloc")
+    )
+    h = hash_bucket(id_col, 1 << 62, salt)
+    w_sel = Window.partitionBy(*strata_cols).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.join(F.broadcast(alloc), strata_cols)
+        .withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w_sel))
+        .filter(F.col("__rn") <= F.col("__alloc"))
+        .drop("__h", "__rn")
+    )

@@ -1,0 +1,124 @@
+"""Market-basket association mining — pair support / confidence / lift.
+
+The reference pipeline has no basket mining; this is the LLM/warehouse
+tier's co-occurrence family (the order-basket sibling of
+llm-side term_cooccurrence_lift) expressed in the shape that survives
+100 TB: the ONLY corpus-sized stages are (a) the distinct
+(basket, item) projection and (b) the basket-keyed pair self-join whose
+fan-out is bounded per basket by |items-in-basket|² — never corpus².
+Item and pair vocabularies are bounded (|items| ≤ a few thousand for
+brand/category granularity), so every frame after the pair count is
+dim-sized and broadcastable.
+
+Determinism contract (repo-wide): all counts BIGINT; support,
+confidence and lift are each ONE IEEE division (or one division of
+integer products), bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_items(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Distinct (basket, item) pairs — one hash-aggregate shuffle keyed by
+    (basket, item); map-side combine collapses duplicate lines early."""
+    return df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_pct: int = 5,
+) -> DataFrame:
+    """Pairwise association rules over baskets: for every ordered item
+    pair (antecedent → consequent) whose unordered pair appears in at
+    least ``min_support_pct`` percent of baskets, emit
+
+      pair_n       — baskets containing both (BIGINT)
+      support      — pair_n / N
+      confidence   — pair_n / n_antecedent
+      lift         — (pair_n · N) / (n_antecedent · n_consequent)
+
+    Plan shape: distinct (basket, item) → persisted; the pair candidates
+    come from a basket-keyed self-join (sort-merge on the basket key,
+    both sides the same persisted frame so the exchange is reused) with
+    ``item_a < item_b`` halving the candidates; pair counts are
+    map-combined. Item frequencies and the 1-row basket total are
+    vocabulary-sized and broadcast onto the pair frame. The support
+    threshold is applied as an INTEGER cross-multiply
+    (pair_n·100 ≥ pct·N) so the cut is SF-invariant and float-free.
+
+    100 TB: per-basket fan-out ≤ items-per-basket², shuffles keyed by
+    basket/(pair) — both bounded-cardinality; nothing quadratic in the
+    corpus. Skewed mega-baskets are the one hazard — cap upstream with a
+    per-basket distinct-item limit if the item granularity is unbounded.
+    """
+    ob = basket_items(df, basket_col, item_col).persist()
+    n_baskets = ob.select(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    item_n = ob.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+
+    a = ob.select(F.col("basket"), F.col("item").alias("item_a"))
+    b = ob.select(F.col("basket"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+
+    # Both rule directions from the one undirected pair count.
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_n",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_n",
+        )
+    )
+    ant_n = item_n.select(
+        F.col("item").alias("antecedent"), F.col("item_n").alias("ant_n")
+    )
+    con_n = item_n.select(
+        F.col("item").alias("consequent"), F.col("item_n").alias("con_n")
+    )
+    out = (
+        directed.join(F.broadcast(ant_n), "antecedent")
+        .join(F.broadcast(con_n), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(
+            F.col("pair_n") * F.lit(100)
+            >= F.lit(int(min_support_pct)) * F.col("n_baskets")
+        )
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_n",
+        "ant_n",
+        "con_n",
+        "n_baskets",
+        F.round(
+            F.col("pair_n").cast("double") / F.col("n_baskets").cast("double"),
+            6,
+        ).alias("support"),
+        F.round(
+            F.col("pair_n").cast("double") / F.col("ant_n").cast("double"), 6
+        ).alias("confidence"),
+        F.round(
+            (F.col("pair_n") * F.col("n_baskets")).cast("double")
+            / (F.col("ant_n") * F.col("con_n")).cast("double"),
+            6,
+        ).alias("lift"),
+    )

@@ -114,3 +114,47 @@ def bucketized_range_join(
         )
         return matched.unionByName(missing, allowMissingColumns=True)
     raise ValueError(f"unsupported how: {how!r}")
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union overlapping/touching intervals per key into maximal islands
+    (the classic gaps-and-islands sweep). Start/end should be integers
+    (e.g. epoch seconds) so the island arithmetic is exact.
+
+    One shuffle, keyed by ``key_cols``: both windows (the previous-end
+    running max that detects gaps, and the running sum that numbers the
+    islands) ride the same partitioning, so Spark plans a single Exchange
+    followed by one sort — per-key work is linear in the key's interval
+    count, and no key's data leaves its partition. A touching interval
+    (next.start == prev.end) merges, matching half-open coverage
+    semantics; strict gaps (start > running max end) open a new island.
+
+    Returns one row per island: key_cols + island_start / island_end /
+    n_intervals. Scale note: island state never exceeds the key's own
+    rows, so skew is bounded by the hottest key, same envelope as
+    sessionize (ops/windows.py)."""
+    from pyspark.sql import Window
+
+    order = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new_island",
+        F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy(*key_cols, "__island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -217,3 +217,45 @@ def grouped_linregress(
         ),
         F.round(cov / F.sqrt(var_x * var_y), 6).alias("r"),
     )
+
+
+def grouped_gini(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Gini concentration index over an exact DECIMAL value
+    column, via the rank formula G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i)
+    with i the 1-based rank in ascending (value, tiebreak) order.
+
+    Determinism: x_i is decimal, i is BIGINT, so both Σ moments are exact
+    decimals (rank·value promotes to decimal(38,s) — overflow headroom to
+    ~10^36, far past any realistic group); the ONLY float op is the final
+    single division, a fixed IEEE op on identical operands in any engine
+    or partitioning. Ties in the value column are broken by
+    ``order_cols`` so the rank sequence itself is reproducible (Gini is
+    tie-insensitive mathematically, but the intermediate Σ i·x_i is not).
+
+    Cost: one shuffle keyed by the group (the rank window), then a
+    map-combined rollup on the same partitioning — Spark reuses the
+    exchange. Skew bound = hottest group's row count, the usual
+    partitioned-window envelope."""
+    from pyspark.sql import Window
+
+    tiebreak = order_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col), *tiebreak)
+    ranked = df.withColumn("__i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col)).alias("__s"),
+        F.sum(F.col("__i") * F.col(value_col)).alias("__s1"),
+    )
+    num = F.lit(2) * F.col("__s1") - (F.col("n") + F.lit(1)) * F.col("__s")
+    den = F.col("n") * F.col("__s")
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col("__s").cast("double").alias("total_value"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )

@@ -1,0 +1,170 @@
+"""Round-5 fourth-wave operators: interval merge, Gini, Simpson
+diversity, association rules, largest-remainder allocation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aos_spark.llm.sampling import proportional_allocation
+from aos_spark.ops.assoc import association_rules
+from aos_spark.ops.intervals import merge_intervals
+from aos_spark.ops.stats import grouped_gini
+
+
+# ----------------------------------------------------------- merge_intervals
+def test_merge_intervals_unions_overlaps_and_touches(spark):
+    df = spark.createDataFrame(
+        [
+            # key 1: [0,10] + [5,15] overlap; [15,20] touches -> one island
+            (1, 0, 10),
+            (1, 5, 15),
+            (1, 15, 20),
+            # key 1: strict gap -> second island
+            (1, 25, 30),
+            # key 2: nested interval collapses
+            (2, 0, 100),
+            (2, 10, 20),
+        ],
+        ["k", "s", "e"],
+    )
+    out = {
+        (r["k"], r["island_start"]): r
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert len(out) == 3
+    assert out[(1, 0)]["island_end"] == 20
+    assert out[(1, 0)]["n_intervals"] == 3
+    assert out[(1, 25)]["island_end"] == 30
+    assert out[(2, 0)]["island_end"] == 100
+    assert out[(2, 0)]["n_intervals"] == 2
+
+
+def test_merge_intervals_out_of_order_input(spark):
+    # island detection must not depend on input row order
+    rows = [(1, 30, 40), (1, 0, 10), (1, 35, 50), (1, 8, 12)]
+    df = spark.createDataFrame(rows, ["k", "s", "e"]).repartition(3)
+    out = sorted(
+        (r["island_start"], r["island_end"])
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+    assert out == [(0, 12), (30, 50)]
+
+
+# --------------------------------------------------------------- grouped_gini
+def test_gini_equal_values_is_near_zero(spark):
+    df = spark.createDataFrame(
+        [("g", i, 10.0) for i in range(4)], ["g", "id", "v"]
+    ).withColumn("v", F.col("v").cast("decimal(14,2)"))
+    row = grouped_gini(df, ["g"], "v", ["id"]).collect()[0]
+    # equal distribution: exact formula gives 0 for identical values
+    assert abs(row["gini"]) < 1e-9
+    assert row["n"] == 4
+    assert row["total_value"] == 40.0
+
+
+def test_gini_total_concentration_approaches_one(spark):
+    # one holder owns everything: G = (n-1)/n
+    df = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, 0.0), ("g", 3, 0.0), ("g", 4, 100.0)],
+        ["g", "id", "v"],
+    ).withColumn("v", F.col("v").cast("decimal(14,2)"))
+    row = grouped_gini(df, ["g"], "v", ["id"]).collect()[0]
+    assert abs(row["gini"] - 0.75) < 1e-9
+
+
+def test_gini_known_value(spark):
+    # hand-computed: values 1,2,3,4 -> G = (2*(1+4+9+16) - 5*10)/(4*10) = 0.25
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in (1, 2, 3, 4)], ["g", "id", "v"]
+    ).withColumn("v", F.col("v").cast("decimal(14,2)"))
+    row = grouped_gini(df, ["g"], "v", ["id"]).collect()[0]
+    assert abs(row["gini"] - 0.25) < 1e-9
+
+
+# --------------------------------------------------------- association_rules
+def test_association_rules_counts_and_lift(spark):
+    # baskets: {a,b} x3, {a} x1, {b,c} x1  -> N=5
+    rows = []
+    for bk, items in [
+        (1, "ab"),
+        (2, "ab"),
+        (3, "ab"),
+        (4, "a"),
+        (5, "bc"),
+    ]:
+        rows += [(bk, it) for it in items]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "basket", "item", min_support_pct=20).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["pair_n"] == 3 and ab["ant_n"] == 4 and ab["con_n"] == 4
+    assert abs(ab["support"] - 0.6) < 1e-9
+    assert abs(ab["confidence"] - 0.75) < 1e-9
+    # lift = 3*5/(4*4)
+    assert abs(ab["lift"] - 0.9375) < 1e-9
+    # both directions emitted
+    assert ("b", "a") in out
+    # {b,c} appears once = 20% support -> retained at the threshold edge
+    assert out[("b", "c")]["pair_n"] == 1
+
+
+def test_association_rules_support_cut_is_integer_exact(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (3, "a")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    # pair (a,b) in 1/3 baskets = 33.3%: kept at 33, cut at 34
+    kept = association_rules(df, "basket", "item", min_support_pct=33).collect()
+    cut = association_rules(df, "basket", "item", min_support_pct=34).collect()
+    assert len(kept) == 2 and len(cut) == 0
+
+
+def test_association_rules_dedups_repeat_lines(spark):
+    # the same item twice in one basket must count once
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")],
+        ["basket", "item"],
+    )
+    out = {
+        (r["antecedent"], r["consequent"]): r["pair_n"]
+        for r in association_rules(df, "basket", "item", min_support_pct=1).collect()
+    }
+    assert out[("a", "b")] == 2
+
+
+# --------------------------------------------- proportional_allocation
+def test_allocation_sums_exactly_to_budget(spark):
+    # strata 7/5/3 rows, budget 50% of 15 = 7: floor gives 3/2/1 (=6),
+    # largest remainder hands the 7th slot to the largest-remainder stratum
+    rows = [("a", i) for i in range(7)]
+    rows += [("b", 100 + i) for i in range(5)]
+    rows += [("c", 200 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["s", "doc_id"])
+    sel = proportional_allocation(df, ["s"], budget_pct=50, id_col="doc_id")
+    got = sel.groupBy("s").count().collect()
+    total = sum(r["count"] for r in got)
+    assert total == 7
+    by_s = {r["s"]: r["count"] for r in got}
+    # base allocation floor(7*c/15): a=3, b=2, c=1; remainder order decides +1
+    assert by_s["a"] in (3, 4) and by_s["b"] in (2, 3) and by_s["c"] in (1, 2)
+
+
+def test_allocation_is_deterministic_and_proportional(spark):
+    rows = [(f"s{i % 4}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, ["s", "doc_id"])
+    a = proportional_allocation(df, ["s"], budget_pct=10).collect()
+    b = proportional_allocation(df, ["s"], budget_pct=10).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    counts = {}
+    for r in a:
+        counts[r["s"]] = counts.get(r["s"], 0) + 1
+    # 4 equal strata x 100 rows, budget 40 -> exactly 10 each
+    assert counts == {"s0": 10, "s1": 10, "s2": 10, "s3": 10}
+
+
+def test_allocation_carries_quota_columns(spark):
+    rows = [("x", i) for i in range(10)] + [("y", 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["s", "doc_id"])
+    sel = proportional_allocation(df, ["s"], budget_pct=20).collect()
+    assert all(r["__alloc"] == 2 and r["__stratum_n"] == 10 for r in sel)
+    assert len(sel) == 4
