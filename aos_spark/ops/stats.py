@@ -259,3 +259,123 @@ def grouped_gini(
         F.col("__s").cast("double").alias("total_value"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
     )
+
+
+def grouped_winsorized_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_cols: list[str],
+    tail_pct: int = 5,
+) -> DataFrame:
+    """Per-group winsorized mean: clamp (don't drop — that's trimmed_mean)
+    each group's values at its exact-rank lower/upper tail_pct bounds,
+    then average. The bound is the value at rank ⌈n·pct/100⌉ from each
+    end — pure integer rank selection on an exact DECIMAL column, no
+    interpolation, so the clamped sum is exact and the single final
+    division is the only float op.
+
+    Plan: one group-keyed rank window; the SAME ranked frame feeds both
+    the |groups|-sized bounds aggregate (broadcast back) and the clamped
+    rollup — Spark reuses the window exchange for the rollup. Skew
+    envelope = hottest group, the partitioned-window standard."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col), *order_cols)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    lo_rank = F.ceil(F.col("__n") * F.lit(int(tail_pct)) / F.lit(100)).cast("long")
+    ranked = ranked.withColumn("__lo_rk", F.greatest(lo_rank, F.lit(1))).withColumn(
+        "__hi_rk", F.col("__n") - F.col("__lo_rk") + 1
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("__rn") == F.col("__lo_rk")) | (F.col("__rn") == F.col("__hi_rk"))
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.when(F.col("__rn") == F.col("__lo_rk"), F.col(value_col))).alias(
+                "__p_lo"
+            ),
+            F.max(F.when(F.col("__rn") == F.col("__hi_rk"), F.col(value_col))).alias(
+                "__p_hi"
+            ),
+        )
+    )
+    clamped = ranked.join(F.broadcast(bounds), group_cols).withColumn(
+        "__w",
+        F.when(F.col(value_col) < F.col("__p_lo"), F.col("__p_lo"))
+        .when(F.col(value_col) > F.col("__p_hi"), F.col("__p_hi"))
+        .otherwise(F.col(value_col)),
+    )
+    return clamped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__p_lo").cast("double").alias("lo_bound"),
+        F.min("__p_hi").cast("double").alias("hi_bound"),
+        F.round(
+            F.sum("__w").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("winsorized_mean"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two named
+    groups of an INTEGER-valued column: D = max over observed values of
+    |F_a(v) − F_b(v)|, with the argmax value (smallest on ties) reported.
+
+    The corpus collapses to a value HISTOGRAM first (one map-combined
+    shuffle, |distinct values| rows — bounded for lengths/counts/grades,
+    the intended domain), so the two cumulative windows and the argmax
+    rank run over the histogram, not the data. Those windows are
+    deliberately unpartitioned: they order a bounded dim-sized frame,
+    the language_confusion_matrix precedent, not a corpus-sized
+    WindowExec. Each CDF value is ONE division of exact BIGINTs; |Δ| and
+    the (desc, value asc) ordering compare identically in any engine."""
+    from pyspark.sql import Window
+
+    h = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(value_col)
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0))
+            ).alias("__ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0))
+            ).alias("__cb"),
+        )
+    )
+    w_cum = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    tot = h.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    cum = (
+        h.withColumn("__cum_a", F.sum("__ca").over(w_cum))
+        .withColumn("__cum_b", F.sum("__cb").over(w_cum))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__d",
+            F.abs(
+                F.col("__cum_a").cast("double") / F.col("__na").cast("double")
+                - F.col("__cum_b").cast("double") / F.col("__nb").cast("double")
+            ),
+        )
+    )
+    w_top = Window.orderBy(F.col("__d").desc(), F.col(value_col))
+    return (
+        cum.withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            F.col(value_col).alias("ks_at"),
+            F.round("__d", 6).alias("ks_stat"),
+        )
+    )

@@ -258,3 +258,223 @@ R5C_ORACLES.update(
         "assoc_rules_brands": ORACLE_ASSOC,
     }
 )
+
+
+def q_stratified_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proportional sampling of the corpus by language
+    (llm/sampling.proportional_allocation): 10% budget split exactly
+    proportionally, md5-rank selection inside each stratum. Output is the
+    per-stratum audit: population, exact quota, realized pick count and
+    the picked docs' character volume — the numbers a curation run logs."""
+    from aos_spark.llm.sampling import proportional_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    sel = proportional_allocation(d, ["lang"], budget_pct=10, id_col="doc_id")
+    return sel.groupBy("lang").agg(
+        F.min("__stratum_n").alias("n_docs"),
+        F.min("__alloc").alias("alloc"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("sel_chars"),
+    )
+
+
+ORACLE_STRAT_ALLOC = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS stratum_n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(stratum_n) AS n_total FROM counts),
+sized AS (
+  SELECT lang, stratum_n, n_total,
+         CAST(FLOOR(n_total * 10 / 100) AS BIGINT) AS budget
+  FROM counts CROSS JOIN tot),
+based AS (
+  SELECT lang, stratum_n, n_total, budget,
+         CAST(FLOOR((budget * stratum_n) / n_total) AS BIGINT) AS base,
+         budget * stratum_n - CAST(FLOOR((budget * stratum_n) / n_total) AS BIGINT) * n_total AS rem
+  FROM sized),
+leftover AS (
+  SELECT ANY_VALUE(budget) - SUM(base) AS slack FROM based),
+alloc AS (
+  SELECT lang, stratum_n,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang) <=
+                          (SELECT slack FROM leftover)
+                     THEN 1 ELSE 0 END AS alloc
+  FROM based),
+ranked AS (
+  SELECT d.lang, d.n_chars, a.stratum_n, a.alloc,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST('0x' || substring(md5('alloc' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      % 4611686018427387904,
+                    d.doc_id) AS rn
+  FROM documents d JOIN alloc a USING (lang))
+SELECT lang,
+       CAST(MIN(stratum_n) AS BIGINT) AS n_docs,
+       CAST(MIN(alloc) AS BIGINT) AS alloc,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(n_chars) AS BIGINT) AS sel_chars
+FROM ranked WHERE rn <= alloc
+GROUP BY lang
+"""
+
+
+def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between the 'en' and 'zh' slices of the
+    corpus: exact two-sample KS statistic over document lengths
+    (ops/stats.ks_two_sample). The corpus reduces to a length histogram
+    before any window runs — the windows order a bounded dim frame."""
+    from aos_spark.ops.stats import ks_two_sample
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return ks_two_sample(d, "lang", "n_chars", "en", "zh")
+
+
+ORACLE_KS_DRIFT = """
+WITH h AS (
+  SELECT n_chars,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE lang IN ('en', 'zh') GROUP BY n_chars),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h),
+cum AS (
+  SELECT n_chars, na, nb,
+         SUM(ca) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM h CROSS JOIN tot),
+d AS (
+  SELECT n_chars, na, nb,
+         ABS(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)) AS dd
+  FROM cum),
+top AS (
+  SELECT na, nb, n_chars, dd,
+         ROW_NUMBER() OVER (ORDER BY dd DESC, n_chars) AS rk
+  FROM d)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       n_chars AS ks_at, ROUND(dd, 6) AS ks_stat
+FROM top WHERE rk = 1
+"""
+
+
+def q_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline over daily event volume: each day is
+    compared against its weekday's average via integer cross-multiply
+    (cnt·n_days·100 > 105·total ⇔ ratio > 1.05 — float-free flagging);
+    the reported ratio is ONE division of exact ints. Two tiny rollups:
+    corpus → 365·years daily rows → 7-row baseline broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # 1992-01-06 is a Monday: dow 0=Mon..6=Sun, engine-neutral integer math
+    daily = daily.withColumn(
+        "dow",
+        F.pmod(F.datediff("day", F.lit("1992-01-06").cast("date")), F.lit(7)),
+    )
+    base = daily.groupBy("dow").agg(
+        F.sum("cnt").alias("dow_total"), F.count(F.lit(1)).alias("dow_days")
+    )
+    j = daily.join(F.broadcast(base), "dow")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "cnt",
+        F.round(
+            (F.col("cnt") * F.col("dow_days")).cast("double")
+            / F.col("dow_total").cast("double"),
+            6,
+        ).alias("ratio_to_dow_avg"),
+        (
+            F.col("cnt") * F.col("dow_days") * F.lit(100)
+            > F.lit(105) * F.col("dow_total")
+        ).alias("is_anomaly"),
+    )
+
+
+ORACLE_SEASONAL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1),
+dw AS (
+  SELECT day, cnt,
+         ((date_diff('day', DATE '1992-01-06', day) % 7) + 7) % 7 AS dow
+  FROM daily),
+b AS (
+  SELECT dow, SUM(cnt) AS dow_total, COUNT(*) AS dow_days
+  FROM dw GROUP BY dow)
+SELECT strftime(dw.day, '%Y-%m-%d') AS day,
+       CAST(dw.dow AS INTEGER) AS dow,
+       CAST(dw.cnt AS BIGINT) AS cnt,
+       ROUND(CAST(dw.cnt * b.dow_days AS DOUBLE) / CAST(b.dow_total AS DOUBLE), 6)
+         AS ratio_to_dow_avg,
+       dw.cnt * b.dow_days * 100 > 105 * b.dow_total AS is_anomaly
+FROM dw JOIN b USING (dow)
+"""
+
+
+def q_winsorized_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamped, not trimmed) mean of extended price per
+    return flag: exact-rank 5% bounds on the decimal column, clamped decimal
+    sum, one final division (ops/stats.grouped_winsorized_mean)."""
+    from aos_spark.ops.stats import grouped_winsorized_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return grouped_winsorized_mean(
+        li, ["l_returnflag"], "price", ["l_orderkey", "l_linenumber"], tail_pct=5
+    )
+
+
+ORACLE_WINSOR = """
+WITH ranked AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_extendedprice AS DECIMAL(14,2)),
+                                     l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem),
+rk AS (
+  SELECT *,
+         GREATEST(CAST(CEIL(n * 5 / 100) AS BIGINT), 1) AS lo_rk
+  FROM ranked),
+bounds AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN rn = lo_rk THEN price END) AS p_lo,
+         MAX(CASE WHEN rn = n - lo_rk + 1 THEN price END) AS p_hi
+  FROM rk WHERE rn = lo_rk OR rn = n - lo_rk + 1
+  GROUP BY l_returnflag),
+clamped AS (
+  SELECT r.l_returnflag,
+         CASE WHEN r.price < b.p_lo THEN b.p_lo
+              WHEN r.price > b.p_hi THEN b.p_hi
+              ELSE r.price END AS w
+  FROM rk r JOIN bounds b USING (l_returnflag))
+SELECT c.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(b.p_lo) AS DOUBLE) AS lo_bound,
+       CAST(MIN(b.p_hi) AS DOUBLE) AS hi_bound,
+       ROUND(CAST(SUM(c.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS winsorized_mean
+FROM clamped c JOIN bounds b USING (l_returnflag)
+GROUP BY c.l_returnflag
+"""
+
+
+R5C_QUERIES.update(
+    {
+        "stratified_allocation_sample": q_stratified_allocation_sample,
+        "ks_length_drift": q_ks_length_drift,
+        "seasonal_dow_anomaly": q_seasonal_dow_anomaly,
+        "winsorized_mean_prices": q_winsorized_mean_prices,
+    }
+)
+R5C_ORACLES.update(
+    {
+        "stratified_allocation_sample": ORACLE_STRAT_ALLOC,
+        "ks_length_drift": ORACLE_KS_DRIFT,
+        "seasonal_dow_anomaly": ORACLE_SEASONAL,
+        "winsorized_mean_prices": ORACLE_WINSOR,
+    }
+)

@@ -168,3 +168,76 @@ def test_allocation_carries_quota_columns(spark):
     sel = proportional_allocation(df, ["s"], budget_pct=20).collect()
     assert all(r["__alloc"] == 2 and r["__stratum_n"] == 10 for r in sel)
     assert len(sel) == 4
+
+
+# --------------------------------------------- grouped_winsorized_mean
+def test_winsorized_mean_clamps_tails(spark):
+    from aos_spark.ops.stats import grouped_winsorized_mean
+
+    # 20 values 1..20 with tail_pct=5: lo rank ceil(1)=1 -> bounds are the
+    # 1st and 20th values; clamping changes nothing -> plain mean 10.5
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 21)], ["g", "id", "v"]
+    ).withColumn("v", F.col("v").cast("decimal(14,2)"))
+    row = grouped_winsorized_mean(df, ["g"], "v", ["id"], tail_pct=5).collect()[0]
+    assert row["lo_bound"] == 1.0 and row["hi_bound"] == 20.0
+    assert abs(row["winsorized_mean"] - 10.5) < 1e-9
+
+
+def test_winsorized_mean_suppresses_outliers(spark):
+    from aos_spark.ops.stats import grouped_winsorized_mean
+
+    # tail_pct=10 over 1..9 + one 1000-outlier: lo rank 1, hi rank 10 ->
+    # bounds value(1)=1, value(10)=1000? n=10 -> lo=1, hi=10: no clamp.
+    # use tail_pct=20: lo=2, hi=9 -> clamp 1->2 and 1000->9
+    rows = [("g", i, float(i)) for i in range(1, 10)] + [("g", 10, 1000.0)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"]).withColumn(
+        "v", F.col("v").cast("decimal(14,2)")
+    )
+    row = grouped_winsorized_mean(df, ["g"], "v", ["id"], tail_pct=20).collect()[0]
+    assert row["lo_bound"] == 2.0 and row["hi_bound"] == 9.0
+    # clamped values: 2,2,3,4,5,6,7,8,9,9 -> mean 5.5
+    assert abs(row["winsorized_mean"] - 5.5) < 1e-9
+
+
+# --------------------------------------------------------- ks_two_sample
+def test_ks_identical_distributions_is_zero(spark):
+    from aos_spark.ops.stats import ks_two_sample
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert row["ks_stat"] == 0.0
+    assert row["n_a"] == 4 and row["n_b"] == 4
+    # argmax ties at every value -> smallest reported
+    assert row["ks_at"] == 1
+
+
+def test_ks_disjoint_distributions_is_one(spark):
+    from aos_spark.ops.stats import ks_two_sample
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (10, 11, 12)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert row["ks_stat"] == 1.0
+    assert row["ks_at"] == 3  # first value where the gap reaches 1
+
+
+def test_ks_known_half_gap(spark):
+    from aos_spark.ops.stats import ks_two_sample
+
+    # a: 1,2  b: 2,3 -> at v=1: |1/2-0|=.5; v=2: |1-1/2|=.5; v=3: 0
+    rows = [("a", 1), ("a", 2), ("b", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert abs(row["ks_stat"] - 0.5) < 1e-9
+    assert row["ks_at"] == 1
+
+
+def test_ks_ignores_other_groups(spark):
+    from aos_spark.ops.stats import ks_two_sample
+
+    rows = [("a", 1), ("b", 1), ("c", 999), ("c", 1000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert row["ks_stat"] == 0.0 and row["n_a"] == 1 and row["n_b"] == 1
