@@ -326,3 +326,62 @@ def random_project(
         for j, row in enumerate(signs)
     ]
     return df.select(F.col(id_col), *cols)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k0: int = 60,
+    unit: int = 1_000_000_000,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings — the standard
+    hybrid-search combiner (semantic ANN list + lexical list). Inputs are
+    frames with columns (query_id, doc_id, rank); a doc missing from one
+    list simply contributes nothing from that side.
+
+    RRF's 1/(k0+rank) weights are carried as INTEGER MICRO-UNITS
+    (⌊unit/(k0+rank)⌋, BIGINT) — the PageRank discipline: no float ever
+    crosses the shuffle, so the fused ordering is bit-identical on any
+    partitioning and engine, and ties break on doc_id.
+
+    Plan: full outer join keyed by (query_id, doc_id) — both inputs are
+    already top-N-per-query frames (|Q|·N rows), so this is dim-sized —
+    then one query-keyed rank window for the fused top-k."""
+    from pyspark.sql import Window
+
+    sa = a.select(
+        "query_id",
+        "doc_id",
+        F.floor(F.lit(int(unit)) / (F.lit(int(k0)) + F.col("rank")))
+        .cast("long")
+        .alias("sem_micros"),
+    )
+    sb = b.select(
+        "query_id",
+        "doc_id",
+        F.floor(F.lit(int(unit)) / (F.lit(int(k0)) + F.col("rank")))
+        .cast("long")
+        .alias("lex_micros"),
+    )
+    fused = (
+        sa.join(sb, ["query_id", "doc_id"], "full_outer")
+        .withColumn("sem_micros", F.coalesce("sem_micros", F.lit(0)))
+        .withColumn("lex_micros", F.coalesce("lex_micros", F.lit(0)))
+        .withColumn("rrf_micros", F.col("sem_micros") + F.col("lex_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micros").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_micros",
+            "sem_micros",
+            "lex_micros",
+            "fused_rank",
+        )
+    )

@@ -478,3 +478,355 @@ R5C_ORACLES.update(
         "winsorized_mean_prices": ORACLE_WINSOR,
     }
 )
+
+
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse a semantic ranking (exact cosine over the
+    embedding corpus, the sim_bruteforce machinery) with a lexical
+    ranking (distinct-term overlap against each query doc's token set)
+    via reciprocal-rank fusion in integer micro-units
+    (llm/similarity.rrf_fuse). Query set = ids < 5, both modalities.
+
+    Scale shape: semantic side never shuffles the corpus (broadcast
+    queries × corpus → per-query window over |Q| partitions); lexical
+    side broadcasts the ≤|Q|·|query-tokens| term frame onto the exploded
+    corpus tokens, aggregates on (query_id, doc_id); fusion runs on two
+    |Q|·50-row frames."""
+    from aos_spark.llm.similarity import brute_force_topk, rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qvec = emb.filter(F.col("vec_id") < 5)
+    sem = brute_force_topk(emb, qvec, k=50, query_id_col="vec_id").select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), "[^a-z0-9]+"))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    qtok = tok.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    overlap = (
+        tok.join(F.broadcast(qtok), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        overlap.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse(sem, lex, k0=60, topk=10)
+
+
+ORACLE_RRF = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+sem_scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+           AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+sem AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM sem_scored QUALIFY rank <= 50),
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS term
+  FROM documents),
+qtok AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id < 5),
+ov AS (
+  SELECT qt.query_id, t.doc_id, COUNT(*) AS overlap
+  FROM tok t JOIN qtok qt USING (term)
+  WHERE t.doc_id <> qt.query_id
+  GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY overlap DESC, doc_id ASC) AS rank
+  FROM ov QUALIFY rank <= 50),
+fused AS (
+  SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+         COALESCE(s.doc_id, l.doc_id) AS doc_id,
+         COALESCE(1000000000 // (60 + s.rank), 0) AS sem_micros,
+         COALESCE(1000000000 // (60 + l.rank), 0) AS lex_micros
+  FROM sem s FULL OUTER JOIN lex l
+    ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+SELECT query_id, doc_id,
+       CAST(sem_micros + lex_micros AS BIGINT) AS rrf_micros,
+       CAST(sem_micros AS BIGINT) AS sem_micros,
+       CAST(lex_micros AS BIGINT) AS lex_micros,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sem_micros + lex_micros DESC, doc_id ASC) AS INTEGER)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+"""
+
+
+def q_bm25_lite_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style lexical relevance for the fixed query {hash, join,
+    table} with the tf-saturation term tf·(k1+1)/(tf+k1) and a RATIONAL
+    idf (N−df+0.5)/(df+0.5) — BM25's odds ratio without the ln() wrapper,
+    keeping the whole score inside the cross-libm determinism contract.
+    The three per-term scores are added in one fixed literal order.
+
+    Plan: one token explode with the term filter applied INSIDE the
+    projection (only query terms survive to the shuffle), one doc-keyed
+    conditional rollup, a 1-row df/N broadcast, TakeOrdered top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term").isin("hash", "join", "table"))
+    tf = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term") == "hash", 1).otherwise(0)).alias("tf_hash"),
+        F.sum(F.when(F.col("term") == "join", 1).otherwise(0)).alias("tf_join"),
+        F.sum(F.when(F.col("term") == "table", 1).otherwise(0)).alias("tf_table"),
+    )
+    dfreq = tf.agg(
+        F.sum((F.col("tf_hash") > 0).cast("long")).alias("df_hash"),
+        F.sum((F.col("tf_join") > 0).cast("long")).alias("df_join"),
+        F.sum((F.col("tf_table") > 0).cast("long")).alias("df_table"),
+    )
+    ntot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+
+    def idf(dfc):
+        return ((F.col("n_total") - F.col(dfc)).cast("double") + F.lit(0.5)) / (
+            F.col(dfc).cast("double") + F.lit(0.5)
+        )
+
+    def sat(tfc):
+        return (F.col(tfc).cast("double") * F.lit(2.2)) / (
+            F.col(tfc).cast("double") + F.lit(1.2)
+        )
+
+    scored = tf.crossJoin(F.broadcast(dfreq)).crossJoin(F.broadcast(ntot))
+    score = (
+        idf("df_hash") * sat("tf_hash")
+        + idf("df_join") * sat("tf_join")
+    ) + idf("df_table") * sat("tf_table")
+    out = scored.select(
+        "doc_id",
+        "tf_hash",
+        "tf_join",
+        "tf_table",
+        F.round(score, 6).alias("bm25_lite"),
+    )
+    return out.orderBy(F.col("bm25_lite").desc(), F.col("doc_id")).limit(20)
+
+
+ORACLE_BM25 = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+         SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf_join,
+         SUM(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS tf_table
+  FROM tok WHERE term IN ('hash', 'join', 'table')
+  GROUP BY doc_id),
+dfreq AS (
+  SELECT SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+         SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+         SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table
+  FROM tf),
+ntot AS (SELECT COUNT(*) AS n_total FROM documents),
+scored AS (
+  SELECT t.doc_id,
+         CAST(t.tf_hash AS BIGINT) AS tf_hash,
+         CAST(t.tf_join AS BIGINT) AS tf_join,
+         CAST(t.tf_table AS BIGINT) AS tf_table,
+         ((((CAST(n.n_total - d.df_hash AS DOUBLE) + 0.5) / (CAST(d.df_hash AS DOUBLE) + 0.5))
+            * ((CAST(t.tf_hash AS DOUBLE) * 2.2) / (CAST(t.tf_hash AS DOUBLE) + 1.2))
+           + ((CAST(n.n_total - d.df_join AS DOUBLE) + 0.5) / (CAST(d.df_join AS DOUBLE) + 0.5))
+             * ((CAST(t.tf_join AS DOUBLE) * 2.2) / (CAST(t.tf_join AS DOUBLE) + 1.2)))
+          + ((CAST(n.n_total - d.df_table AS DOUBLE) + 0.5) / (CAST(d.df_table AS DOUBLE) + 0.5))
+            * ((CAST(t.tf_table AS DOUBLE) * 2.2) / (CAST(t.tf_table AS DOUBLE) + 1.2))) AS score
+  FROM tf t CROSS JOIN dfreq d CROSS JOIN ntot n)
+SELECT doc_id, tf_hash, tf_join, tf_table,
+       ROUND(score, 6) AS bm25_lite
+FROM scored
+ORDER BY bm25_lite DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_feature_hash_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer: every token maps to one of 256 feature
+    buckets via the md5 bucket hash (llm/sampling.hash_bucket — the
+    engine-portable hash used by every sampling op); per-doc sparse
+    vectors serialize as 'bucket:count' strings ordered by bucket, so
+    the output is flat VARCHAR (the array-output rule). Two doc-keyed
+    map-combined rollups, no vocabulary state anywhere — the property
+    that makes feature hashing the scale path when a vocab won't fit."""
+    from aos_spark.llm.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    bucketed = tok.withColumn("bucket", hash_bucket("term", 256, "fh")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return bucketed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("cnt").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "cnt"))),
+                lambda x: F.concat_ws(":", x["bucket"], x["cnt"]),
+            ),
+            ",",
+        ).alias("fvec"),
+    )
+
+
+ORACLE_FEATURE_HASH = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS term
+  FROM documents),
+bucketed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('fh' || term), 1, 8) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM tok WHERE term <> ''
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), ','
+                  ORDER BY bucket) AS fvec
+FROM bucketed
+GROUP BY doc_id
+"""
+
+
+def q_welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic comparing order totals between
+    '1-URGENT' and '5-LOW' priorities — the A/B-test primitive, from the
+    SAME exact-decimal-moment discipline as stats_correlation: sums are
+    exact decimals, every derived quantity is a fixed IEEE sequence the
+    oracle mirrors literally. One conditional-aggregate pass, 1 row out."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    m = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", price)
+        ).cast("double").alias("s1"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                (price * price).cast("decimal(38,4)"),
+            )
+        ).cast("double").alias("ss1"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", price))
+        .cast("double")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority") == "5-LOW",
+                (price * price).cast("decimal(38,4)"),
+            )
+        ).cast("double").alias("ss2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1") / n1d
+    m2 = F.col("s2") / n2d
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1d) / (n1d - F.lit(1.0))
+    v2 = (F.col("ss2") - F.col("s2") * F.col("s2") / n2d) / (n2d - F.lit(1.0))
+    se2 = v1 / n1d + v2 / n2d
+    t = (m1 - m2) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (v1 / n1d) * (v1 / n1d) / (n1d - F.lit(1.0))
+        + (v2 / n2d) * (v2 / n2d) / (n2d - F.lit(1.0))
+    )
+    return m.select(
+        "n1",
+        "n2",
+        F.round(m1, 4).alias("mean_urgent"),
+        F.round(m2, 4).alias("mean_low"),
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 2).alias("welch_df"),
+    )
+
+
+ORACLE_WELCH = """
+WITH m AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS DOUBLE) AS ss1,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS DOUBLE) AS ss2
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+SELECT n1, n2,
+       ROUND(s1 / CAST(n1 AS DOUBLE), 4) AS mean_urgent,
+       ROUND(s2 / CAST(n2 AS DOUBLE), 4) AS mean_low,
+       ROUND(s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE), 4) AS mean_diff,
+       ROUND((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+             / SQRT(((ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                    + ((ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)),
+             6) AS t_stat,
+       ROUND(
+         (((ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+          + ((ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+         * (((ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+            + ((ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+         / ((((ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+            * (((ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+            / (CAST(n1 AS DOUBLE) - 1.0)
+            + (((ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+              * (((ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE))
+              / (CAST(n2 AS DOUBLE) - 1.0)),
+         2) AS welch_df
+FROM m
+"""
+
+
+R5C_QUERIES.update(
+    {
+        "rrf_fusion_topk": q_rrf_fusion_topk,
+        "bm25_lite_scores": q_bm25_lite_scores,
+        "feature_hash_vectorizer": q_feature_hash_vectorizer,
+        "welch_ttest_priorities": q_welch_ttest_priorities,
+    }
+)
+R5C_ORACLES.update(
+    {
+        "rrf_fusion_topk": ORACLE_RRF,
+        "bm25_lite_scores": ORACLE_BM25,
+        "feature_hash_vectorizer": ORACLE_FEATURE_HASH,
+        "welch_ttest_priorities": ORACLE_WELCH,
+    }
+)

@@ -241,3 +241,51 @@ def test_ks_ignores_other_groups(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     row = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
     assert row["ks_stat"] == 0.0 and row["n_a"] == 1 and row["n_b"] == 1
+
+
+# ------------------------------------------------------------------ rrf_fuse
+def test_rrf_fuse_integer_scores_and_ranks(spark):
+    from aos_spark.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], ["query_id", "doc_id", "rank"]
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, k0=60, topk=10).collect()}
+    # doc 11: both lists -> 1e9//62 + 1e9//61
+    assert out[11]["rrf_micros"] == 1_000_000_000 // 62 + 1_000_000_000 // 61
+    assert out[11]["fused_rank"] == 1
+    # doc 10: semantic only
+    assert out[10]["sem_micros"] == 1_000_000_000 // 61
+    assert out[10]["lex_micros"] == 0
+    # doc 13: lexical only
+    assert out[13]["sem_micros"] == 0
+    assert out[13]["lex_micros"] == 1_000_000_000 // 62
+    # 10 and 13 tie (1e9//61 vs 1e9//62 differ) -> check full order
+    ranks = sorted((r["fused_rank"], d) for d, r in out.items())
+    assert [d for _, d in ranks] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_tiebreak_on_doc_id(spark):
+    from aos_spark.llm.similarity import rrf_fuse
+
+    # two docs with identical single-list ranks tie on score -> doc_id order
+    a = spark.createDataFrame([(1, 20, 1)], ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame([(1, 5, 1)], ["query_id", "doc_id", "rank"])
+    rows = rrf_fuse(a, b, k0=60, topk=10).collect()
+    by_rank = {r["fused_rank"]: r["doc_id"] for r in rows}
+    assert by_rank == {1: 5, 2: 20}
+
+
+def test_rrf_fuse_topk_cut(spark):
+    from aos_spark.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, d, d) for d in range(1, 8)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame([], "query_id int, doc_id int, rank int")
+    rows = rrf_fuse(a, b, topk=3).collect()
+    assert len(rows) == 3
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
