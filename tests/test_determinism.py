@@ -41,6 +41,15 @@ FLOAT_SENSITIVE = [
     "revenue_trend_by_nation",
     "trimmed_mean_prices",
     "revenue_pareto_by_nation",
+    "gini_revenue_by_nation",
+    "simpson_diversity_by_source",
+    "assoc_rules_brands",
+    "ks_length_drift",
+    "seasonal_dow_anomaly",
+    "winsorized_mean_prices",
+    "rrf_fusion_topk",
+    "bm25_lite_scores",
+    "welch_ttest_priorities",
 ]
 
 
