@@ -431,3 +431,81 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, *, fake: bool = True) -> 
             yield pd.DataFrame(rows)
 
     return df.filter("kind = 'video'").mapInPandas(batches, schema=out_schema)
+
+
+AUDIO_INT_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("n_clipped", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def synth_wav_pcm16(media_id: int, *, rate: int = 8000) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 payload from an integer id:
+    n = 100 + id%50 samples, sample i = ((id·31 + i·7919) mod 65536) − 32768.
+    Pure integer closed form, so an SQL oracle can recompute every decoded
+    feature without touching bytes — the bridge that lets REAL byte-level
+    encode/decode plumbing sit inside an exactly-checkable gate query."""
+    n = 100 + (media_id % 50)
+    vals = [((media_id * 31 + i * 7919) % 65536) - 32768 for i in range(n)]
+    samples = np.asarray(vals, dtype="<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def audio_int_features(df: DataFrame) -> DataFrame:
+    """Integer-exact audio features over REAL RIFF/WAVE PCM16 payloads:
+    the bytes go through the actual chunk-walking parser
+    (_parse_wav_pcm16), and every feature is an order-independent integer
+    aggregate of the recovered int16 samples — n_samples, Σs² (energy),
+    clip count (|s| ≥ 32766), zero crossings — so the result is
+    bit-reproducible under ANY Arrow batch split or partitioning, unlike
+    a float RMS whose summation order the engine owns.
+
+    Same mapInPandas contract as the image/audio kernels: rows filtered
+    to kind='audio' before the Python boundary, one Arrow batch in, one
+    out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "sum_sq": [],
+                "n_clipped": [],
+                "zero_crossings": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_wav_pcm16(payload or b"")
+                if parsed is None:
+                    raise NotImplementedError(
+                        "payload is not RIFF/WAVE PCM16; audio_int_features "
+                        "has no fake tier — synthesize with synth_wav_pcm16"
+                    )
+                fsamples, rate = parsed
+                ints = np.rint(fsamples * 32768.0).astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(int(ints.size))
+                out["sample_rate"].append(int(rate))
+                out["sum_sq"].append(int((ints * ints).sum()))
+                out["n_clipped"].append(int((np.abs(ints) >= 32766).sum()))
+                out["zero_crossings"].append(
+                    int(((ints[:-1] * ints[1:]) < 0).sum()) if ints.size > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter("kind = 'audio'")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=AUDIO_INT_FEATURES_SCHEMA)
+    )

@@ -830,3 +830,257 @@ R5C_ORACLES.update(
         "welch_ttest_priorities": ORACLE_WELCH,
     }
 )
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level audio plumbing through the driver gate: each doc_id
+    synthesizes a closed-form RIFF/WAVE PCM16 payload (pandas UDF), the
+    bytes go through the actual chunk-walking WAV parser inside an
+    Arrow-batched mapInPandas kernel, and every output feature is an
+    order-independent INTEGER aggregate of the recovered samples
+    (llm/multimodal.audio_int_features) — so the oracle can recompute the
+    whole encode→decode→feature chain from the closed form, exactly.
+    Unlike multimodal_image_features' declared-fake kernel, nothing here
+    is faked: a corrupted RIFF header would flip every feature."""
+    import pandas as pd  # noqa: F401
+
+    from aos_spark.llm.multimodal import audio_int_features, synth_wav_pcm16
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def wav_bytes(mid):
+        return mid.map(lambda m: synth_wav_pcm16(int(m)))
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        wav_bytes(F.col("doc_id")).alias("payload"),
+    )
+    return audio_int_features(media)
+
+
+ORACLE_AUDIO = """
+WITH s AS (
+  SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+samp AS (
+  SELECT s.doc_id, s.n, t.i,
+         ((s.doc_id * 31 + t.i * 7919) % 65536) - 32768 AS v,
+         ((s.doc_id * 31 + (t.i + 1) * 7919) % 65536) - 32768 AS v_next
+  FROM s, LATERAL (SELECT unnest(range(s.n)) AS i) t)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(MIN(n) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN ABS(v) >= 32766 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(SUM(CASE WHEN i < n - 1 AND v * v_next < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM samp GROUP BY doc_id
+"""
+
+
+def q_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM change-point detection over daily order volume:
+    cum_k = Σ_{i≤k}(x_i·n_days − N) (BIGINT — the deviation-from-mean
+    running sum scaled by n_days so no float ever accumulates), change
+    point = the earliest day where |cum| peaks. The cumulative windows run
+    over the DAILY frame (|days| rows, bounded dim — TPC-H spans ~2.4k
+    days at any SF), after a single corpus rollup."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(
+        F.sum("x").alias("n_orders"), F.count(F.lit(1)).alias("n_days")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum",
+            F.sum(F.col("x") * F.col("n_days") - F.col("n_orders")).over(w_cum),
+        )
+    )
+    w_top = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("day"))
+    return (
+        cum.withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "n_days",
+            "n_orders",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_date"),
+            F.col("cusum").alias("peak_cusum_scaled"),
+            F.round(
+                F.col("cusum").cast("double") / F.col("n_days").cast("double"), 4
+            ).alias("peak_deviation_orders"),
+        )
+    )
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT o_orderdate AS day, COUNT(*) AS x FROM orders GROUP BY 1),
+tot AS (SELECT SUM(x) AS n_orders, COUNT(*) AS n_days FROM daily),
+cum AS (
+  SELECT day, n_days, n_orders,
+         SUM(x * n_days - n_orders)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily CROSS JOIN tot),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day) AS rk FROM cum)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       strftime(day, '%Y-%m-%d') AS cp_date,
+       CAST(cusum AS BIGINT) AS peak_cusum_scaled,
+       ROUND(CAST(cusum AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS peak_deviation_orders
+FROM top WHERE rk = 1
+"""
+
+
+def q_vocab_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-overlap matrix between corpus sources: exact Jaccard of
+    each source pair's distinct-token sets. The pair join is TERM-keyed
+    (fan-out per term ≤ |sources|², never corpus-sized); per-source vocab
+    sizes broadcast onto the |sources|²-row pair frame; Jaccard is one
+    division of exact BIGINTs."""
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .persist()
+    )
+    vocab = st.groupBy("source").agg(F.count(F.lit(1)).alias("vocab_n"))
+    a = st.select(F.col("source").alias("source_a"), "term")
+    b = st.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    va = vocab.select(F.col("source").alias("source_a"), F.col("vocab_n").alias("va"))
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("vocab_n").alias("vb"))
+    out = inter.join(F.broadcast(va), "source_a").join(F.broadcast(vb), "source_b")
+    return out.select(
+        "source_a",
+        "source_b",
+        "inter_n",
+        (F.col("va") + F.col("vb") - F.col("inter_n")).alias("union_n"),
+        F.round(
+            F.col("inter_n").cast("double")
+            / (F.col("va") + F.col("vb") - F.col("inter_n")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+ORACLE_VOCAB_JACCARD = """
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS term
+  FROM documents),
+vocab AS (SELECT source, COUNT(*) AS vocab_n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter_n
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.source_a, i.source_b,
+       CAST(i.inter_n AS BIGINT) AS inter_n,
+       CAST(va.vocab_n + vb.vocab_n - i.inter_n AS BIGINT) AS union_n,
+       ROUND(CAST(i.inter_n AS DOUBLE)
+             / CAST(va.vocab_n + vb.vocab_n - i.inter_n AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN vocab va ON i.source_a = va.source
+JOIN vocab vb ON i.source_b = vb.source
+"""
+
+
+def q_priority_mix_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square standardized residuals for the order-priority mix across
+    years — the independence test's per-cell evidence, WITHOUT the
+    cross-cell float sum (whose addition order no engine guarantees):
+    each cell's expected count and residual is its own fixed IEEE
+    sequence over exact integer marginals. Corpus → ≤|years|·|priorities|
+    cells → two marginal rollups broadcast back."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    year_tot = cells.groupBy("year").agg(F.sum("obs").alias("year_n"))
+    prio_tot = cells.groupBy("priority").agg(F.sum("obs").alias("prio_n"))
+    n_tot = cells.agg(F.sum("obs").alias("n_total"))
+    j = (
+        cells.join(F.broadcast(year_tot), "year")
+        .join(F.broadcast(prio_tot), "priority")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    exp = (
+        F.col("year_n").cast("decimal(18,0)") * F.col("prio_n").cast("decimal(18,0)")
+    ).cast("double") / F.col("n_total").cast("double")
+    resid = (F.col("obs").cast("double") - exp) / F.sqrt(exp)
+    return j.select(
+        "year",
+        "priority",
+        "obs",
+        F.round(exp, 4).alias("expected"),
+        F.round(resid, 6).alias("std_residual"),
+        F.round(resid * resid, 6).alias("chi2_cell"),
+    )
+
+
+ORACLE_CHI2 = """
+WITH cells AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+         o_orderpriority AS priority, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2),
+yt AS (SELECT year, SUM(obs) AS year_n FROM cells GROUP BY year),
+pt AS (SELECT priority, SUM(obs) AS prio_n FROM cells GROUP BY priority),
+nt AS (SELECT SUM(obs) AS n_total FROM cells)
+SELECT c.year, c.priority, CAST(c.obs AS BIGINT) AS obs,
+       ROUND(CAST(CAST(yt.year_n AS DECIMAL(18,0)) * CAST(pt.prio_n AS DECIMAL(18,0)) AS DOUBLE)
+             / CAST(nt.n_total AS DOUBLE), 4) AS expected,
+       ROUND((CAST(c.obs AS DOUBLE)
+              - CAST(CAST(yt.year_n AS DECIMAL(18,0)) * CAST(pt.prio_n AS DECIMAL(18,0)) AS DOUBLE)
+                / CAST(nt.n_total AS DOUBLE))
+             / SQRT(CAST(CAST(yt.year_n AS DECIMAL(18,0)) * CAST(pt.prio_n AS DECIMAL(18,0)) AS DOUBLE)
+                    / CAST(nt.n_total AS DOUBLE)), 6) AS std_residual,
+       ROUND(((CAST(c.obs AS DOUBLE)
+               - CAST(CAST(yt.year_n AS DECIMAL(18,0)) * CAST(pt.prio_n AS DECIMAL(18,0)) AS DOUBLE)
+                 / CAST(nt.n_total AS DOUBLE))
+              / SQRT(CAST(CAST(yt.year_n AS DECIMAL(18,0)) * CAST(pt.prio_n AS DECIMAL(18,0)) AS DOUBLE)
+                     / CAST(nt.n_total AS DOUBLE)))
+             * ((CAST(c.obs AS DOUBLE)
+                 - CAST(CAST(yt.year_n AS DECIMAL(18,0)) * CAST(pt.prio_n AS DECIMAL(18,0)) AS DOUBLE)
+                   / CAST(nt.n_total AS DOUBLE))
+                / SQRT(CAST(CAST(yt.year_n AS DECIMAL(18,0)) * CAST(pt.prio_n AS DECIMAL(18,0)) AS DOUBLE)
+                       / CAST(nt.n_total AS DOUBLE))), 6) AS chi2_cell
+FROM cells c
+JOIN yt USING (year)
+JOIN pt USING (priority)
+CROSS JOIN nt
+"""
+
+
+R5C_QUERIES.update(
+    {
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "cusum_change_point": q_cusum_change_point,
+        "vocab_jaccard_matrix": q_vocab_jaccard_matrix,
+        "priority_mix_residuals": q_priority_mix_residuals,
+    }
+)
+R5C_ORACLES.update(
+    {
+        "multimodal_audio_features": ORACLE_AUDIO,
+        "cusum_change_point": ORACLE_CUSUM,
+        "vocab_jaccard_matrix": ORACLE_VOCAB_JACCARD,
+        "priority_mix_residuals": ORACLE_CHI2,
+    }
+)

@@ -50,6 +50,9 @@ FLOAT_SENSITIVE = [
     "rrf_fusion_topk",
     "bm25_lite_scores",
     "welch_ttest_priorities",
+    "vocab_jaccard_matrix",
+    "priority_mix_residuals",
+    "cusum_change_point",
 ]
 
 
