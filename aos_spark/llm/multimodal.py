@@ -509,3 +509,108 @@ def audio_int_features(df: DataFrame) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(batches, schema=AUDIO_INT_FEATURES_SCHEMA)
     )
+
+
+VIDEO_INT_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_rgb", T.LongType(), True),
+        T.StructField("max_pixel", T.LongType(), True),
+        T.StructField("min_pixel", T.LongType(), True),
+    ]
+)
+
+
+def synth_avi_dib(media_id: int, *, width: int = 4, height: int = 2) -> bytes:
+    """Deterministic RIFF/AVI with uncompressed 24-bit DIB frames from an
+    integer id: n_frames = 3 + id%4; display-space pixel value at
+    (frame f, row y, col x, channel c∈{R,G,B}) =
+    (id·7 + f·131 + y·17 + x·29 + c·53) mod 256. The closed form lets an
+    SQL oracle recompute every decoded feature — the audio synth's video
+    sibling, driving the REAL chunk-walking AVI parser and bottom-up BGR
+    DIB raster decode end to end."""
+    n_frames = 3 + (media_id % 4)
+    stride = (width * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frames = []
+    for f in range(n_frames):
+        buf = bytearray(stride * height)
+        for r in range(height):  # buffer rows are bottom-up
+            y = height - 1 - r
+            for x in range(width):
+                base = r * stride + x * 3
+                # bytes are B, G, R == channels 2, 1, 0
+                for b_i, c in ((0, 2), (1, 1), (2, 0)):
+                    buf[base + b_i] = (
+                        media_id * 7 + f * 131 + y * 17 + x * 29 + c * 53
+                    ) % 256
+        frames.append(chunk(b"00db", bytes(buf)))
+
+    avih = chunk(b"avih", struct.pack("<I", 40_000) + b"\x00" * 52)
+    strh = chunk(b"strh", b"vids" + b"\x00" * 52)
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24,
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_int_features(df: DataFrame) -> DataFrame:
+    """Integer-exact video features over REAL RIFF/AVI payloads: every
+    frame goes through _parse_avi + the bottom-up BGR DIB raster decode,
+    and the features are order-independent integer aggregates over all
+    decoded RGB samples (Σ values, max, min) — bit-reproducible under any
+    Arrow batching, the audio_int_features discipline. mapInPandas with
+    rows filtered to kind='video' before the Python boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in VIDEO_INT_FEATURES_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_avi(payload or b"")
+                if parsed is None:
+                    raise NotImplementedError(
+                        "payload is not RIFF/AVI; video_int_features has no "
+                        "fake tier — synthesize with synth_avi_dib"
+                    )
+                _fps, w, h, bits, frames = parsed
+                total = 0
+                mx, mn = -1, 256
+                n = 0
+                for tag, buf in frames:
+                    if tag != b"db":
+                        raise NotImplementedError(
+                            "compressed AVI stream in the integer-exact path"
+                        )
+                    arr = _dib_frame_to_rgb(buf, w, h, bits).astype(np.int64)
+                    total += int(arr.sum())
+                    mx = max(mx, int(arr.max()))
+                    mn = min(mn, int(arr.min()))
+                    n += 1
+                out["media_id"].append(mid)
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_rgb"].append(total)
+                out["max_pixel"].append(mx)
+                out["min_pixel"].append(mn)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter("kind = 'video'")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=VIDEO_INT_FEATURES_SCHEMA)
+    )

@@ -1084,3 +1084,54 @@ R5C_ORACLES.update(
         "priority_mix_residuals": ORACLE_CHI2,
     }
 )
+
+
+def q_multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video plumbing through the driver gate — the audio query's
+    sibling and the close of the last declared-stub in the multimodal
+    tier: each doc_id synthesizes a closed-form RIFF/AVI payload with
+    uncompressed 24-bit DIB frames (pandas UDF), the bytes go through the
+    actual LIST-tree AVI parser and bottom-up BGR raster decode inside an
+    Arrow-batched mapInPandas kernel (llm/multimodal.video_int_features),
+    and every feature is an order-independent integer aggregate the
+    oracle recomputes from the closed form. A corrupted LIST tree, frame
+    stride, or channel order flips the result."""
+    from aos_spark.llm.multimodal import synth_avi_dib, video_int_features
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def avi_bytes(mid):
+        return mid.map(lambda m: synth_avi_dib(int(m)))
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        avi_bytes(F.col("doc_id")).alias("payload"),
+    )
+    return video_int_features(media)
+
+
+ORACLE_VIDEO = """
+WITH s AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+px AS (
+  SELECT s.doc_id, s.nf,
+         (s.doc_id * 7 + f.f * 131 + y.y * 17 + x.x * 29 + c.c * 53) % 256 AS v
+  FROM s,
+       LATERAL (SELECT unnest(range(s.nf)) AS f) f,
+       LATERAL (SELECT unnest(range(2)) AS y) y,
+       LATERAL (SELECT unnest(range(4)) AS x) x,
+       LATERAL (SELECT unnest(range(3)) AS c) c)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(MIN(nf) AS BIGINT) AS n_frames,
+       CAST(4 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_rgb,
+       CAST(MAX(v) AS BIGINT) AS max_pixel,
+       CAST(MIN(v) AS BIGINT) AS min_pixel
+FROM px GROUP BY doc_id
+"""
+
+
+R5C_QUERIES.update({"multimodal_video_features": q_multimodal_video_features})
+R5C_ORACLES.update({"multimodal_video_features": ORACLE_VIDEO})

@@ -370,3 +370,52 @@ def test_cusum_detects_level_shift(spark):
     # 10 days * (10*20 - 400) = -2000
     assert peak["day"] == base + dt.timedelta(days=9)
     assert peak["cusum"] == -2000
+
+
+# --------------------------------------------------------- video int kernel
+def test_synth_avi_roundtrip_exact():
+    import numpy as np
+
+    from aos_spark.llm.multimodal import (
+        _dib_frame_to_rgb,
+        _parse_avi,
+        synth_avi_dib,
+    )
+
+    for mid in (0, 5, 123):
+        fps, w, h, bits, frames = _parse_avi(synth_avi_dib(mid))
+        assert (w, h, bits) == (4, 2, 24)
+        assert len(frames) == 3 + mid % 4
+        assert fps == 25.0
+        for f, (tag, buf) in enumerate(frames):
+            assert tag == b"db"
+            arr = _dib_frame_to_rgb(buf, w, h, bits).astype(np.int64)
+            for y in range(h):
+                for x in range(w):
+                    for c in range(3):
+                        assert arr[y][x][c] == (
+                            mid * 7 + f * 131 + y * 17 + x * 29 + c * 53
+                        ) % 256
+
+
+def test_video_int_features_spark_kernel(spark):
+    from aos_spark.llm.multimodal import synth_avi_dib, video_int_features
+
+    rows = [(str(m), "video", bytearray(synth_avi_dib(m))) for m in (2, 9)]
+    rows.append(("x", "audio", bytearray(b"skip me")))
+    df = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+    out = {r["media_id"]: r for r in video_int_features(df).collect()}
+    assert set(out) == {"2", "9"}
+    # pure-python recompute for media 2
+    mid, nf = 2, 3 + 2 % 4
+    vals = [
+        (mid * 7 + f * 131 + y * 17 + x * 29 + c * 53) % 256
+        for f in range(nf)
+        for y in range(2)
+        for x in range(4)
+        for c in range(3)
+    ]
+    assert out["2"]["n_frames"] == nf
+    assert out["2"]["sum_rgb"] == sum(vals)
+    assert out["2"]["max_pixel"] == max(vals)
+    assert out["2"]["min_pixel"] == min(vals)
