@@ -198,3 +198,69 @@ def pagerank(
         F.col("s").alias("node"),
         F.round(F.col("r") / F.lit(1e12), 6).alias("rank"),
     )
+
+
+def common_neighbor_scores(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    topk: int = 50,
+) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard: for every NON-edge
+    vertex pair that shares ≥1 neighbor, score = |N(a)∩N(b)| /
+    |N(a)∪N(b)| — one exact-integer division over BIGINT counts.
+
+    Plan: canonicalize + persist the edge list (the triangle_count
+    lesson: the pair pipeline feeds the wedge join, both degree sides and
+    the existing-edge anti-join); wedges come from the center-keyed
+    neighbor self-join — fan-out Σdeg(v)², the triangle envelope, with
+    the same hub caveat (cap degrees upstream on power-law graphs);
+    degree frames join on the candidate keys; the final top-k is a
+    TakeOrdered, never a global sort."""
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = und.select(F.col("a").alias("c"), F.col("b").alias("x"))
+    n2 = und.select(F.col("a").alias("c"), F.col("b").alias("y"))
+    wedges = (
+        n1.join(n2, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common_n"))
+    )
+    cand = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("a").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("a").alias("y"), F.col("deg").alias("deg_y"))
+    scored = (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common_n",
+            "deg_x",
+            "deg_y",
+            F.round(
+                F.col("common_n").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common_n")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("node_a"), F.col("node_b")
+    ).limit(topk)

@@ -1135,3 +1135,179 @@ FROM px GROUP BY doc_id
 
 R5C_QUERIES.update({"multimodal_video_features": q_multimodal_video_features})
 R5C_ORACLES.update({"multimodal_video_features": ORACLE_VIDEO})
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation per nation: recency/frequency/monetary
+    quintiles (NTILE over nation-partitioned windows — the Pareto
+    precedent: windows run over the customer AGGREGATE, dim-sized, never
+    raw orders), segments rolled up to ≤125 cells per nation with exact
+    decimal revenue totals. NTILE's equal-division-remainder-first
+    semantics match across engines given the total tiebreak order."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("monetary"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "o_custkey", "last_order", "freq", "monetary")
+    )
+
+    def q5(order_cols):
+        return F.ntile(5).over(
+            Window.partitionBy("nation").orderBy(*order_cols, "o_custkey")
+        )
+
+    seg = cust.select(
+        "nation",
+        "monetary",
+        q5([F.col("last_order").desc()]).alias("r_q"),
+        q5([F.col("freq").desc()]).alias("f_q"),
+        q5([F.col("monetary").desc()]).alias("m_q"),
+    )
+    return seg.groupBy("nation", "r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_revenue"),
+    )
+
+
+ORACLE_RFM = """
+WITH cust AS (
+  SELECT n_name AS nation, o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+seg AS (
+  SELECT nation, monetary,
+         NTILE(5) OVER (PARTITION BY nation ORDER BY last_order DESC, o_custkey) AS r_q,
+         NTILE(5) OVER (PARTITION BY nation ORDER BY freq DESC, o_custkey) AS f_q,
+         NTILE(5) OVER (PARTITION BY nation ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM cust)
+SELECT nation, CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS segment_revenue
+FROM seg GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction on the embedding near-dup
+    graph (ops/graph.common_neighbor_scores) — the triangle-count
+    machinery pointed at NON-edges: which unlinked vector pairs share the
+    most neighborhood. Same degree-bounded wedge envelope."""
+    from aos_spark.llm import dedup as D
+    from aos_spark.ops.graph import common_neighbor_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups(e, threshold=0.2, n_planes=4)
+    return common_neighbor_scores(pairs, topk=50)
+
+
+def _link_prediction_oracle() -> str:
+    from aos_spark.queries import _embedding_neardup_oracle
+
+    return f"""
+WITH raw AS (SELECT id_a, id_b FROM ({_embedding_neardup_oracle()})),
+e AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+  FROM raw WHERE id_a <> id_b),
+und AS (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+wedges AS (
+  SELECT n1.b AS x, n2.b AS y, COUNT(*) AS common_n
+  FROM und n1 JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
+  GROUP BY 1, 2),
+cand AS (
+  SELECT w.* FROM wedges w
+  ANTI JOIN e ON e.a = w.x AND e.b = w.y)
+SELECT c.x AS node_a, c.y AS node_b,
+       CAST(c.common_n AS BIGINT) AS common_n,
+       CAST(dx.deg AS BIGINT) AS deg_x,
+       CAST(dy.deg AS BIGINT) AS deg_y,
+       ROUND(CAST(c.common_n AS DOUBLE)
+             / CAST(dx.deg + dy.deg - c.common_n AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN deg dx ON dx.a = c.x
+JOIN deg dy ON dy.a = c.y
+ORDER BY jaccard DESC, node_a, node_b
+LIMIT 50
+"""
+
+
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram (second-moment) matrix over the first 8 embedding dimensions —
+    the whitening/PCA-prep input — with every accumulated quantity in
+    BIGINT micro-units (⌊v_i·v_j·10¹²⌋ per vector, then exact integer
+    sums): the label_centroid discipline, so the matrix is bit-identical
+    under any partitioning. Fan-out: posexplode to 8 dims → vec-keyed
+    self-join (≤64 pairs per vector), one (i,j)-keyed rollup onto a
+    36-row output."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "dim", "v").filter(F.col("dim") < 8)
+    a = ex.select("vec_id", F.col("dim").alias("i"), F.col("v").alias("vi"))
+    b = ex.select("vec_id", F.col("dim").alias("j"), F.col("v").alias("vj"))
+    prods = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.floor(F.col("vi") * F.col("vj") * F.lit(1_000_000_000_000.0))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return prods.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("q").alias("m2_micro"),
+    )
+
+
+ORACLE_GRAM = """
+WITH ex AS (
+  SELECT vec_id, t.i - 1 AS dim, CAST(emb[t.i] AS DOUBLE) AS v
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e,
+       LATERAL (SELECT unnest(range(1, 9)) AS i) t),
+prods AS (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(FLOOR(a.v * b.v * 1000000000000.0) AS BIGINT) AS q
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(q) AS BIGINT) AS m2_micro
+FROM prods GROUP BY 1, 2
+"""
+
+
+R5C_QUERIES.update(
+    {
+        "rfm_segmentation": q_rfm_segmentation,
+        "graph_link_prediction": q_graph_link_prediction,
+        "embedding_gram_matrix": q_embedding_gram_matrix,
+    }
+)
+R5C_ORACLES.update(
+    {
+        "rfm_segmentation": ORACLE_RFM,
+        "graph_link_prediction": _link_prediction_oracle(),
+        "embedding_gram_matrix": ORACLE_GRAM,
+    }
+)

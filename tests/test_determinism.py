@@ -53,6 +53,9 @@ FLOAT_SENSITIVE = [
     "vocab_jaccard_matrix",
     "priority_mix_residuals",
     "cusum_change_point",
+    "rfm_segmentation",
+    "graph_link_prediction",
+    "embedding_gram_matrix",
 ]
 
 

@@ -419,3 +419,54 @@ def test_video_int_features_spark_kernel(spark):
     assert out["2"]["sum_rgb"] == sum(vals)
     assert out["2"]["max_pixel"] == max(vals)
     assert out["2"]["min_pixel"] == min(vals)
+
+
+# ------------------------------------------------- common_neighbor_scores
+def test_link_prediction_square_graph(spark):
+    from aos_spark.ops.graph import common_neighbor_scores
+
+    # square 1-2-3-4-1: each diagonal pair shares exactly 2 neighbors,
+    # degrees all 2 -> jaccard = 2/(2+2-2) = 1.0
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in common_neighbor_scores(e).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["common_n"] == 2
+    assert out[(1, 3)]["jaccard"] == 1.0
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from aos_spark.ops.graph import common_neighbor_scores
+
+    # triangle 1-2-3 plus pendant 4 on 1: candidates share node 1 only
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in common_neighbor_scores(e).collect()
+    }
+    # (2,3),(1,2),(1,3) are edges -> only (2,4),(3,4) predicted via node 1
+    assert set(out) == {(2, 4), (3, 4)}
+    r24 = out[(2, 4)]
+    # deg2=2, deg4=1, cn=1 -> 1/(2+1-1)=0.5
+    assert r24["common_n"] == 1 and abs(r24["jaccard"] - 0.5) < 1e-9
+
+
+def test_link_prediction_canonicalizes_dup_edges(spark):
+    from aos_spark.ops.graph import common_neighbor_scores
+
+    # same edge in both orders + self loop must not inflate degrees
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 3)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in common_neighbor_scores(e).collect()
+    }
+    assert set(out) == {(1, 3)}
+    assert out[(1, 3)]["deg_x"] == 1 and out[(1, 3)]["deg_y"] == 1
