@@ -3219,12 +3219,14 @@ from aos_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 from aos_spark.queries_r5 import R5_ORACLES, R5_QUERIES  # noqa: E402
 from aos_spark.queries_r5b import R5B_ORACLES, R5B_QUERIES  # noqa: E402
 from aos_spark.queries_r5c import R5C_ORACLES, R5C_QUERIES  # noqa: E402
+from aos_spark.queries_r5d import R5D_ORACLES, R5D_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
 QUERIES.update(R4_QUERIES)
 QUERIES.update(R5_QUERIES)
 QUERIES.update(R5B_QUERIES)
 QUERIES.update(R5C_QUERIES)
+QUERIES.update(R5D_QUERIES)
 
 # Round-5 gate rotation (VERDICT r4 "Next round" #3): the driver's
 # correctness gate samples the FIRST 50 entries, so iteration order decides
@@ -3364,3 +3366,4 @@ ORACLES.update(R4_ORACLES)
 ORACLES.update(R5_ORACLES)
 ORACLES.update(R5B_ORACLES)
 ORACLES.update(R5C_ORACLES)
+ORACLES.update(R5D_ORACLES)
