@@ -191,15 +191,15 @@ def hll_merge(regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]) -> Da
     )
 
 
-def hll_estimate_grouped(
-    df: DataFrame, key_col: str, group_cols: list[str], p: int = HLL_P
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int = HLL_P
 ) -> DataFrame:
-    """Per-group distinct estimate from per-group registers — same
-    arithmetic as hll_estimate, one row per group, ONE pass over the data
-    regardless of group count (contrast exact per-group countDistinct,
-    which shuffles the full (group, key) domain)."""
+    """Per-group estimate straight from a register frame — the entry
+    point for MERGED sketches (e.g. daily registers rolled up to weekly
+    with a groupBy-max, then estimated here without re-reading raw data).
+    Same Flajolet arithmetic as hll_estimate; shift-based 2^−M terms, the
+    ln linear-counting branch only fires when v_zero > 0."""
     m = 1 << p
-    regs = hll_registers_grouped(df, key_col, group_cols, p)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.lit(1.0) / F.expr("CAST(shiftleft(1, max_rho) AS DOUBLE)")).alias(
             "__present_inv"
@@ -225,6 +225,18 @@ def hll_estimate_grouped(
         v_zero,
         F.round(raw, 6).alias("raw_estimate"),
         F.round(corrected, 6).alias("estimate"),
+    )
+
+
+def hll_estimate_grouped(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group distinct estimate from per-group registers — same
+    arithmetic as hll_estimate, one row per group, ONE pass over the data
+    regardless of group count (contrast exact per-group countDistinct,
+    which shuffles the full (group, key) domain)."""
+    return hll_estimate_from_registers(
+        hll_registers_grouped(df, key_col, group_cols, p), group_cols, p
     )
 
 

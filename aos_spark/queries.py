@@ -3220,6 +3220,7 @@ from aos_spark.queries_r5 import R5_ORACLES, R5_QUERIES  # noqa: E402
 from aos_spark.queries_r5b import R5B_ORACLES, R5B_QUERIES  # noqa: E402
 from aos_spark.queries_r5c import R5C_ORACLES, R5C_QUERIES  # noqa: E402
 from aos_spark.queries_r5d import R5D_ORACLES, R5D_QUERIES  # noqa: E402
+from aos_spark.queries_r5e import R5E_ORACLES, R5E_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
 QUERIES.update(R4_QUERIES)
@@ -3227,6 +3228,7 @@ QUERIES.update(R5_QUERIES)
 QUERIES.update(R5B_QUERIES)
 QUERIES.update(R5C_QUERIES)
 QUERIES.update(R5D_QUERIES)
+QUERIES.update(R5E_QUERIES)
 
 # Round-5 gate rotation (VERDICT r4 "Next round" #3): the driver's
 # correctness gate samples the FIRST 50 entries, so iteration order decides
@@ -3367,3 +3369,4 @@ ORACLES.update(R5_ORACLES)
 ORACLES.update(R5B_ORACLES)
 ORACLES.update(R5C_ORACLES)
 ORACLES.update(R5D_ORACLES)
+ORACLES.update(R5E_ORACLES)

@@ -56,6 +56,11 @@ FLOAT_SENSITIVE = [
     "rfm_segmentation",
     "graph_link_prediction",
     "embedding_gram_matrix",
+    "ewma_monthly_revenue",
+    "sketch_hll_merge_weekly",
+    "customer_skyline_frontier",
+    "source_minhash_similarity",
+    "dau_moving_average",
 ]
 
 
