@@ -1,0 +1,139 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin-lite).
+
+The LOSSLESS counterpart to MinHash-LSH (llm/dedup.py): LSH trades recall
+for speed; prefix filtering prunes candidates with a guarantee that NO
+pair at or above the Jaccard threshold is ever dropped (Chaudhuri et al.
+"A Primitive Operator for Similarity Joins", ICDE'06; Bayardo et al.
+"Scaling Up All Pairs Similarity Search", WWW'07).
+
+The prefix-filter lemma: order every document's shingle set by one GLOBAL
+total order, and take the first p_x = |x| - ceil(t*|x|) + 1 elements as
+the prefix. If Jaccard(x, y) >= t then |x ∩ y| >= t*max(|x|,|y|) >=
+ceil(t*|x|), so at most ceil(t*|x|) - 1 = |x| - p_x shared elements can
+sit outside x's prefix — the prefixes of x and y must share at least one
+element. Joining on prefix elements only is therefore complete, and the
+exact within-candidate verification makes it sound.
+
+Scale design (100 TB):
+- The global order is ASCENDING document frequency ("rarest first"), the
+  standard choice: a shingle lands in a join key only when it is in some
+  doc's prefix, and frequent shingles sort to the suffix, so the hot keys
+  of the candidate join are precisely the RARE shingles — bounded
+  fan-out by construction rather than by an accuracy-losing cap (contrast
+  ngram_jaccard_pairs' max_shingle_df, which undercounts when it fires).
+- Candidate generation joins two prefix posting lists (sort-merge — both
+  sides are corpus-sized; never broadcast), with the length filter
+  t*|x| <= |y| <= |x|/t applied inside the join to cut pairs before the
+  distinct.
+- Verification is JVM-side array_intersect over the two full shingle
+  arrays — no Python, no re-shingling (the arrays ride along from the
+  one shingle pass).
+
+Reference anchor: the reference engine has no similarity join at all
+(impact_analysis.py joins on exact admin codes only); this operator is
+part of the LLM-training-data tier the build brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aos_spark.cache import persist_tracked
+from aos_spark.llm.dedup import shingle_frame
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= ``threshold``,
+    EXACTLY (no approximation), via prefix-filtered candidate generation.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = persist_tracked(
+        shingle_frame(df, id_col, text_col, n).withColumn(
+            "n_sh", F.size("shingles")
+        )
+    )
+    ex = sh.select("id", F.explode_outer("shingles").alias("shingle"))
+    # Global document frequency: the total order is (df ASC, shingle ASC) —
+    # deterministic, and ties broken by the shingle text itself so the
+    # order is identical in any engine that reproduces the counts.
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # (id, ordered shingle array): one aggregation keyed by doc; the sort
+    # key rides inside the struct so array_sort gives (df, shingle) order.
+    ordered = (
+        ex.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sdf", "shingle"))).alias(
+                "ord"
+            )
+        )
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["shingle"]).alias("ord"),
+            F.size("ord").alias("n_sh"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1  (>= 1 whenever n >= 1)
+    p = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        + F.lit(1)
+    )
+    pref = ordered.select(
+        "id", "n_sh", F.explode(F.slice("ord", F.lit(1), p)).alias("shingle")
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b.hint("merge"), "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: |y| >= t*|x| both ways — a pair failing it
+            # cannot reach the threshold, so prune before the distinct
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact verification: intersect the two full (distinct-element) shingle
+    # arrays. Jaccard = |A∩B| / (|A| + |B| - |A∩B|), one double division.
+    sa = sh.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
