@@ -83,10 +83,15 @@ def ppjoin_pairs(
             F.size("ord").alias("n_sh"),
         )
     )
-    # prefix length p = n - ceil(t*n) + 1  (>= 1 whenever n >= 1)
+    # prefix length p = n - ceil(t*n) + 1  (>= 1 whenever n >= 1).
+    # The 1e-9 back-off guards double rounding: 0.07*100 evaluates to
+    # 7.000000000000001, whose ceil is 8 — one prefix element short, a
+    # completeness hole. Any true non-integer product t*n differs from an
+    # integer by >= ~1/n >> 1e-9, so the guard can only repair, never
+    # lengthen a correct ceil.
     p = (
         F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
     pref = ordered.select(
@@ -122,18 +127,21 @@ def ppjoin_pairs(
         F.col("shingles").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
+    # Threshold test on the UNROUNDED ratio — rounding first would admit
+    # pairs up to 5e-7 below t and (for a >6-decimal t) drop true
+    # positives, breaking the exactness contract. Round only in the
+    # output projection, purely for display stability.
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard_raw") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )

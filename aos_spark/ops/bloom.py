@@ -53,9 +53,17 @@ def _positions(key: Column, m_bits: int, n_hashes: int) -> list[Column]:
     """``n_hashes`` bit positions for a key — double hashing (Kirsch &
     Mitzenmacher 2006): pos_i = (h1 + i*h2) mod m from two xxhash64 seeds,
     as good as k independent hashes. Internal to Spark only — the bitset
-    never crosses engines, so no oracle-reproducible hash is needed."""
-    h1 = F.xxhash64(key)
-    h2 = F.xxhash64(key, F.lit(0x9E3779B9))
+    never crosses engines, so no oracle-reproducible hash is needed.
+
+    ANSI-safe: both hashes are pmod-reduced to [0, m) BEFORE the i*h2
+    multiply, so every intermediate stays below k*m (<= 2^25 for any
+    sane sizing) and the arithmetic never overflows a long — required
+    because the driver runs with spark.sql.ansi.enabled=true, where a
+    long overflow raises ARITHMETIC_OVERFLOW instead of wrapping.
+    Reducing mod m before the add/multiply preserves double-hashing
+    semantics mod m exactly."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(m_bits))
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("long")
         for i in range(n_hashes)

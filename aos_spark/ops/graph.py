@@ -205,6 +205,7 @@ def common_neighbor_scores(
     a_col: str = "id_a",
     b_col: str = "id_b",
     topk: int = 50,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Link prediction by common-neighbor Jaccard: for every NON-edge
     vertex pair that shares ≥1 neighbor, score = |N(a)∩N(b)| /
@@ -213,10 +214,20 @@ def common_neighbor_scores(
     Plan: canonicalize + persist the edge list (the triangle_count
     lesson: the pair pipeline feeds the wedge join, both degree sides and
     the existing-edge anti-join); wedges come from the center-keyed
-    neighbor self-join — fan-out Σdeg(v)², the triangle envelope, with
-    the same hub caveat (cap degrees upstream on power-law graphs);
+    neighbor self-join — fan-out Σdeg(v)², the triangle envelope;
     degree frames join on the candidate keys; the final top-k is a
-    TakeOrdered, never a global sort."""
+    TakeOrdered, never a global sort.
+
+    ``max_degree`` is the hub cap (the max_shingle_df precedent,
+    llm/dedup.py): on a power-law graph one hub of degree d contributes
+    d² wedge rows, quadratic and unbounded; with the cap, vertices whose
+    degree exceeds it are excluded AS WEDGE CENTERS (the hub set is the
+    power-law head — tiny, so it broadcasts into an anti-join). Effect on
+    results: common_n can only be UNDERcounted (pairs linked only through
+    mega-hubs score lower or vanish — usually the desired semantics,
+    since sharing a celebrity neighbor is weak evidence); the Jaccard
+    denominator still uses FULL degrees, so admitted scores are never
+    inflated. None disables (exact)."""
     e = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
@@ -228,8 +239,12 @@ def common_neighbor_scores(
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    n1 = und.select(F.col("a").alias("c"), F.col("b").alias("x"))
-    n2 = und.select(F.col("a").alias("c"), F.col("b").alias("y"))
+    centers = und
+    if max_degree is not None:
+        hubs = deg.filter(F.col("deg") > max_degree).select("a")
+        centers = und.join(F.broadcast(hubs), "a", "left_anti")
+    n1 = centers.select(F.col("a").alias("c"), F.col("b").alias("x"))
+    n2 = centers.select(F.col("a").alias("c"), F.col("b").alias("y"))
     wedges = (
         n1.join(n2, "c")
         .filter(F.col("x") < F.col("y"))

@@ -36,7 +36,16 @@ def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
 
     Spelled with >> and & so a SQL oracle mirrors it literally:
     sum_i ((x >> i) & 1) << 2i  +  ((y >> i) & 1) << (2i+1).
+
+    Inputs are cast to long up front: Java shifts are mod-32 on ints, so
+    an IntegerType input with bits > 15 would silently wrap (shift 32 ==
+    shift 0) and corrupt the key. On longs every shift here (< 2*bits <=
+    some sane <= 31*2) is well-defined up to 63.
     """
+    if not (1 <= bits <= 31):
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    x = x.cast("long")
+    y = y.cast("long")
     terms: list[Column] = []
     for i in range(bits):
         terms.append(

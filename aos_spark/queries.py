@@ -3221,6 +3221,7 @@ from aos_spark.queries_r5b import R5B_ORACLES, R5B_QUERIES  # noqa: E402
 from aos_spark.queries_r5c import R5C_ORACLES, R5C_QUERIES  # noqa: E402
 from aos_spark.queries_r5d import R5D_ORACLES, R5D_QUERIES  # noqa: E402
 from aos_spark.queries_r5e import R5E_ORACLES, R5E_QUERIES  # noqa: E402
+from aos_spark.queries_r6 import R6_ORACLES, R6_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
 QUERIES.update(R4_QUERIES)
@@ -3229,48 +3230,49 @@ QUERIES.update(R5B_QUERIES)
 QUERIES.update(R5C_QUERIES)
 QUERIES.update(R5D_QUERIES)
 QUERIES.update(R5E_QUERIES)
+QUERIES.update(R6_QUERIES)
 
-# Round-5 gate rotation (VERDICT r4 "Next round" #3): the driver's
-# correctness gate samples the FIRST 50 entries, so iteration order decides
-# what gets driver-verified each round. Front-load the 45 queries without a
-# driver-green row across the r1-r4 artifacts: the 38 never-sampled r4
-# additions (TPC-H tail + cohort/scd2/reconcile/sketch/graph families) and
-# the 7 r4 hash-reds whose oracle typing was fixed this round (plus their
-# 6 latent siblings, all in the never-sampled set). Queries and oracles are
-# unchanged — only dict iteration order moves. Rotation history: r4
-# front-loaded sample_split_stats..decontamination_13gram + sessionize;
+# Round-6 gate rotation (VERDICT r5 "Next round" #5): the driver samples the
+# FIRST 50 entries per round, so iteration order decides what gets
+# driver-verified. Front-load (a) bloom_semijoin_prune — the single r5 red,
+# ANSI overflow now fixed in ops/bloom.py, needs a fresh green row — then
+# (b) the 32 post-f634d55 queries that shipped after the last full local
+# gate and have never been driver-sampled, then (c) the 27 older
+# never-sampled stragglers from the 157-set. 1+32+17 fill the r6 sample;
+# the remaining 10 older land at 51-60 for r7. Queries and oracles are
+# unchanged — only dict iteration order moves. Rotation history: r5
+# front-loaded the 45 without driver-green rows; r4 the typing-fix set;
 # r1-r3 ran declaration order.
-_R5_FRONT = [
-    # r4 sampled-red, oracle typing fixed this round — need fresh green rows
-    "pack_context_chunks", "embedding_quantize", "dedup_storage_savings",
-    "array_agg_sorted", "profile_columns", "cumulative_distinct_users",
-    "q12_shipmode_priority",
-    # latent siblings of the same defect, never driver-sampled
-    "funnel_conversion", "validation_suite", "dedup_resolution",
-    "json_props_stats", "cdc_snapshot_diff", "vocab_encode_tokens",
-    # never-driver-sampled r4 additions
-    "q2_min_cost_supplier", "q6_discount_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_profit_by_nation", "q11_important_parts",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q19_disjunctive_revenue", "q20_promotion_suppliers",
-    "q21_sole_blocker_suppliers", "q22_idle_customers",
-    "corpus_quality_filter", "vocab_min_df", "kmeans_lloyd_step",
-    "cohort_retention", "sketch_hll_grouped", "scd2_dimension_history",
-    "incremental_agg_merge", "zscore_outliers", "graph_triangle_count",
-    "weighted_sample_stats", "kfold_assignment", "rollup_time_hierarchy",
-    "bag_difference_except_all", "reconcile_tables",
-    "sequence_gap_detection", "sketch_quantile_histogram",
-    "range_frame_window_spend", "overlapping_order_windows",
-    # r5-new queries (queries_r5.py) — 45 + 5 fills the 50-query sample;
-    # the three curation-policy queries land at 51-53 for the r6 sample
-    "span_dedup_retention", "bloom_semijoin_prune", "lm_bigram_rarity",
-    "embedding_random_projection", "domain_mixture_plan",
+_R6_FRONT = [
+    "bloom_semijoin_prune",
+    # newest 32 (post-f634d55 waves, locally green, never driver-sampled)
+    "interval_union_coverage", "gini_revenue_by_nation",
+    "simpson_diversity_by_source", "assoc_rules_brands",
+    "stratified_allocation_sample", "ks_length_drift", "seasonal_dow_anomaly",
+    "winsorized_mean_prices", "rrf_fusion_topk", "bm25_lite_scores",
+    "feature_hash_vectorizer", "welch_ttest_priorities",
+    "multimodal_audio_features", "cusum_change_point", "vocab_jaccard_matrix",
+    "priority_mix_residuals", "multimodal_video_features", "rfm_segmentation",
+    "graph_link_prediction", "embedding_gram_matrix", "ngram_novelty_rate",
+    "markov_two_step", "source_minhash_similarity", "benford_first_digit",
+    "ewma_monthly_revenue", "type_token_ratio", "above_nation_avg_customers",
+    "sketch_hll_merge_weekly", "customer_skyline_frontier",
+    "containment_near_dup", "lsh_band_collision_stats", "dau_moving_average",
+    # older 27 never-driver-sampled stragglers
     "per_source_cap", "token_budget_selection", "quality_decile_shards",
     "embedding_pq_encode", "sim_pq_topk", "semantic_dedup",
+    "event_transition_matrix", "user_burst_hours", "term_postings_index",
+    "order_autocorrelation", "mad_outlier_bounds", "session_path_topk",
+    "key_skew_profile", "incremental_dedup_status", "lsh_recall_eval",
+    "cross_source_dup_matrix", "graph_pagerank_step", "mixture_apply_stats",
+    "monthly_growth_by_nation", "ann_recall_eval", "term_cooccurrence_lift",
+    "language_confusion_matrix", "label_centroid_similarity",
+    "bpe_merge_candidates", "trimmed_mean_prices", "revenue_pareto_by_nation",
+    "revenue_trend_by_nation",
 ]
-assert set(_R5_FRONT) <= set(QUERIES), sorted(set(_R5_FRONT) - set(QUERIES))
-QUERIES = {n: QUERIES[n] for n in _R5_FRONT} | {
-    n: f for n, f in QUERIES.items() if n not in set(_R5_FRONT)
+assert set(_R6_FRONT) <= set(QUERIES), sorted(set(_R6_FRONT) - set(QUERIES))
+QUERIES = {n: QUERIES[n] for n in _R6_FRONT} | {
+    n: f for n, f in QUERIES.items() if n not in set(_R6_FRONT)
 }
 
 ORACLES: dict[str, str] = {
@@ -3370,3 +3372,4 @@ ORACLES.update(R5B_ORACLES)
 ORACLES.update(R5C_ORACLES)
 ORACLES.update(R5D_ORACLES)
 ORACLES.update(R5E_ORACLES)
+ORACLES.update(R6_ORACLES)

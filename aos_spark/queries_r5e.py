@@ -34,8 +34,7 @@ from pyspark.sql import functions as F
 from aos_spark.io.readers import read_sf_table
 from aos_spark.llm.dedup import (
     banded_minhash_frame,
-    ensure_min_partitions,
-    shingle_frame,
+    shingle_intersection_counts,
 )
 from aos_spark.ops import sketches
 
@@ -188,27 +187,16 @@ def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: shingle containment |A∩B| / |smaller side|.
     Quote and subset duplication (one doc embedded in a much larger one)
     scores near 1.0 here while symmetric Jaccard dilutes it toward 0.
-    Same candidate machinery as dedup_ngram_jaccard — explode distinct
-    3-gram shingles, equi-join on the shingle (high-cardinality key, even
-    shuffle), count intersections, ONE division by the min side."""
+    LITERALLY the same candidate machinery as dedup_ngram_jaccard
+    (llm/dedup.shingle_intersection_counts): one persisted exploded-shingle
+    frame, max_shingle_df hot-key cap (bounds per-key join fan-out at K²;
+    the r5 uncapped version was quadratic in corpus size on any shared
+    boilerplate shingle and 3× slower at sf0.1), forced sort-merge
+    self-join. The cap only drops join keys; the containment denominator
+    uses the full per-doc counts, so with no shingle over the cap (true at
+    all test SFs) results are bit-identical to the uncapped oracle."""
     d = _t(spark, sf_dir, "documents")
-    sh = shingle_frame(ensure_min_partitions(d), "doc_id", "text", 3)
-    ex = sh.select(
-        F.col("id"), F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = shingle_intersection_counts(d, "doc_id", "text", 3)
     containment = F.round(
         F.col("n_common").cast("double") / F.least("n_a", "n_b"), 6
     )

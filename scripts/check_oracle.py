@@ -107,6 +107,14 @@ def main() -> int:
     # LTZ but not NTZ. Force NTZ locally so local green implies driver
     # green (VERDICT r3 "Next round" #1).
     spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    # Session-faithfulness, round 3 of the lesson (r1 hashing, r4 pandas
+    # typing, r5 ANSI): the driver runs a stock Spark-4 session where
+    # spark.sql.ansi.enabled defaults to TRUE, so arithmetic that silently
+    # wraps under the builder session (session.py forces ansi=false)
+    # raises ARITHMETIC_OVERFLOW on the driver — that was
+    # bloom_semijoin_prune's r5 red. Run the whole gate ANSI-on so local
+    # PASS implies driver PASS under the driver's config too.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -102,3 +102,28 @@ def test_every_oracle_output_type_is_pandas_safe(duck):
         f"oracles with pandas-unsafe output types (allowed: "
         f"{sorted(SAFE_DUCKDB_TYPES)}): {offenders}"
     )
+
+
+def test_local_correctness_artifact_covers_every_registered_query():
+    """VERDICT r5 "Next round" #3: the committed CORRECTNESS_LOCAL.json had
+    drifted to 157 entries while the registry held 189 — five query waves
+    shipped without a full local gate run. Lock: the artifact of record
+    must list EXACTLY the registered queries, and every row must be green.
+    Adding a query without rerunning `python scripts/check_oracle.py`
+    turns this red."""
+    import json
+    from pathlib import Path
+
+    from aos_spark.queries import QUERIES
+
+    art = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
+    local = json.loads(art.read_text())
+    missing = set(QUERIES) - set(local)
+    stale = set(local) - set(QUERIES)
+    assert not missing, f"queries never gate-run locally: {sorted(missing)}"
+    assert not stale, f"artifact rows for unregistered queries: {sorted(stale)}"
+    red = {
+        n: v for n, v in local.items()
+        if not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+    }
+    assert not red, f"locally-red queries committed: {sorted(red)}"

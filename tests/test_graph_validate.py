@@ -181,3 +181,32 @@ def test_pagerank_keeps_zero_in_degree_nodes(spark):
     assert abs(loop["c"] - 0.15) < 1e-6
     assert min(loop["a"], loop["b"]) > loop["c"]
     assert abs(sum(loop.values()) - 3.0) < 1e-5
+
+
+def test_common_neighbor_hub_cap(spark):
+    """max_degree (ADVICE/VERDICT r5): a planted mega-hub must stop
+    fanning out wedges once capped, and on a hub-free graph the capped
+    result must be IDENTICAL to the uncapped one (the cap only drops
+    hub-centered wedges, never rescores surviving pairs)."""
+    from aos_spark.ops.graph import common_neighbor_scores
+
+    # hub 0 connects to 1..20; plus a small clique 21-22-23
+    edges = [(0, i) for i in range(1, 21)] + [(21, 22), (22, 23), (21, 23)]
+    df = _pairs(spark, edges)
+
+    uncapped = common_neighbor_scores(df, topk=1000).collect()
+    capped = common_neighbor_scores(df, topk=1000, max_degree=5).collect()
+
+    # uncapped: every pair (i, j) in 1..20 shares hub 0 -> C(20,2)=190
+    # candidate non-edges (clique contributes none: all pairs are edges)
+    assert len(uncapped) == 190
+    # capped at 5: hub 0 (deg 20) is excluded as a wedge center, so no
+    # hub-mediated candidates survive
+    assert len(capped) == 0
+
+    # hub-free graph: capped == uncapped bit-for-bit
+    path = [(i, i + 1) for i in range(10)]
+    dfp = _pairs(spark, path)
+    u = sorted(map(tuple, common_neighbor_scores(dfp, topk=1000).collect()))
+    c = sorted(map(tuple, common_neighbor_scores(dfp, topk=1000, max_degree=5).collect()))
+    assert u == c and len(u) > 0
