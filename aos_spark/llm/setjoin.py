@@ -95,13 +95,31 @@ def ppjoin_pairs(
         + F.lit(1)
     )
     pref = ordered.select(
-        "id", "n_sh", F.explode(F.slice("ord", F.lit(1), p)).alias("shingle")
-    )
+        "id", "n_sh", F.posexplode(F.slice("ord", F.lit(1), p))
+    ).select("id", "n_sh", "pos", F.col("col").alias("shingle"))
     a = pref.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"),
+        F.col("pos").alias("pos_a"), "shingle",
     )
     b = pref.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"),
+        F.col("pos").alias("pos_b"), "shingle",
+    )
+    # PPJoin position filter (Xiao et al., "Efficient Similarity Joins for
+    # Near Duplicate Detection", WWW'08): Jaccard >= t forces overlap
+    # o >= t/(1+t)·(n_a+n_b). For the FIRST common element in the global
+    # order (0-based positions pos_a, pos_b), every other common element
+    # sits after it in BOTH ordered sets, so o <= 1 + min(n_a-pos_a-1,
+    # n_b-pos_b-1); a matching row failing that bound is droppable, and
+    # completeness holds because the first-common-element row always
+    # satisfies it. The 1e-9 back-off mirrors the prefix-length guard.
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("pos_a") - F.lit(1),
+        F.col("n_b") - F.col("pos_b") - F.lit(1),
     )
     cand = (
         a.join(b.hint("merge"), "shingle")
@@ -111,6 +129,9 @@ def ppjoin_pairs(
             # cannot reach the threshold, so prune before the distinct
             & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
             & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            # position filter: overlap upper bound from the prefix
+            # positions must clear the threshold's overlap requirement
+            & (ubound >= min_overlap)
         )
         .select("id_a", "id_b")
         .distinct()

@@ -15,6 +15,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# edge-list rows per partition for count-adaptive coalesce: small enough
+# that a partition's joins stay in memory, large enough that a tiny graph
+# collapses to one task instead of 32 near-empty ones
+_EDGE_ROWS_PER_PART = 100_000
+
+
+def _sized(e: DataFrame, n: int) -> DataFrame:
+    """Coalesce a MATERIALIZED (persisted + counted) edge list to
+    ceil(n/100k) partitions. On a 12.5k-edge graph this turns every
+    downstream stage from 32 scheduler-dominated tasks into 1 real one
+    (orient step 2.1 s -> 0.5 s at sf0.1); on a billion-edge graph the
+    target exceeds the current partition count and coalesce is a no-op.
+    Runtime-count-driven, so correct at both extremes."""
+    parts = max(1, -(-n // _EDGE_ROWS_PER_PART))
+    return e.coalesce(parts)
+
 
 def triangle_count(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
@@ -34,7 +50,16 @@ def triangle_count(
     broadcast-sized edge list broadcasts (measured 5.3 s -> 2.2 s warm
     at sf0.1), while an edge list past the broadcast threshold keeps
     sort-merge — the right call either way, decided by stats instead of
-    guesswork."""
+    guesswork.
+
+    The count also right-sizes the edge list's partitioning: the pair
+    pipeline inherits the corpus's partition count (32+), but the edge
+    list it collapses to is often tiny, and every downstream stage then
+    pays full-width task-scheduling overhead for a few hundred rows per
+    task — measured 2.1 s -> 0.5 s on the orient step alone at sf0.1
+    (12.5k edges x 6 joins). ``_sized`` coalesces to ceil(n/100k)
+    partitions — a no-op on genuinely large edge lists, so the decision
+    is driven by the runtime count, never a guess."""
     from aos_spark.cache import persist_tracked
 
     e = persist_tracked(
@@ -45,7 +70,7 @@ def triangle_count(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    e.count()
+    e = _sized(e, e.count())
     deg = (
         e.select(F.col("a").alias("n")).union(e.select("b"))
         .groupBy("n")
@@ -237,6 +262,10 @@ def common_neighbor_scores(
         .distinct()
         .persist()
     )
+    # materialize + right-size (same rationale as triangle_count: the
+    # cached edge list is often tiny relative to the pair pipeline's
+    # partitioning, and this operator chains SIX joins over it)
+    e = _sized(e, e.count())
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     centers = und

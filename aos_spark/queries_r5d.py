@@ -72,28 +72,47 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction whose first corpus appearance (min doc_id over the whole
     corpus) is this document. Low novelty = the source is re-treading
     already-seen text — the signal a data-curation pass uses to down-weight
-    a crawl slice. Plan: tokenize → distinct bigrams per doc → explode →
-    ONE gram-keyed shuffle where a window min(doc_id) marks first
-    appearance → source rollup. Linear in total grams; the gram key is
-    high-cardinality so the shuffle spreads evenly at any scale."""
+    a crawl slice. Plan (r6, replacing a gram-partitioned window): each
+    gram's first appearance is min(struct(doc_id, source)) — an ordinary
+    MAP-SIDE-COMBINED aggregation, so the gram-keyed exchange carries one
+    partial state per (partition, gram) instead of every exploded row into
+    a sort+window (8.7 s -> the aggregate shape at sf0.1). Since exactly
+    one (gram, doc) row attains the min, n_novel per source is a count
+    over the per-gram winners; n_grams per source needs no exploded rows
+    at all — it is sum(size(grams)) over the PRE-explosion array frame
+    (one row per doc), which is what gets persisted (array rows, ~20x
+    fewer than exploded rows — persisting the exploded frame instead
+    measured SLOWER than the window it replaced). Linear in total grams;
+    the gram key is high-cardinality so the shuffle spreads evenly at
+    any scale."""
+    from aos_spark.cache import persist_tracked
+
     d = _t(spark, sf_dir, "documents")
     toks = ensure_min_partitions(d).select(
         "doc_id", "source", _tokens().alias("__tokens")
     )
-    grams = toks.select(
-        "doc_id",
-        "source",
-        shingles_from_tokens(F.col("__tokens"), 2).alias("grams"),
+    grams = persist_tracked(
+        toks.select(
+            "doc_id",
+            "source",
+            shingles_from_tokens(F.col("__tokens"), 2).alias("grams"),
+        )
     )
-    ex = grams.select("doc_id", "source", F.explode("grams").alias("gram"))
-    flagged = ex.withColumn(
-        "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
+    ex = grams.select("doc_id", "source", F.explode_outer("grams").alias("gram"))
+    # min(struct) = lexicographic (doc_id, source) min; doc_id is unique
+    # per doc, so the winner — the gram's first corpus appearance — is
+    # deterministic and its source rides along for free
+    winners = ex.filter(F.col("gram").isNotNull()).groupBy("gram").agg(
+        F.min(F.struct("doc_id", "source")).alias("m")
     )
-    per_src = flagged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(
-            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-        ).alias("n_novel"),
+    novel = winners.groupBy(F.col("m.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    totals = grams.groupBy("source").agg(
+        F.sum(F.size("grams")).alias("n_grams")
+    )
+    per_src = totals.join(novel, "source", "left").select(
+        "source", "n_grams", F.coalesce("n_novel", F.lit(0)).alias("n_novel")
     )
     return per_src.select(
         "source",
@@ -192,7 +211,12 @@ def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select(
         "source", shingles_from_tokens(F.col("__tokens"), 3).alias("shingles")
     )
-    hv = sh.select("source", F.explode("shingles").alias("s")).select(
+    # explode_outer, not explode (the dedup.py:~128 lesson): plain explode
+    # makes Catalyst infer size(shingles)>0 and push it into the scan with
+    # the whole shingle lambda tree inlined — re-evaluated per row,
+    # single-threaded; measured 11.8 s -> 0.6 s on this chain at sf0.1.
+    # Null rows are ignored by the min() aggregates.
+    hv = sh.select("source", F.explode_outer("shingles").alias("s")).select(
         "source", shingle_hash(F.col("s")).alias("hv")
     )
     sig = hv.groupBy("source").agg(
@@ -202,7 +226,12 @@ def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"s{i}")
             for i, (a, b) in enumerate(params)
         ]
-    )
+        # min() ignores the explode_outer null rows; a source with ONLY
+        # empty docs would aggregate to an all-null signature — drop it
+        # post-agg (|sources| rows) instead of row-filtering the exploded
+        # frame, which re-triggers the inferred-constraint pathology
+        # (measured 0.6 s vs 2.7 s with the row filter)
+    ).filter(F.col("s0").isNotNull())
     a, b = sig.alias("a"), sig.alias("b")
     matched = sum(
         F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
