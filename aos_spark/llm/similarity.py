@@ -83,6 +83,56 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query) vector, the top-k most-cosine-similar corpus vectors whose
+    LABEL differs from the anchor's — the near-miss negatives that make
+    a contrastive batch informative (Robinson et al., "Contrastive
+    Learning with Hard Negative Samples", ICLR'21 motivates the recipe;
+    the mining step itself is this exact filtered top-k).
+
+    Plan shape is brute_force_topk's: broadcast(anchors) × corpus with
+    the label-mismatch predicate INSIDE the join condition (same-label
+    rows never materialize), cosine from pre-computed norms, per-anchor
+    top-k window over anchor-keyed partitions. The corpus never
+    shuffles; only |Q|·k rows survive the final exchange."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    ).join(F.broadcast(q), F.col("__cl") != F.col("__ql"))
+    scored = scored.withColumn(
+        "cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("__cl").alias("neighbor_label"),
+            F.round("cosine", 6).alias("cosine"), "rank",
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure stdlib, seeded)."""
     rng = random.Random(seed)

@@ -285,6 +285,74 @@ def gram_occurrences(tokens: Column, n: int) -> Column:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram occurrence,
+    slide a window of w consecutive hashes, and keep each window's
+    minimum. Guarantees: any shared substring of >= w+k-1 tokens yields
+    at least one shared selected fingerprint, and expected density is
+    2/(w+1) — a position-aware overlap detector the set-based shingle
+    tier cannot provide.
+
+    Determinism / oracle mirror: ties inside a window break to the
+    LOWEST position by packing (hash, pos) into one BIGINT key —
+    hash·2^20 + pos (hash < 2^32, pos < 2^20, so the key < 2^52:
+    ANSI-overflow-free). Selection is min(key) over a doc-partitioned
+    ROWS window — never a global window — then distinct; windows
+    starting past n_grams - w would re-select suffix minima of
+    truncated frames, so starts are capped (a doc shorter than w grams
+    keeps its single full-truncated window at pos 0).
+
+    Returns (id, n_grams, n_selected, density) per doc with >= 1 gram;
+    density = n_selected / n_grams, one final double division."""
+    from aos_spark.llm.dedup import shingle_hash
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_remove(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+        ).alias("__tokens"),
+    )
+    grams = toks.select(
+        "id", gram_occurrences(F.col("__tokens"), k).alias("grams")
+    )
+    ex = grams.select(
+        "id", F.size("grams").alias("n_grams"), F.posexplode_outer("grams")
+    ).filter(F.col("col").isNotNull())
+    keyed = ex.select(
+        "id",
+        "n_grams",
+        "pos",
+        (shingle_hash(F.col("col")) * F.lit(1 << 20) + F.col("pos")).alias(
+            "__key"
+        ),
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    selected = (
+        keyed.withColumn("__wmin", F.min("__key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select("id", "n_grams", "__wmin")
+        .distinct()
+    )
+    return selected.groupBy("id", "n_grams").agg(
+        F.count(F.lit(1)).alias("n_selected")
+    ).select(
+        "id",
+        "n_grams",
+        "n_selected",
+        F.round(
+            F.col("n_selected").cast("double") / F.col("n_grams"), 6
+        ).alias("density"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

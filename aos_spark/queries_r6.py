@@ -137,3 +137,158 @@ R6_ORACLES.update(
         "zorder_skipping_census": _zorder_census_oracle(),
     }
 )
+
+
+# ------------------------------------------------------------ hard_negative_mining
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: for each of 5 anchor vectors, the top-5
+    most-similar corpus vectors with a DIFFERENT label
+    (llm/similarity.hard_negative_topk — broadcast anchors, label
+    predicate inside the join, per-anchor window top-k)."""
+    from aos_spark.llm.similarity import hard_negative_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negative_topk(e, anchors, k=5)
+
+
+ORACLE_HARD_NEG = """
+WITH q AS (SELECT vec_id AS query_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+           AS cos
+  FROM q, embeddings e WHERE e.label <> q.ql
+)
+SELECT query_id, neighbor_id, neighbor_label, ROUND(cos, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+# ------------------------------------------------------------ language_kappa
+def q_language_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared language label and the n-gram
+    heuristic's detection — chance-corrected agreement, the one-number
+    companion to language_confusion_matrix. All arithmetic stays in
+    BIGINT over the bounded confusion frame (kappa =
+    (N·agree - Σ_l row_l·col_l) / (N² - Σ_l row_l·col_l)); the single
+    double division happens in the final 1-row projection."""
+    from aos_spark.llm import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    conf = d.groupBy(
+        F.col("lang").alias("labeled"),
+        TX.detect_language().alias("detected"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from aos_spark.cache import persist_tracked
+
+    conf = persist_tracked(conf)
+    rows = conf.groupBy("labeled").agg(F.sum("n").alias("row_n"))
+    cols = conf.groupBy("detected").agg(F.sum("n").alias("col_n"))
+    pe = (
+        rows.join(cols, rows["labeled"] == cols["detected"])
+        .agg(F.coalesce(F.sum(F.col("row_n") * F.col("col_n")), F.lit(0)).alias("pe_num"))
+    )
+    tot = conf.agg(
+        F.sum("n").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("labeled") == F.col("detected"), F.col("n"))),
+            F.lit(0),
+        ).alias("n_agree"),
+    )
+    return tot.crossJoin(pe).select(
+        "n_docs",
+        "n_agree",
+        F.round(
+            (F.col("n_docs") * F.col("n_agree") - F.col("pe_num")).cast("double")
+            / (F.col("n_docs") * F.col("n_docs") - F.col("pe_num")),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def _language_kappa_oracle() -> str:
+    from aos_spark.queries import _langid_oracle
+
+    return f"""
+WITH detected AS ({_langid_oracle()}),
+conf AS (SELECT labeled_lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+         FROM detected GROUP BY 1, 2),
+r AS (SELECT labeled_lang AS l, SUM(n) AS row_n FROM conf GROUP BY 1),
+c AS (SELECT detected_lang AS l, SUM(n) AS col_n FROM conf GROUP BY 1),
+pe AS (SELECT COALESCE(SUM(r.row_n * c.col_n), 0) AS pe_num
+       FROM r JOIN c ON r.l = c.l),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(CASE WHEN labeled_lang = detected_lang THEN n END), 0) AS BIGINT) AS n_agree
+        FROM conf)
+SELECT n_docs, n_agree,
+       ROUND(CAST(n_docs * n_agree - pe_num AS DOUBLE)
+             / (n_docs * n_docs - pe_num), 6) AS kappa
+FROM tot, pe
+"""
+
+
+# ------------------------------------------------------------ winnowing_fingerprints
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint census per document
+    (llm/text.winnow_fingerprints, k=4 w=4): positional k-gram hashing +
+    per-window minima — any shared run of >= k+w-1 tokens between two
+    docs shares a selected fingerprint. Doc-partitioned ROWS window,
+    never global."""
+    from aos_spark.llm.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=4, w=4).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_selected", "density"
+    )
+
+
+ORACLE_WINNOW = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4
+           THEN list_transform(range(len(t) - 3), i -> array_to_string(t[i+1:i+4], ' '))
+           ELSE [] END AS gs
+  FROM toks),
+ex AS (
+  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, i AS pos,
+         CAST('0x' || substring(md5(gs[i + 1]), 1, 8) AS BIGINT) * 1048576 + i AS key
+  FROM grams, UNNEST(range(len(gs))) AS u(i)),
+win AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM ex),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, wmin
+  FROM win WHERE pos <= GREATEST(n_grams - 4, 0))
+SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_grams, 6) AS density
+FROM sel GROUP BY doc_id, n_grams
+"""
+
+
+R6_QUERIES.update(
+    {
+        "hard_negative_mining": q_hard_negative_mining,
+        "language_kappa": q_language_kappa,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+    }
+)
+R6_ORACLES.update(
+    {
+        "hard_negative_mining": ORACLE_HARD_NEG,
+        "language_kappa": _language_kappa_oracle(),
+        "winnowing_fingerprints": ORACLE_WINNOW,
+    }
+)
