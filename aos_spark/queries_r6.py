@@ -292,3 +292,143 @@ R6_ORACLES.update(
         "winnowing_fingerprints": ORACLE_WINNOW,
     }
 )
+
+
+# ------------------------------------------------------------ matryoshka_recall_eval
+_MRL_DIMS = 16
+
+
+def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS'22 motivates the check): retrieval
+    recall@10 when both queries and corpus keep only the FIRST 16 of 64
+    dims, against the full-dimension brute-force ground truth. The scale
+    story: a 4x-truncated index is 4x cheaper to scan and shuffle — this
+    query measures exactly what that costs in recall, with both sides
+    running the production brute_force_topk operator."""
+    from aos_spark.llm.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    truth = brute_force_topk(
+        e, anchors.select(F.col("vec_id").alias("query_id"), "embedding"), k=10
+    ).select("query_id", "neighbor_id")
+    trunc = e.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    approx = brute_force_topk(
+        trunc,
+        anchors.select(
+            F.col("vec_id").alias("query_id"),
+            F.slice("embedding", 1, _MRL_DIMS).alias("embedding"),
+        ),
+        k=10,
+    ).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    pt = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    ph = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__h"))
+    return pt.join(ph, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce(F.col("__h"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("__h"), F.lit(0)) / F.col("n_truth"), 6
+        ).alias("recall_at_k"),
+    )
+
+
+def _matryoshka_oracle() -> str:
+    from aos_spark.queries import ORACLE_SIM_BRUTE
+
+    return f"""
+WITH truth AS ({ORACLE_SIM_BRUTE}),
+tq AS (SELECT vec_id AS query_id, CAST(embedding[1:{_MRL_DIMS}] AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id < 5),
+tscored AS (
+  SELECT tq.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(tq.qv, CAST(e.embedding[1:{_MRL_DIMS}] AS DOUBLE[]))
+           / (sqrt(list_dot_product(tq.qv, tq.qv))
+              * sqrt(list_dot_product(CAST(e.embedding[1:{_MRL_DIMS}] AS DOUBLE[]),
+                                      CAST(e.embedding[1:{_MRL_DIMS}] AS DOUBLE[]))))
+           AS cos
+  FROM tq, embeddings e WHERE e.vec_id <> tq.query_id),
+approx AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM tscored QUALIFY rank <= 10),
+hits AS (
+  SELECT t.query_id, t.neighbor_id
+  FROM truth t JOIN approx a USING (query_id, neighbor_id)),
+pt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
+ph AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY 1)
+SELECT pt.query_id, pt.n_truth, COALESCE(ph.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(ph.n_hits, 0) / CAST(pt.n_truth AS DOUBLE), 6) AS recall_at_k
+FROM pt LEFT JOIN ph ON pt.query_id = ph.query_id
+"""
+
+
+# ------------------------------------------------------------ dedup_threshold_curve
+_CURVE_PM = [300, 400, 500, 600, 700, 800, 900]  # thresholds in per-mille
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tuning dial: pair counts of the n-gram Jaccard frame at
+    a grid of thresholds, from ONE run of the pairwise machinery (the
+    capped shingle_intersection_counts pipeline at the loosest grid
+    point). Thresholds are integer per-mille so the grouping key is
+    never a float; each pair fans out only to the thresholds it clears
+    (explode of a 7-element literal — bounded)."""
+    from aos_spark.llm.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=min(_CURVE_PM) / 1000.0)
+    fanned = pairs.select(
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in _CURVE_PM]),
+                lambda t: F.col("jaccard") >= t / F.lit(1000.0),
+            )
+        ).alias("threshold_pm")
+    )
+    return fanned.groupBy("threshold_pm").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def _threshold_curve_oracle() -> str:
+    from aos_spark.queries import _SHINGLES_SQL
+
+    lo = min(_CURVE_PM) / 1000.0
+    pm_list = ", ".join(str(t) for t in _CURVE_PM)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
+  FROM inter WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= {lo}),
+fanned AS (
+  SELECT t.threshold_pm
+  FROM pairs, UNNEST([{pm_list}]) AS t(threshold_pm)
+  WHERE pairs.jaccard >= t.threshold_pm / 1000.0)
+SELECT CAST(threshold_pm AS INTEGER) AS threshold_pm,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM fanned GROUP BY 1
+"""
+
+
+R6_QUERIES.update(
+    {
+        "matryoshka_recall_eval": q_matryoshka_recall_eval,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+    }
+)
+R6_ORACLES.update(
+    {
+        "matryoshka_recall_eval": _matryoshka_oracle(),
+        "dedup_threshold_curve": _threshold_curve_oracle(),
+    }
+)
