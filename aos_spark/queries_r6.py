@@ -432,3 +432,120 @@ R6_ORACLES.update(
         "dedup_threshold_curve": _threshold_curve_oracle(),
     }
 )
+
+
+# ------------------------------------------------------------ split_leakage_check
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit — the check every training pipeline
+    must run before shipping a split: near-dup pairs (3-gram Jaccard >=
+    0.5, the capped production machinery) whose two documents landed in
+    DIFFERENT deterministic splits. A same-split near-dup wastes capacity;
+    a CROSS-split one leaks eval data into training. Output: pair counts
+    per canonical (split_a, split_b) cell plus the leaking flag. The
+    split frame is doc-keyed (broadcast-sized per pair side at gate SF;
+    at scale the pair frame is far smaller than the corpus, so the two
+    split lookups are hash joins on the pair frame, never a corpus
+    shuffle)."""
+    from aos_spark.llm import sampling
+    from aos_spark.llm.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    split = sampling.deterministic_split(d, "doc_id").select("doc_id", "split")
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    return (
+        tagged.groupBy(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaks", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from aos_spark.queries import _SHINGLES_SQL
+
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id AS id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= 0.5),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % 100 AS bucket
+        FROM documents)),
+tagged AS (
+  SELECT LEAST(a.split, b.split) AS split_a,
+         GREATEST(a.split, b.split) AS split_b
+  FROM pairs JOIN sp a ON pairs.id_a = a.doc_id
+             JOIN sp b ON pairs.id_b = b.doc_id)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS leaks
+FROM tagged GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ cms_error_eval
+def q_cms_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement for the count-min sketch, the
+    ann_recall_eval pattern applied to frequency sketches: per-key
+    estimated minus EXACT count. CMS can only overestimate, so the gate
+    asserts the invariant (overestimate >= 0) cell-for-cell against the
+    oracle, and the summary makes the d×w accuracy trade-off readable
+    from the engine's own output. Both sides are production operators;
+    the exact counts are one map-combined rollup."""
+    from aos_spark.ops import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.cms_build(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    est = sketches.cms_estimate(sk, keys, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+def _cms_error_oracle() -> str:
+    from aos_spark.queries import ORACLE_CMS
+
+    return f"""
+WITH est AS ({ORACLE_CMS}),
+exact AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM events GROUP BY 1)
+SELECT est.event_type, exact.exact_count, est.est_count,
+       est.est_count - exact.exact_count AS overestimate
+FROM est JOIN exact USING (event_type)
+"""
+
+
+R6_QUERIES.update(
+    {
+        "split_leakage_check": q_split_leakage_check,
+        "cms_error_eval": q_cms_error_eval,
+    }
+)
+R6_ORACLES.update(
+    {
+        "split_leakage_check": _split_leakage_oracle(),
+        "cms_error_eval": _cms_error_oracle(),
+    }
+)

@@ -112,3 +112,28 @@ def test_language_kappa_bounds(spark, sf_dir):
     r = QUERIES["language_kappa"](spark, sf_dir).collect()[0]
     assert 0 <= r.n_agree <= r.n_docs
     assert -1.0 <= r.kappa <= 1.0
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from aos_spark.queries import QUERIES
+
+    rows = QUERIES["cms_error_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.est_count >= r.exact_count
+
+
+def test_split_leakage_partition_of_pairs(spark, sf_dir):
+    """The leakage cells must partition the full near-dup pair set: sum
+    over cells == count of pairs at the same threshold."""
+    from aos_spark.llm.dedup import ngram_jaccard_pairs
+    from aos_spark.queries import QUERIES
+
+    cells = QUERIES["split_leakage_check"](spark, sf_dir).collect()
+    total = sum(r.n_pairs for r in cells)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).count()
+    assert total == n_pairs
+    for r in cells:
+        assert r.leaks == (r.split_a != r.split_b)
