@@ -549,3 +549,151 @@ R6_ORACLES.update(
         "cms_error_eval": _cms_error_oracle(),
     }
 )
+
+
+# ------------------------------------------------------------ hll_error_eval
+def q_hll_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement for HyperLogLog, completing the eval
+    triptych (ann_recall_eval for ANN, cms_error_eval for CMS): per-group
+    HLL distinct estimate vs the EXACT count-distinct, with the signed
+    relative error. The production trade-off this reads out: the sketch
+    side is ONE pass and m registers per group; the exact side shuffles
+    the full (group, key) domain — at 100 TB you run the left column and
+    this query is the evidence for how much accuracy that buys."""
+    from aos_spark.ops import sketches
+
+    o = _t(spark, sf_dir, "orders")
+    est = sketches.hll_estimate_grouped(o, "o_custkey", ["o_orderstatus"]).select(
+        "o_orderstatus", "estimate"
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_distinct",
+        "estimate",
+        F.round(
+            (F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def _hll_error_oracle() -> str:
+    from aos_spark.queries_r4 import _hll_grouped_oracle
+
+    return f"""
+WITH est AS ({_hll_grouped_oracle()}),
+exact AS (SELECT o_orderstatus,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+          FROM orders GROUP BY 1)
+SELECT est.o_orderstatus, exact.exact_distinct, est.estimate,
+       ROUND((est.estimate - exact.exact_distinct) / exact.exact_distinct, 6)
+         AS rel_error
+FROM est JOIN exact USING (o_orderstatus)
+"""
+
+
+R6_QUERIES.update({"hll_error_eval": q_hll_error_eval})
+R6_ORACLES.update({"hll_error_eval": _hll_error_oracle()})
+
+
+# ------------------------------------------------------------ quantile_error_eval
+def q_quantile_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram-sketch quantile error vs the EXACT interpolated
+    percentile — the third sketch eval (with cms_error_eval and
+    hll_error_eval). Sketch side: 64 unit-width bins per return flag
+    (one map-combined rollup, mergeable states, cum window over the
+    BOUNDED bin frame partitioned by flag); exact side: the
+    percentile_cont_interp machinery (flag-partitioned rank window). A
+    histogram upper-edge estimate can only sit at or above the exact
+    value minus one bin width — the gate pins both numbers."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    # sketch tier: quantity is integer-valued in [1, 50]; w=1, 64 bins
+    binned = li.select(
+        "l_returnflag",
+        F.least(
+            F.greatest(F.floor(F.col("l_quantity")).cast("int"), F.lit(0)),
+            F.lit(63),
+        ).alias("bin"),
+    ).groupBy("l_returnflag", "bin").agg(F.count(F.lit(1)).alias("n"))
+    cw = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tw = Window.partitionBy("l_returnflag")
+    cum = binned.select(
+        "l_returnflag",
+        "bin",
+        F.sum("n").over(cw).alias("c"),
+        F.sum("n").over(tw).alias("total"),
+    )
+    ests = []
+    for tag, p in (("est_p50", 0.5), ("est_p90", 0.9)):
+        ests.append(
+            F.min(
+                F.when(
+                    F.col("c") >= F.col("total") * F.lit(p), F.col("bin")
+                )
+            ).alias(f"__b_{tag}")
+        )
+    sk = cum.groupBy("l_returnflag").agg(*ests).select(
+        "l_returnflag",
+        *[
+            (F.col(f"__b_est_p{q}") + F.lit(1)).cast("double").alias(f"est_p{q}")
+            for q in (50, 90)
+        ],
+    )
+    # exact tier: reuse the gate-verified interpolated-percentile query
+    from aos_spark.queries import q_percentile_cont
+
+    exact = q_percentile_cont(spark, sf_dir).select(
+        "l_returnflag", "p50", "p90"
+    )
+    return sk.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "p50",
+        "est_p50",
+        F.round(F.col("est_p50") - F.col("p50"), 6).alias("err_p50"),
+        "p90",
+        "est_p90",
+        F.round(F.col("est_p90") - F.col("p90"), 6).alias("err_p90"),
+    )
+
+
+def _quantile_error_oracle() -> str:
+    from aos_spark.queries import ORACLE_PCTL_CONT
+
+    return f"""
+WITH exact AS ({ORACLE_PCTL_CONT}),
+sk AS (
+  SELECT l_returnflag,
+         LEAST(GREATEST(CAST(FLOOR(l_quantity) AS INT), 0), 63) AS bin,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, bin,
+         SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(n) OVER (PARTITION BY l_returnflag) AS total
+  FROM sk),
+est AS (
+  SELECT l_returnflag,
+         CAST(MIN(CASE WHEN c >= total * 0.5 THEN bin END) + 1 AS DOUBLE) AS est_p50,
+         CAST(MIN(CASE WHEN c >= total * 0.9 THEN bin END) + 1 AS DOUBLE) AS est_p90
+  FROM cum GROUP BY 1)
+SELECT est.l_returnflag, exact.p50, est.est_p50,
+       ROUND(est.est_p50 - exact.p50, 6) AS err_p50,
+       exact.p90, est.est_p90,
+       ROUND(est.est_p90 - exact.p90, 6) AS err_p90
+FROM est JOIN exact USING (l_returnflag)
+"""
+
+
+R6_QUERIES.update({"quantile_error_eval": q_quantile_error_eval})
+R6_ORACLES.update({"quantile_error_eval": _quantile_error_oracle()})
