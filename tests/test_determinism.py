@@ -61,6 +61,16 @@ FLOAT_SENSITIVE = [
     "customer_skyline_frontier",
     "source_minhash_similarity",
     "dau_moving_average",
+    # round-6 wave
+    "ppjoin_exact_pairs",
+    "winnowing_fingerprints",
+    "language_kappa",
+    "hard_negative_mining",
+    "matryoshka_recall_eval",
+    "dedup_threshold_curve",
+    "split_leakage_check",
+    "hll_error_eval",
+    "quantile_error_eval",
 ]
 
 
