@@ -81,3 +81,47 @@ def test_no_query_uses_rdds(spark):
     for name in ("json_props_stats", "reconcile_tables", "sketch_quantile_histogram"):
         df = QUERIES[name](spark, SF)
         assert df.columns  # plan resolves without execution
+
+
+def test_registry_wide_no_cartesian_and_global_window_allowlist(spark):
+    """Sweep EVERY registered query's plan: no CartesianProduct anywhere,
+    and the set of queries whose plan contains a GLOBAL (unpartitioned)
+    window must equal the reviewed allowlist below — each allowlisted
+    query's global window runs over a BOUNDED dim frame (a histogram,
+    a |strata| plan, a vocab), never the fact table. A new query that
+    accidentally windows the corpus globally turns this red."""
+    from aos_spark.queries import QUERIES
+
+    # reviewed r6: every entry windows a bounded frame (histogram bins,
+    # daily series, 5-row strata plans, vocab-sized frames)
+    GLOBAL_WINDOW_OK = {
+        "cusum_change_point",
+        "ks_length_drift",
+        "sequence_gap_detection",
+        "sketch_quantile_histogram",
+        "stratified_allocation_sample",
+        "vocab_encode_tokens",
+    }
+
+    def nodes(p):
+        yield p
+        for i in range(p.children().size()):
+            yield from nodes(p.children().apply(i))
+
+    cartesian, global_win = [], set()
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan()
+        for n in nodes(opt):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+            ):
+                global_win.add(name)
+        if "CartesianProduct" in df._jdf.queryExecution().executedPlan().toString():
+            cartesian.append(name)
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    unexpected = global_win - GLOBAL_WINDOW_OK
+    stale = GLOBAL_WINDOW_OK - global_win
+    assert not unexpected, f"new GLOBAL windows (corpus-wide sort risk): {sorted(unexpected)}"
+    assert not stale, f"allowlist entries no longer global-windowed: {sorted(stale)}"
