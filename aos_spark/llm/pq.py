@@ -164,6 +164,7 @@ def pq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     books: list[list[list[float]]] | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: approximate squared-L2 distance between each query and
     every encoded corpus vector as Σ_j ||q_j − c(code_j)||², from
@@ -171,6 +172,14 @@ def pq_topk(
     trained codebooks — the SAME books drive both the corpus encode and
     the query fragments (mixing trained and default books would silently
     score against the wrong centroids).
+
+    ``candidates`` (optional, columns query_id + neighbor_id) restricts
+    scoring to the given pairs via a LEFT SEMI join applied BEFORE the
+    fragment aggregation, so the per-(query, vector) state never
+    materializes for pruned pairs. This is the generic pruning hook any
+    coarse stage plugs into — IVF cells (ivfpq, the FAISS IVFPQ shape),
+    LSH buckets, a bloom filter — and ranks are computed within the
+    surviving candidate set, exactly as a probed index would.
 
     The fragments frame is tiny (|Q|·n_sub·k rows) and BROADCASTS; the
     corpus side is its exploded code list (n_sub skinny rows per vector),
@@ -216,8 +225,17 @@ def pq_topk(
         ).alias("e"),
     ).select("neighbor_id", "e.j", "e.c")
 
+    joined = exploded.join(F.broadcast(frags), ["j", "c"])
+    if candidates is not None:
+        joined = joined.join(
+            candidates.select(
+                F.col(query_id_col), F.col("neighbor_id")
+            ).dropDuplicates([query_id_col, "neighbor_id"]),
+            [query_id_col, "neighbor_id"],
+            "left_semi",
+        )
     scored = (
-        exploded.join(F.broadcast(frags), ["j", "c"])
+        joined
         .groupBy(query_id_col, "neighbor_id")
         .agg(
             F.round(F.sum("d").cast("double"), 6).alias("approx_dist")

@@ -697,3 +697,117 @@ FROM est JOIN exact USING (l_returnflag)
 
 R6_QUERIES.update({"quantile_error_eval": q_quantile_error_eval})
 R6_ORACLES.update({"quantile_error_eval": _quantile_error_oracle()})
+
+
+# ------------------------------------------------------------ sim_ivfpq_topk
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS production ANN shape (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11): a coarse IVF
+    quantizer prunes the corpus to each query's nprobe=2 cells, and PQ
+    ADC scores only the survivors. Composition of the two audited tiers:
+    ivf_assign/deterministic_centroids build per-query candidate pairs
+    (probe cells ⋈ cell assignments, self excluded), which feed
+    pq_topk's generic `candidates` semi-join BEFORE the fragment
+    aggregation — at 100 TB the (query, vector) state materializes only
+    for the ~nprobe/n_centroids fraction that survives the coarse
+    stage."""
+    from pyspark.sql import Window
+
+    from aos_spark.llm import pq as PQ
+    from aos_spark.llm.similarity import (
+        cosine_from_norms,
+        deterministic_centroids,
+        ivf_assign,
+        norm_expr,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = deterministic_centroids(e, 8)
+    lists = ivf_assign(e, cents).select("vec_id", "centroid_id")
+    qc = queries.select(
+        "query_id",
+        F.col("embedding").alias("__qv"),
+        norm_expr(F.col("embedding")).alias("__qn"),
+    ).crossJoin(
+        F.broadcast(cents.withColumn("cnorm", norm_expr(F.col("cvec"))))
+    )
+    qsim = cosine_from_norms("__qv", "cvec", "__qn", "cnorm")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(qsim), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= 2)
+        .select("query_id", "centroid_id")
+    )
+    candidates = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return PQ.pq_topk(e, queries, top_k=10, candidates=candidates)
+
+
+def _ivfpq_oracle(top_k: int = 10, nprobe: int = 2) -> str:
+    from aos_spark.queries_r5 import _pq_sql_parts
+
+    codes_sql, frag_values, sub = _pq_sql_parts()
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
+  FROM embeddings),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, v AS cvec, vnorm AS cnorm
+  FROM vecs ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, c.cvec) / (x.vnorm * c.cnorm) DESC,
+                      c.centroid_id) AS rn
+    FROM vecs x CROSS JOIN cents c) WHERE rn = 1),
+qn AS (SELECT vec_id AS query_id, v AS qvv, vnorm AS qnn FROM vecs WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qvv, c.cvec) / (q.qnn * c.cnorm) DESC,
+                      c.centroid_id) AS rn
+    FROM qn q CROSS JOIN cents c) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id),
+codes AS ({codes_sql}),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+frag AS (
+  SELECT q.query_id, v.j, v.c,
+         CAST((list_dot_product({sub('v.j')}, {sub('v.j')})
+               - 2.0 * list_dot_product({sub('v.j')}, v.cent)) + v.cc
+              AS DECIMAL(28,12)) AS d
+  FROM q, (VALUES
+    {frag_values}) v(j, c, cent, cc)),
+ex AS (
+  SELECT vec_id AS neighbor_id, u.j,
+         CASE u.j {' '.join(f'WHEN {j} THEN code_{j}' for j in range(8))} END AS c
+  FROM codes, UNNEST(range(0, 8)) u(j)),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(SUM(d) AS DOUBLE), 6) AS approx_dist
+  FROM ex JOIN frag USING (j, c)
+  JOIN cand USING (query_id, neighbor_id)
+  GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, approx_dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY approx_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {top_k}
+"""
+
+
+R6_QUERIES.update({"sim_ivfpq_topk": q_sim_ivfpq_topk})
+R6_ORACLES.update({"sim_ivfpq_topk": _ivfpq_oracle()})

@@ -71,6 +71,7 @@ FLOAT_SENSITIVE = [
     "split_leakage_check",
     "hll_error_eval",
     "quantile_error_eval",
+    "sim_ivfpq_topk",
 ]
 
 
