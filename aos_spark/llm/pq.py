@@ -227,10 +227,12 @@ def pq_topk(
 
     joined = exploded.join(F.broadcast(frags), ["j", "c"])
     if candidates is not None:
+        # no dedup of the candidates frame: LEFT SEMI semantics are
+        # insensitive to right-side duplicates, and at scale the
+        # candidates frame is the largest intermediate — an extra
+        # exchange to dedup it would be pure waste (r6 review)
         joined = joined.join(
-            candidates.select(
-                F.col(query_id_col), F.col("neighbor_id")
-            ).dropDuplicates([query_id_col, "neighbor_id"]),
+            candidates.select(F.col(query_id_col), F.col("neighbor_id")),
             [query_id_col, "neighbor_id"],
             "left_semi",
         )

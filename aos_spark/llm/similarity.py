@@ -46,6 +46,56 @@ def cosine_from_norms(a, b, norm_a, norm_b) -> Column:
     return dot_expr(a, b) / (na * nb)
 
 
+def _broadcast_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    label_col: str | None,
+) -> DataFrame:
+    """Shared core of brute_force_topk / hard_negative_topk: broadcast the
+    (small) query frame onto the corpus with a non-equi predicate, score
+    cosine from pre-computed norms, rank per query. One plan, one
+    tie-break convention (cosine desc, neighbor_id asc) — the two public
+    faces differ ONLY in the join predicate (id mismatch vs label
+    mismatch) and whether neighbor_label rides into the output, so a fix
+    to either reaches both (r6 review: they had drifted into copies)."""
+    qcols = [
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
+    ]
+    ccols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    ]
+    if label_col is not None:
+        qcols.append(F.col(label_col).alias("__ql"))
+        ccols.append(F.col(label_col).alias("__cl"))
+        pred = F.col("__cl") != F.col("__ql")
+    else:
+        pred = F.col("neighbor_id") != F.col("query_id")
+    scored = (
+        corpus.select(*ccols)
+        .join(F.broadcast(queries.select(*qcols)), pred)
+        .withColumn("cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    out_cols = ["query_id", "neighbor_id"]
+    if label_col is not None:
+        out_cols.append(F.col("__cl").alias("neighbor_label"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,26 +110,8 @@ def brute_force_topk(
     window. The corpus never shuffles; only (|Q|·k) rows survive to the
     final exchange. Self-matches (same id) are excluded.
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        norm_expr(F.col(vec_col)).alias("__qn"),
-    )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        norm_expr(F.col(vec_col)).alias("__cn"),
-    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.withColumn(
-        "cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    return _broadcast_cosine_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col, label_col=None
     )
 
 
@@ -99,37 +131,12 @@ def hard_negative_topk(
     Learning with Hard Negative Samples", ICLR'21 motivates the recipe;
     the mining step itself is this exact filtered top-k).
 
-    Plan shape is brute_force_topk's: broadcast(anchors) × corpus with
-    the label-mismatch predicate INSIDE the join condition (same-label
-    rows never materialize), cosine from pre-computed norms, per-anchor
-    top-k window over anchor-keyed partitions. The corpus never
-    shuffles; only |Q|·k rows survive the final exchange."""
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(label_col).alias("__ql"),
-        F.col(vec_col).alias("__qv"),
-        norm_expr(F.col(vec_col)).alias("__qn"),
-    )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("__cl"),
-        F.col(vec_col).alias("__cv"),
-        norm_expr(F.col(vec_col)).alias("__cn"),
-    ).join(F.broadcast(q), F.col("__cl") != F.col("__ql"))
-    scored = scored.withColumn(
-        "cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.col("__cl").alias("neighbor_label"),
-            F.round("cosine", 6).alias("cosine"), "rank",
-        )
+    Same plan as brute_force_topk (shared _broadcast_cosine_topk core)
+    with the label-mismatch predicate INSIDE the join — same-label rows
+    (including the anchor itself) never materialize. Output adds
+    neighbor_label."""
+    return _broadcast_cosine_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col, label_col=label_col
     )
 
 

@@ -303,8 +303,13 @@ def winnow_fingerprints(
 
     Determinism / oracle mirror: ties inside a window break to the
     LOWEST position by packing (hash, pos) into one BIGINT key —
-    hash·2^20 + pos (hash < 2^32, pos < 2^20, so the key < 2^52:
-    ANSI-overflow-free). Selection is min(key) over a doc-partitioned
+    hash·2^31 + pos. hash <= 2^32−1 and pos <= 2^31−1 give key <=
+    2^63−1 exactly: the full long range with no overflow in either
+    ANSI mode, and no silent corruption for any physically possible
+    document (a doc would need 2^31 grams ≈ 2 billion tokens to wrap —
+    the r6 review flagged the earlier 2^20 packing, which a ~1M-token
+    crawl document could silently exceed). Selection is min(key) over a
+    doc-partitioned
     ROWS window — never a global window — then distinct; windows
     starting past n_grams - w would re-select suffix minima of
     truncated frames, so starts are capped (a doc shorter than w grams
@@ -330,7 +335,7 @@ def winnow_fingerprints(
         "id",
         "n_grams",
         "pos",
-        (shingle_hash(F.col("col")) * F.lit(1 << 20) + F.col("pos")).alias(
+        (shingle_hash(F.col("col")) * F.lit(1 << 31) + F.col("pos")).alias(
             "__key"
         ),
     )

@@ -588,14 +588,15 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # materialize + right-size (the ops/graph._sized discipline): the
-    # persisted edge list is far smaller than the orders⋈lineitem pass
-    # that built it, and pagerank_step chains three keyed shuffles over
-    # it — full-width stages on a ~100k-row cached frame are scheduler
-    # overhead (measured 4.2 -> 2.4 s warm at sf0.1). ceil(n/100k)
-    # partitions, so the coalesce is a no-op on genuinely large graphs.
-    n_edges = cs.count()
-    cs = cs.coalesce(max(1, -(-n_edges // 100_000)))
+    # materialize + right-size via ops/graph._sized: the persisted edge
+    # list is far smaller than the orders⋈lineitem pass that built it,
+    # and pagerank_step chains three keyed shuffles over it — full-width
+    # stages on a ~100k-row cached frame are scheduler overhead
+    # (measured 4.2 -> 2.4 s warm at sf0.1); _sized is a no-op on
+    # genuinely large graphs.
+    from aos_spark.ops.graph import _sized
+
+    cs = _sized(cs, cs.count())
     edges = cs.union(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return G.pagerank_step(edges)
 

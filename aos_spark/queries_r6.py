@@ -262,7 +262,7 @@ grams AS (
   FROM toks),
 ex AS (
   SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, i AS pos,
-         CAST('0x' || substring(md5(gs[i + 1]), 1, 8) AS BIGINT) * 1048576 + i AS key
+         CAST('0x' || substring(md5(gs[i + 1]), 1, 8) AS BIGINT) * 2147483648 + i AS key
   FROM grams, UNNEST(range(len(gs))) AS u(i)),
 win AS (
   SELECT doc_id, n_grams, pos,

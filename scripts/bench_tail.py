@@ -33,11 +33,19 @@ def main() -> int:
 
     isolated: dict[str, dict] = {}
     for name in tail:
-        proc = subprocess.run(
-            [sys.executable, str(ROOT / "scripts" / "bench_one.py"),
-             name, str(n_warm)],
-            capture_output=True, text=True, timeout=600,
-        )
+        # the tail is by construction the SLOWEST queries, so a timeout
+        # is the most likely per-query failure — record it and keep
+        # going rather than losing every collected number (r6 review)
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(ROOT / "scripts" / "bench_one.py"),
+                 name, str(n_warm)],
+                capture_output=True, text=True, timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"TIMEOUT {name} (600s)", file=sys.stderr)
+            isolated[name] = {"error": True, "timeout": True}
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
             r = json.loads(line)

@@ -127,3 +127,45 @@ def test_local_correctness_artifact_covers_every_registered_query():
         if not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
     }
     assert not red, f"locally-red queries committed: {sorted(red)}"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_capped_machinery_is_exact_at_gate_sfs(duck):
+    """Several gate queries (dedup_ngram_jaccard, containment_near_dup,
+    split_leakage_check, dedup_threshold_curve) run the max_shingle_df-
+    capped candidate machinery against UNCAPPED oracles; the equivalence
+    argument is "no shingle exceeds the cap at the gate SFs" (VERDICT
+    r5 #4, r6 review). This turns that data-dependent assumption into a
+    checked invariant: if regenerated testdata ever ships a 3-gram in
+    more than max_shingle_df documents, this goes red BEFORE the driver
+    gate does."""
+    from aos_spark.llm.dedup import ngram_jaccard_pairs  # noqa: F401
+    import inspect
+
+    from aos_spark.llm import dedup
+
+    cap = inspect.signature(dedup.ngram_jaccard_pairs).parameters[
+        "max_shingle_df"
+    ].default
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '/root/testdata/{sf}/documents.parquet'"
+        )
+        max_df = con.execute(r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM (SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+        FROM documents))
+SELECT MAX(c) FROM (
+  SELECT COUNT(*) AS c FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+  GROUP BY s)
+""").fetchone()[0]
+        assert max_df <= cap, (
+            f"{sf}: a shingle appears in {max_df} docs > cap {cap} — the "
+            "capped Spark machinery and the uncapped oracles now diverge"
+        )

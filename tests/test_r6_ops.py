@@ -46,13 +46,13 @@ def test_winnowing_shared_run_guarantee(spark):
     from pyspark.sql import Window
 
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    keyed = ex.withColumn("key", F.col("h") * F.lit(1 << 20) + F.col("pos"))
+    keyed = ex.withColumn("key", F.col("h") * F.lit(1 << 31) + F.col("pos"))
     n_g = ex.groupBy("doc_id").agg(F.max("pos").alias("mx"))
     sel = (
         keyed.withColumn("wmin", F.min("key").over(win))
         .join(n_g, "doc_id")
         .filter(F.col("pos") <= F.greatest(F.col("mx") - 3, F.lit(0)))
-        .select("doc_id", (F.col("wmin") / F.lit(1 << 20)).cast("long").alias("hash"))
+        .select("doc_id", F.shiftright("wmin", 31).alias("hash"))
         .distinct()
     )
     hashes = {
