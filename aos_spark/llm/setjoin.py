@@ -62,6 +62,14 @@ def ppjoin_pairs(
             "n_sh", F.size("shingles")
         )
     )
+    # right-size the materialized doc frame (the ops/graph._sized
+    # discipline): every downstream stage — posting explode, ordered
+    # aggregation, both verify sides — inherits its partitioning, and
+    # full-width stages over a few thousand cached array rows are pure
+    # scheduler overhead (measured 5.1 -> 4.3 s warm at sf0.1).
+    # ~25k docs/partition ≈ ~1M exploded posting rows per task; a
+    # corpus-scale input keeps its width (coalesce is a no-op).
+    sh = sh.coalesce(max(1, -(-sh.count() // 25_000)))
     ex = sh.select("id", F.explode_outer("shingles").alias("shingle"))
     # Global document frequency: the total order is (df ASC, shingle ASC) —
     # deterministic, and ties broken by the shingle text itself so the
