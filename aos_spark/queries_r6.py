@@ -811,3 +811,121 @@ FROM scored QUALIFY rank <= {top_k}
 
 R6_QUERIES.update({"sim_ivfpq_topk": q_sim_ivfpq_topk})
 R6_ORACLES.update({"sim_ivfpq_topk": _ivfpq_oracle()})
+
+
+# ------------------------------------------------------------ shard_rebalance_churn
+_N_SHARDS = 8
+_N_VNODES = 32  # virtual nodes per shard
+
+
+def _ring_rows(n_shards: int) -> list[tuple[int, int]]:
+    """Deterministic hash ring: (vnode_hash, shard) for n_shards × 32
+    virtual nodes; vnode_hash = first-8-hex-of-md5('shard:i') — the same
+    32-bit space the doc keys hash into, mirrorable literally in SQL."""
+    import hashlib
+
+    rows = []
+    for s in range(n_shards):
+        for i in range(_N_VNODES):
+            h = int(hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:8], 16)
+            rows.append((h, s))
+    return rows
+
+
+def _ring_assign(docs: DataFrame, n_shards: int, out: str) -> DataFrame:
+    """Consistent-hash assignment: doc -> first vnode clockwise from its
+    hash (min vnode_hash >= h, wrapping to the ring minimum). The ring is
+    a 256-row literal broadcast; per-doc assignment is one conditional
+    min-struct aggregate over the joined frame — corpus never shuffles."""
+    spark = docs.sparkSession
+    ring = spark.createDataFrame(_ring_rows(n_shards), ["vhash", "shard"])
+    j = docs.crossJoin(F.broadcast(ring))
+    return j.groupBy("doc_id", "h").agg(
+        F.min(F.when(F.col("vhash") >= F.col("h"),
+                     F.struct("vhash", "shard"))).alias("__cw"),
+        F.min(F.struct("vhash", "shard")).alias("__wrap"),
+    ).select(
+        "doc_id",
+        "h",
+        F.coalesce(F.col("__cw.shard"), F.col("__wrap.shard")).alias(out),
+    )
+
+
+def q_shard_rebalance_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB re-sharding story, measured: fraction of documents that
+    MOVE when one shard is added, under mod-hashing (shard = h % N —
+    moves ~N/(N+1) of all data) vs a consistent-hash ring with 32
+    virtual nodes per shard (moves ~1/(N+1); Karger et al., STOC'97).
+    Everything is deterministic md5 arithmetic: both engines compute
+    identical assignments, and the output is two rows of exact counts
+    plus one final division."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard"),
+                                          F.col("doc_id").cast("string"))), 1, 8),
+               16, 10).cast("long").alias("h"),
+    )
+    mod = docs.select(
+        "doc_id",
+        F.pmod("h", F.lit(_N_SHARDS)).alias("s_old"),
+        F.pmod("h", F.lit(_N_SHARDS + 1)).alias("s_new"),
+    ).agg(
+        F.lit("mod").alias("method"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("s_old") != F.col("s_new")).cast("long")).alias("n_moved"),
+    )
+    r_old = _ring_assign(docs, _N_SHARDS, "s_old")
+    r_new = _ring_assign(docs, _N_SHARDS + 1, "s_new")
+    ring = r_old.join(r_new, ["doc_id", "h"]).agg(
+        F.lit("ring").alias("method"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("s_old") != F.col("s_new")).cast("long")).alias("n_moved"),
+    )
+    return mod.unionByName(ring).select(
+        "method",
+        "n_docs",
+        "n_moved",
+        F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6).alias(
+            "moved_share"
+        ),
+    )
+
+
+def _shard_rebalance_oracle() -> str:
+    def ring_values(n_shards: int) -> str:
+        return ", ".join(f"({h}, {s})" for h, s in _ring_rows(n_shards))
+
+    def ring_cte(tag: str, n_shards: int) -> str:
+        return f"""
+ring_{tag} AS (SELECT * FROM (VALUES {ring_values(n_shards)}) r(vhash, shard)),
+asg_{tag} AS (
+  SELECT d.doc_id, d.h,
+         COALESCE(
+           MIN(CASE WHEN r.vhash >= d.h THEN [r.vhash, r.shard] END),
+           MIN([r.vhash, r.shard]))[2] AS shard
+  FROM docs d CROSS JOIN ring_{tag} r
+  GROUP BY d.doc_id, d.h)"""
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM documents),
+{ring_cte("old", _N_SHARDS)},
+{ring_cte("new", _N_SHARDS + 1)}
+SELECT 'mod' AS method, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h % {_N_SHARDS} <> h % {_N_SHARDS + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       ROUND(CAST(SUM(CASE WHEN h % {_N_SHARDS} <> h % {_N_SHARDS + 1} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS moved_share
+FROM docs
+UNION ALL
+SELECT 'ring', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(CAST(SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+FROM asg_old o JOIN asg_new n USING (doc_id, h)
+"""
+
+
+R6_QUERIES.update({"shard_rebalance_churn": q_shard_rebalance_churn})
+R6_ORACLES.update({"shard_rebalance_churn": _shard_rebalance_oracle()})

@@ -137,3 +137,17 @@ def test_split_leakage_partition_of_pairs(spark, sf_dir):
     assert total == n_pairs
     for r in cells:
         assert r.leaks == (r.split_a != r.split_b)
+
+
+def test_shard_rebalance_ring_beats_mod(spark, sf_dir):
+    """The consistent-hashing claim, asserted: adding one shard moves
+    ~N/(N+1) of documents under mod-hashing but only ~1/(N+1) under the
+    ring — and never more than mod."""
+    from aos_spark.queries import QUERIES
+
+    rows = {r.method: r for r in QUERIES["shard_rebalance_churn"](spark, sf_dir).collect()}
+    assert set(rows) == {"mod", "ring"}
+    assert rows["mod"].n_docs == rows["ring"].n_docs
+    assert rows["ring"].moved_share < rows["mod"].moved_share
+    assert rows["mod"].moved_share > 0.7      # ~8/9 expected
+    assert rows["ring"].moved_share < 0.35    # ~1/9 expected + vnode variance
