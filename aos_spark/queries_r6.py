@@ -929,3 +929,97 @@ FROM asg_old o JOIN asg_new n USING (doc_id, h)
 
 R6_QUERIES.update({"shard_rebalance_churn": q_shard_rebalance_churn})
 R6_ORACLES.update({"shard_rebalance_churn": _shard_rebalance_oracle()})
+
+
+# ------------------------------------------------------------ winnow_overlap_sources
+def q_winnow_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication via WINNOWED fingerprints: for every
+    source pair, how many distinct selected (hash-level) fingerprints
+    they share — the positional complement to source_minhash_similarity
+    (which estimates whole-set resemblance) and containment_near_dup
+    (doc-level): winnowing prints localize overlap to actual shared
+    token runs of >= k+w-1 tokens (SIGMOD'03 guarantee), so a high
+    shared count means literal text reuse across crawls, not just
+    vocabulary similarity. Plan: the winnow selection (doc-partitioned
+    window, one exchange) → per-source distinct print sets (map-combined)
+    → print-keyed self-join on the far-smaller fingerprint frame."""
+    from pyspark.sql import Window
+
+    from aos_spark.llm.dedup import shingle_hash
+    from aos_spark.llm.text import gram_occurrences
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_remove(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+        ).alias("__tokens"),
+    )
+    grams = toks.select(
+        "doc_id", "source", gram_occurrences(F.col("__tokens"), 4).alias("grams")
+    )
+    ex = grams.select(
+        "doc_id",
+        "source",
+        F.size("grams").alias("n_grams"),
+        F.posexplode_outer("grams"),
+    ).filter(F.col("col").isNotNull())
+    keyed = ex.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "pos",
+        (shingle_hash(F.col("col")) * F.lit(1 << 31) + F.col("pos")).alias("__key"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    prints = (
+        keyed.withColumn("__wmin", F.min("__key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(0)))
+        # hash level: strip the position so the same text run matches
+        # across documents at different offsets
+        .select("source", F.shiftright("__wmin", 31).alias("print"))
+        .distinct()
+    )
+    a = prints.select(F.col("source").alias("source_a"), "print")
+    b = prints.select(F.col("source").alias("source_b"), "print")
+    return (
+        a.join(b, "print")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_prints"))
+    )
+
+
+ORACLE_WINNOW_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= 4
+           THEN list_transform(range(len(t) - 3), i -> array_to_string(t[i+1:i+4], ' '))
+           ELSE [] END AS gs
+  FROM toks),
+ex AS (
+  SELECT doc_id, source, CAST(len(gs) AS BIGINT) AS n_grams, i AS pos,
+         CAST('0x' || substring(md5(gs[i + 1]), 1, 8) AS BIGINT) * 2147483648 + i AS key
+  FROM grams, UNNEST(range(len(gs))) AS u(i)),
+win AS (
+  SELECT doc_id, source, n_grams, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM ex),
+prints AS (
+  SELECT DISTINCT source, wmin >> 31 AS print
+  FROM win WHERE pos <= GREATEST(n_grams - 4, 0))
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_prints
+FROM prints a JOIN prints b ON a.print = b.print AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+R6_QUERIES.update({"winnow_overlap_sources": q_winnow_overlap_sources})
+R6_ORACLES.update({"winnow_overlap_sources": ORACLE_WINNOW_OVERLAP})
