@@ -3234,45 +3234,28 @@ QUERIES.update(R6_QUERIES)
 
 # Round-6 gate rotation (VERDICT r5 "Next round" #5): the driver samples the
 # FIRST 50 entries per round, so iteration order decides what gets
-# driver-verified. Front-load (a) bloom_semijoin_prune — the single r5 red,
-# ANSI overflow now fixed in ops/bloom.py, needs a fresh green row — then
-# (b) the 32 post-f634d55 queries that shipped after the last full local
-# gate and have never been driver-sampled, then (c) the 27 older
-# never-sampled stragglers from the 157-set. 1+32+17 fill the r6 sample;
-# the remaining 10 older land at 51-60 for r7. Queries and oracles are
-# unchanged — only dict iteration order moves. Rotation history: r5
-# front-loaded the 45 without driver-green rows; r4 the typing-fix set;
-# r1-r3 ran declaration order.
-_R6_FRONT = [
-    "bloom_semijoin_prune",
-    # newest 32 (post-f634d55 waves, locally green, never driver-sampled)
-    "interval_union_coverage", "gini_revenue_by_nation",
-    "simpson_diversity_by_source", "assoc_rules_brands",
-    "stratified_allocation_sample", "ks_length_drift", "seasonal_dow_anomaly",
-    "winsorized_mean_prices", "rrf_fusion_topk", "bm25_lite_scores",
-    "feature_hash_vectorizer", "welch_ttest_priorities",
-    "multimodal_audio_features", "cusum_change_point", "vocab_jaccard_matrix",
-    "priority_mix_residuals", "multimodal_video_features", "rfm_segmentation",
-    "graph_link_prediction", "embedding_gram_matrix", "ngram_novelty_rate",
-    "markov_two_step", "source_minhash_similarity", "benford_first_digit",
-    "ewma_monthly_revenue", "type_token_ratio", "above_nation_avg_customers",
-    "sketch_hll_merge_weekly", "customer_skyline_frontier",
-    "containment_near_dup", "lsh_band_collision_stats", "dau_moving_average",
-    # older 27 never-driver-sampled stragglers
-    "per_source_cap", "token_budget_selection", "quality_decile_shards",
-    "embedding_pq_encode", "sim_pq_topk", "semantic_dedup",
-    "event_transition_matrix", "user_burst_hours", "term_postings_index",
-    "order_autocorrelation", "mad_outlier_bounds", "session_path_topk",
-    "key_skew_profile", "incremental_dedup_status", "lsh_recall_eval",
-    "cross_source_dup_matrix", "graph_pagerank_step", "mixture_apply_stats",
-    "monthly_growth_by_nation", "ann_recall_eval", "term_cooccurrence_lift",
-    "language_confusion_matrix", "label_centroid_similarity",
-    "bpe_merge_candidates", "trimmed_mean_prices", "revenue_pareto_by_nation",
-    "revenue_trend_by_nation",
+# driver-verified. Round 7 front-loads the 24 queries that have never been
+# driver-sampled (exactly `scripts/rotation_status.py`'s suggested order:
+# zero reds, never-sampled newest-first). 24 < 50, so this round closes the
+# loop: every registered query will have at least one driver-green row.
+# Queries and oracles are unchanged — only dict iteration order moves.
+# Rotation history: r6 front-loaded the bloom red + 59 never-sampled; r5
+# the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
+# declaration order. tests/test_rotation.py locks this structurally.
+_R7_FRONT = [
+    "winnow_overlap_sources", "shard_rebalance_churn", "sim_ivfpq_topk",
+    "quantile_error_eval", "hll_error_eval", "cms_error_eval",
+    "split_leakage_check", "dedup_threshold_curve", "matryoshka_recall_eval",
+    "winnowing_fingerprints", "language_kappa", "hard_negative_mining",
+    "zorder_skipping_census", "ppjoin_exact_pairs", "revenue_trend_by_nation",
+    "revenue_pareto_by_nation", "trimmed_mean_prices", "bpe_merge_candidates",
+    "label_centroid_similarity", "language_confusion_matrix",
+    "term_cooccurrence_lift", "ann_recall_eval", "monthly_growth_by_nation",
+    "mixture_apply_stats",
 ]
-assert set(_R6_FRONT) <= set(QUERIES), sorted(set(_R6_FRONT) - set(QUERIES))
-QUERIES = {n: QUERIES[n] for n in _R6_FRONT} | {
-    n: f for n, f in QUERIES.items() if n not in set(_R6_FRONT)
+assert set(_R7_FRONT) <= set(QUERIES), sorted(set(_R7_FRONT) - set(QUERIES))
+QUERIES = {n: QUERIES[n] for n in _R7_FRONT} | {
+    n: f for n, f in QUERIES.items() if n not in set(_R7_FRONT)
 }
 
 ORACLES: dict[str, str] = {

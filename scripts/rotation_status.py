@@ -24,11 +24,11 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
-def main() -> int:
-    from aos_spark.queries import QUERIES
-
-    names = list(QUERIES)
-    sampled: dict[str, tuple[int, bool]] = {}  # name -> (last round, green)
+def sample_history(names: list[str]) -> dict[str, tuple[int, bool]]:
+    """name -> (last driver round that sampled it, green?) from the
+    committed CORRECTNESS_r*.json artifacts. Shared with
+    tests/test_rotation.py's structural lock."""
+    sampled: dict[str, tuple[int, bool]] = {}
     for art in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         rnd = int(art.stem.split("_r")[1])
         for name, row in json.loads(art.read_text()).items():
@@ -41,6 +41,14 @@ def main() -> int:
             # latest round wins; a later green supersedes an earlier red
             if prev is None or rnd >= prev[0]:
                 sampled[name] = (rnd, green)
+    return sampled
+
+
+def main() -> int:
+    from aos_spark.queries import QUERIES
+
+    names = list(QUERIES)
+    sampled = sample_history(names)
 
     reds = [n for n in names if n in sampled and not sampled[n][1]]
     never = [n for n in names if n not in sampled]
