@@ -25,9 +25,13 @@ Scale design (100 TB):
   sides are corpus-sized; never broadcast), with the length filter
   t*|x| <= |y| <= |x|/t applied inside the join to cut pairs before the
   distinct.
-- Verification is JVM-side array_intersect over the two full shingle
+- Verification is JVM-side array_intersect over the two ordered shingle
   arrays — no Python, no re-shingling (the arrays ride along from the
   one shingle pass).
+- Per-DOCUMENT state is bounded by ``max_shingles_per_doc``: one
+  pathological mega-document must not be allowed to materialize an
+  unbounded array row (see ppjoin_pairs docstring for the
+  truncate/raise semantics).
 
 Reference anchor: the reference engine has no similarity join at all
 (impact_analysis.py joins on exact admin codes only); this operator is
@@ -36,7 +40,7 @@ part of the LLM-training-data tier the build brief adds on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aos_spark.cache import persist_tracked
@@ -49,37 +53,94 @@ def ppjoin_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingles_per_doc: int | None = 1_000_000,
+    oversize: str = "truncate",
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard >= ``threshold``,
     EXACTLY (no approximation), via prefix-filtered candidate generation.
+
+    ``max_shingles_per_doc`` bounds the PER-DOCUMENT state: without it one
+    pathological mega-document (hundreds of millions of tokens in a 100 TB
+    crawl) materializes an unbounded array row in the ordered aggregation
+    and again on both verify sides. The cap is enforced BEFORE the
+    ``collect_list`` — shingles are ranked per doc by the same global
+    (df ASC, shingle ASC) total order the prefix filter uses, and only the
+    first ``max_shingles_per_doc`` ranks survive — so no aggregation buffer,
+    shuffle row, or cached row ever exceeds the cap. (The ranking window
+    itself streams through Spark's spillable window buffer, so it holds no
+    unbounded heap state either.)
+
+    Exactness semantics (the ``max_shingle_df`` precedent in
+    llm/dedup.ngram_jaccard_pairs — cap effects documented, never silent):
+
+    - ``oversize="truncate"`` (default): each document is represented by
+      its ``max_shingles_per_doc`` RAREST shingles. Pairs where BOTH docs
+      are under the cap — i.e. every pair, in any corpus without a
+      mega-doc — are exact. A pair involving an over-cap doc is the exact
+      Jaccard of the truncated set(s), a deterministic, documented
+      approximation for that doc only.
+    - ``oversize="raise"``: the job fails fast (in the ranking stage,
+      before any unbounded row is built) with the offending doc id, for
+      callers whose exactness contract must never silently degrade.
+    - ``max_shingles_per_doc=None``: uncapped legacy behavior.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = persist_tracked(
-        shingle_frame(df, id_col, text_col, n).withColumn(
-            "n_sh", F.size("shingles")
+    if oversize not in ("truncate", "raise"):
+        raise ValueError(f"oversize must be 'truncate' or 'raise', got {oversize!r}")
+    if max_shingles_per_doc is not None and max_shingles_per_doc < 1:
+        raise ValueError(
+            f"max_shingles_per_doc must be >= 1, got {max_shingles_per_doc}"
         )
-    )
-    # right-size the materialized doc frame (the ops/graph._sized
-    # discipline): every downstream stage — posting explode, ordered
-    # aggregation, both verify sides — inherits its partitioning, and
-    # full-width stages over a few thousand cached array rows are pure
-    # scheduler overhead (measured 5.1 -> 4.3 s warm at sf0.1).
-    # ~25k docs/partition ≈ ~1M exploded posting rows per task; a
-    # corpus-scale input keeps its width (coalesce is a no-op).
-    sh = sh.coalesce(max(1, -(-sh.count() // 25_000)))
+    sh = shingle_frame(df, id_col, text_col, n)
+    # explode_OUTER, deliberately: plain explode triggers the
+    # InferFiltersFromGenerate rule, whose size(...)>0 filter inlines the
+    # whole shingle expression — including the regex split — INSIDE the
+    # transform lambda, re-evaluating the split per shingle element
+    # (quadratic in document length; a 3M-token doc ran >9 min before the
+    # fix, 80 s after). Outer generate infers no filter, keeping the
+    # tokenize one-eval-per-doc; the inner freq join drops the null rows
+    # empty docs produce.
     ex = sh.select("id", F.explode_outer("shingles").alias("shingle"))
     # Global document frequency: the total order is (df ASC, shingle ASC) —
     # deterministic, and ties broken by the shingle text itself so the
     # order is identical in any engine that reproduces the counts.
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    posting = ex.join(freq, "shingle")
+    if max_shingles_per_doc is not None:
+        # Rank each doc's shingles in the global order and cap BEFORE the
+        # ordered aggregation, so per-doc state is bounded end-to-end.
+        rk = F.row_number().over(
+            Window.partitionBy("id").orderBy("sdf", "shingle")
+        )
+        posting = posting.withColumn("__rk", rk)
+        if oversize == "raise":
+            posting = posting.filter(
+                F.when(
+                    F.col("__rk") > max_shingles_per_doc,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("ppjoin_pairs: document "),
+                            F.col("id").cast("string"),
+                            F.lit(
+                                " exceeds max_shingles_per_doc="
+                                f"{max_shingles_per_doc} (oversize='raise')"
+                            ),
+                        )
+                    ).isNotNull(),
+                ).otherwise(F.lit(True))
+            )
+        else:
+            posting = posting.filter(F.col("__rk") <= max_shingles_per_doc)
+        posting = posting.drop("__rk")
     # (id, ordered shingle array): one aggregation keyed by doc; the sort
     # key rides inside the struct so array_sort gives (df, shingle) order.
+    # The window above hash-partitions by id, so this groupBy reuses that
+    # exchange (no second shuffle when the cap is active).
     ordered = (
-        ex.join(freq, "shingle")
-        .groupBy("id")
+        posting.groupBy("id")
         .agg(
             F.array_sort(F.collect_list(F.struct("sdf", "shingle"))).alias(
                 "ord"
@@ -91,6 +152,14 @@ def ppjoin_pairs(
             F.size("ord").alias("n_sh"),
         )
     )
+    ordered = persist_tracked(ordered)
+    # right-size the materialized doc frame (the ops/graph._sized
+    # discipline): every downstream stage — prefix posexplode and both
+    # verify sides — inherits its partitioning, and full-width stages over
+    # a few thousand cached array rows are pure scheduler overhead
+    # (measured 5.1 -> 4.3 s warm at sf0.1). ~25k docs/partition; a
+    # corpus-scale input keeps its width (coalesce is a no-op).
+    ordered = ordered.coalesce(max(1, -(-ordered.count() // 25_000)))
     # prefix length p = n - ceil(t*n) + 1  (>= 1 whenever n >= 1).
     # The 1e-9 back-off guards double rounding: 0.07*100 evaluates to
     # 7.000000000000001, whose ceil is 8 — one prefix element short, a
@@ -144,16 +213,18 @@ def ppjoin_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verification: intersect the two full (distinct-element) shingle
-    # arrays. Jaccard = |A∩B| / (|A| + |B| - |A∩B|), one double division.
-    sa = sh.select(
+    # Exact verification: intersect the two (distinct-element, cap-bounded)
+    # ordered shingle arrays — the SAME representation the prefix filter
+    # saw, so the length/position filters and the verify are consistent
+    # even when truncation fired. Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    sa = ordered.select(
         F.col("id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
+        F.col("ord").alias("sh_a"),
         F.col("n_sh").alias("n_a"),
     )
-    sb = sh.select(
+    sb = ordered.select(
         F.col("id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
+        F.col("ord").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
     # Threshold test on the UNROUNDED ratio — rounding first would admit

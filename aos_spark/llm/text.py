@@ -515,8 +515,13 @@ def bigram_rarity(
             "__tokens"
         ),
     )
+    # explode_OUTER: plain explode lets InferFiltersFromGenerate push a
+    # size(...)>0 filter through the __tokens projection, re-running the
+    # regex split inside the gram lambda once per bigram (quadratic in
+    # doc length — see llm/setjoin.ppjoin_pairs). The inner join on "g"
+    # drops the null rows sub-bigram docs emit.
     occ = toks.select(
-        id_col, F.explode(gram_occurrences(F.col("__tokens"), 2)).alias("g")
+        id_col, F.explode_outer(gram_occurrences(F.col("__tokens"), 2)).alias("g")
     )
     occ = persist_tracked(occ)
     counts = occ.groupBy("g").agg(F.count(F.lit(1)).alias("corpus_freq"))

@@ -3232,30 +3232,46 @@ QUERIES.update(R5D_QUERIES)
 QUERIES.update(R5E_QUERIES)
 QUERIES.update(R6_QUERIES)
 
-# Round-6 gate rotation (VERDICT r5 "Next round" #5): the driver samples the
-# FIRST 50 entries per round, so iteration order decides what gets
-# driver-verified. Round 7 front-loads the 24 queries that have never been
-# driver-sampled (exactly `scripts/rotation_status.py`'s suggested order:
-# zero reds, never-sampled newest-first). 24 < 50, so this round closes the
-# loop: every registered query will have at least one driver-green row.
-# Queries and oracles are unchanged — only dict iteration order moves.
-# Rotation history: r6 front-loaded the bloom red + 59 never-sampled; r5
-# the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
-# declaration order. tests/test_rotation.py locks this structurally.
-_R7_FRONT = [
-    "winnow_overlap_sources", "shard_rebalance_churn", "sim_ivfpq_topk",
-    "quantile_error_eval", "hll_error_eval", "cms_error_eval",
-    "split_leakage_check", "dedup_threshold_curve", "matryoshka_recall_eval",
-    "winnowing_fingerprints", "language_kappa", "hard_negative_mining",
-    "zorder_skipping_census", "ppjoin_exact_pairs", "revenue_trend_by_nation",
-    "revenue_pareto_by_nation", "trimmed_mean_prices", "bpe_merge_candidates",
-    "label_centroid_similarity", "language_confusion_matrix",
-    "term_cooccurrence_lift", "ann_recall_eval", "monthly_growth_by_nation",
-    "mixture_apply_stats",
+# Gate rotation (VERDICT r5 "Next round" #5): the driver samples the FIRST
+# 50 registry entries per round, so iteration order decides what gets
+# driver-verified. As of r7 every registered query has at least one
+# driver-green row, so from round 8 the window's marginal value is
+# refreshing the STALEST evidence: reds first (none), then never-sampled
+# (none), then oldest-green-first — `scripts/rotation_status.py`'s
+# suggested order, verbatim (stalest in this window: r3 rows like
+# j3_j5_zone_assignment, j10_lookup_join, w2_first_landfall,
+# s17_raster_zonal). Queries and oracles are unchanged — only dict
+# iteration order moves. Rotation history: r7 front-loaded the last 24
+# never-sampled (closing lifetime coverage at 203/203); r6 the bloom red +
+# 59 never-sampled; r5 the 45 without driver-green rows; r4 the typing-fix
+# set; r1-r3 ran declaration order. tests/test_rotation.py locks this
+# structurally via the stable _GATE_FRONT alias.
+_R8_FRONT = [
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_bruteforce_topk",
+    "sim_lsh_topk", "dedup_embedding_cosine", "j2_point_zone_count",
+    "j3_j5_zone_assignment", "j10_lookup_join", "j13_prev_forecast_delta",
+    "a13_cci_admin_rollup", "a14_value_counts", "w2_first_landfall",
+    "s6_distinct_ordered", "dedup_simhash", "multimodal_image_features",
+    "sim_ivf_topk", "text_bpe_tokens", "text_rolling_fingerprint",
+    "s17_raster_zonal", "asof_join_events", "range_join_events",
+    "dedup_clusters", "decontamination_pairs", "sessionize_events",
+    "sample_split_stats", "q4_priority_semijoin", "q18_large_volume_orders",
+    "corpus_language_stats", "sketch_cms_estimate", "text_pii_scrub",
+    "text_repetition_stats", "sketch_hll_distinct", "tfidf_top_terms",
+    "q3_shipping_priority", "q5_regional_revenue",
+    "q17_small_quantity_revenue", "j2_facility_probability",
+    "cube_order_stats", "pivot_status_revenue", "unpivot_metrics",
+    "rolling_customer_spend", "rank_distribution", "histogram_quantity",
+    "tumbling_event_windows", "set_ops_segments",
+    "corpus_length_percentiles", "gapfill_hourly_events",
+    "percentile_cont_interp", "fuzzy_match_levenshtein",
+    "skew_salted_distinct",
 ]
-assert set(_R7_FRONT) <= set(QUERIES), sorted(set(_R7_FRONT) - set(QUERIES))
-QUERIES = {n: QUERIES[n] for n in _R7_FRONT} | {
-    n: f for n, f in QUERIES.items() if n not in set(_R7_FRONT)
+# Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
+_GATE_FRONT = _R8_FRONT
+assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
+QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
+    n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)
 }
 
 ORACLES: dict[str, str] = {

@@ -202,13 +202,23 @@ def q_language_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_agree"),
     )
+    # Degenerate-corpus guard: with ONE label and a constant detection,
+    # pe_num == n_docs² and the denominator is 0 (kappa is undefined —
+    # observed agreement equals chance agreement). Emit NULL explicitly,
+    # mirrored in the oracle, instead of engine-specific NaN/NULL drift.
+    denom = F.col("n_docs") * F.col("n_docs") - F.col("pe_num")
     return tot.crossJoin(pe).select(
         "n_docs",
         "n_agree",
-        F.round(
-            (F.col("n_docs") * F.col("n_agree") - F.col("pe_num")).cast("double")
-            / (F.col("n_docs") * F.col("n_docs") - F.col("pe_num")),
-            6,
+        F.when(
+            denom != 0,
+            F.round(
+                (
+                    F.col("n_docs") * F.col("n_agree") - F.col("pe_num")
+                ).cast("double")
+                / denom,
+                6,
+            ),
         ).alias("kappa"),
     )
 
@@ -228,8 +238,10 @@ tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
                CAST(COALESCE(SUM(CASE WHEN labeled_lang = detected_lang THEN n END), 0) AS BIGINT) AS n_agree
         FROM conf)
 SELECT n_docs, n_agree,
-       ROUND(CAST(n_docs * n_agree - pe_num AS DOUBLE)
-             / (n_docs * n_docs - pe_num), 6) AS kappa
+       CASE WHEN n_docs * n_docs - pe_num <> 0
+            THEN ROUND(CAST(n_docs * n_agree - pe_num AS DOUBLE)
+                       / (n_docs * n_docs - pe_num), 6)
+       END AS kappa
 FROM tot, pe
 """
 
@@ -820,8 +832,9 @@ _N_VNODES = 32  # virtual nodes per shard
 
 def _ring_rows(n_shards: int) -> list[tuple[int, int]]:
     """Deterministic hash ring: (vnode_hash, shard) for n_shards × 32
-    virtual nodes; vnode_hash = first-8-hex-of-md5('shard:i') — the same
-    32-bit space the doc keys hash into, mirrorable literally in SQL."""
+    virtual nodes; vnode_hash = first-8-hex-of-md5('<shard>:<i>') (e.g.
+    md5('0:5')) — the same 32-bit space the doc keys hash into,
+    mirrorable literally in SQL."""
     import hashlib
 
     rows = []
@@ -970,6 +983,10 @@ def q_winnow_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_grams",
         "pos",
+        # packed (hash, pos) BIGINT key: shingle_hash < 2^32, so
+        # hash * 2^31 < 2^63 and pos < 2^31 grams/doc by construction —
+        # the sum never overflows signed 64-bit, ANSI-safe in both
+        # engines (the DuckDB oracle packs identically).
         (shingle_hash(F.col("col")) * F.lit(1 << 31) + F.col("pos")).alias("__key"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)

@@ -6,10 +6,15 @@ The driver verifies only the FIRST 50 registry entries per round, so
 iteration order decides what gets external verification (rotation
 history in aos_spark/queries.py). Every round the front-load list had to
 be recomputed by hand from the CORRECTNESS_r*.json artifacts; this
-script does it mechanically and prints a ready-to-paste front list:
-reds first (fixed bugs need fresh green rows), then never-sampled
-newest-first (newest = shipped after the oldest full local gate they
-appear in, approximated by registry position).
+script does it mechanically and prints a ready-to-paste front list.
+
+Priority order (VERDICT r7 "Next round" #4):
+1. reds — fixed bugs need a fresh green row first;
+2. never-sampled, newest-first (newest = latest registry position);
+3. OLDEST-green-first — once nothing is red or unsampled, the sample's
+   marginal value is refreshing the stalest evidence, so greens fill the
+   remaining slots ordered by their last driver-sampled round ascending
+   (ties broken by registry position).
 
 Usage: python scripts/rotation_status.py
 """
@@ -23,10 +28,16 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+DRIVER_WINDOW = 50
 
-def sample_history(names: list[str]) -> dict[str, tuple[int, bool]]:
+
+def sample_history() -> dict[str, tuple[int, bool]]:
     """name -> (last driver round that sampled it, green?) from the
-    committed CORRECTNESS_r*.json artifacts. Shared with
+    ON-DISK CORRECTNESS_r*.json artifacts (an uncommitted artifact counts
+    too — local runs see the freshest evidence, which can make the
+    rotation tests pass earlier locally than in a clean checkout; the
+    driver always runs against the committed set plus its own new
+    artifact, so the CI-facing answer is never stale). Shared with
     tests/test_rotation.py's structural lock."""
     sampled: dict[str, tuple[int, bool]] = {}
     for art in sorted(ROOT.glob("CORRECTNESS_r*.json")):
@@ -44,11 +55,23 @@ def sample_history(names: list[str]) -> dict[str, tuple[int, bool]]:
     return sampled
 
 
+def suggested_front(names: list[str], sampled: dict[str, tuple[int, bool]]) -> list[str]:
+    """The full priority order (callers slice to DRIVER_WINDOW)."""
+    pos = {n: i for i, n in enumerate(names)}
+    reds = [n for n in names if n in sampled and not sampled[n][1]]
+    never = [n for n in names if n not in sampled]
+    greens = sorted(
+        (n for n in names if n in sampled and sampled[n][1]),
+        key=lambda n: (sampled[n][0], pos[n]),
+    )
+    return reds + list(reversed(never)) + greens
+
+
 def main() -> int:
     from aos_spark.queries import QUERIES
 
     names = list(QUERIES)
-    sampled = sample_history(names)
+    sampled = sample_history()
 
     reds = [n for n in names if n in sampled and not sampled[n][1]]
     never = [n for n in names if n not in sampled]
@@ -61,11 +84,18 @@ def main() -> int:
     for n in never:
         print(f"  {n}")
 
-    front = reds + list(reversed(never))  # newest waves sit last in registry
-    print("\nsuggested front-load (reds, then never-sampled newest-first):")
-    print(front[:50])
-    if len(front) > 50:
-        print(f"... {len(front) - 50} more queue for the round after")
+    front = suggested_front(names, sampled)
+    print(
+        "\nsuggested front-load (reds, then never-sampled newest-first, "
+        "then oldest-green-first):"
+    )
+    print(front[:DRIVER_WINDOW])
+    stale = [
+        (n, sampled[n][0]) for n in front[:DRIVER_WINDOW] if n in sampled
+    ]
+    if stale:
+        oldest = min(r for _, r in stale)
+        print(f"(stalest green in window: round {oldest})")
     return 0
 
 

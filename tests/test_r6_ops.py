@@ -32,7 +32,7 @@ def test_winnowing_shared_run_guarantee(spark):
 
     # key-level: the shared 7-token run produces 4 identical k-grams in
     # both docs; winnowing with w=4 must select at least one common HASH
-    # (positions differ, so compare hash = key >> 20).
+    # (positions differ, so compare hash = key >> 31).
     from aos_spark.llm.dedup import shingle_hash
     from aos_spark.llm.text import gram_occurrences
 
@@ -112,6 +112,36 @@ def test_language_kappa_bounds(spark, sf_dir):
     r = QUERIES["language_kappa"](spark, sf_dir).collect()[0]
     assert 0 <= r.n_agree <= r.n_docs
     assert -1.0 <= r.kappa <= 1.0
+
+
+def test_language_kappa_degenerate_corpus_is_null_in_both_engines(
+    spark, tmp_path
+):
+    """Zero-denominator guard (ADVICE r6/VERDICT r7): one label + one
+    constant detection makes pe_num == n_docs², so kappa is undefined.
+    Both the Spark query and the DuckDB oracle must emit NULL — not NaN,
+    not a crash — and therefore still hash-match."""
+    import duckdb
+
+    from aos_spark.queries_r6 import _language_kappa_oracle, q_language_kappa
+
+    # every doc labeled 'en' AND detected 'en' (texts are pure English
+    # stopword markers, so the heuristic can't say anything else)
+    docs = [(i, "en", "the and is of to in that it was for") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    r = q_language_kappa(spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.n_agree) == (6, 6)
+    assert r.kappa is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+    )
+    o = con.execute(_language_kappa_oracle()).fetchone()
+    assert o == (6, 6, None)
 
 
 def test_cms_never_underestimates(spark, sf_dir):

@@ -1,14 +1,22 @@
-"""Structural lock for gate-sample rotation (VERDICT r6 "Next round" #2).
+"""Structural lock for gate-sample rotation (VERDICT r6 "Next round" #2,
+extended per VERDICT r7 #4).
 
 The driver verifies only the FIRST 50 registry entries per round, so a
 query that never rotates into that window never earns external
 verification. r6 shipped with 24 never-sampled queries parked at
 positions 50-59/189-202 because the hand-maintained front list went
-stale. This test recomputes the never-sampled set mechanically from the
-committed CORRECTNESS_r*.json artifacts (same logic as
-scripts/rotation_status.py) and fails if any member sits outside the
-driver's window — making a stale front list a CI red, not a verdict
+stale. These tests recompute the rotation state mechanically from the
+on-disk CORRECTNESS_r*.json artifacts (same logic as
+scripts/rotation_status.py) and fail if the committed front list drifts
+from the policy — making a stale front list a CI red, not a verdict
 finding.
+
+Policy (priority order):
+1. reds must sit inside the driver window (fixed bugs need fresh rows);
+2. never-sampled must sit inside the window;
+3. with no reds and nothing unsampled, the window refreshes the STALEST
+   greens: no green inside the window may be strictly newer than a green
+   left outside it.
 """
 
 from __future__ import annotations
@@ -22,19 +30,21 @@ sys.path.insert(0, str(ROOT / "scripts"))
 DRIVER_WINDOW = 50
 
 
-def test_never_driver_sampled_queries_sit_inside_driver_window():
+def _state():
     from rotation_status import sample_history
 
     from aos_spark.queries import QUERIES
 
     names = list(QUERIES)
-    sampled = sample_history(names)
-    pos = {n: i for i, n in enumerate(names)}
-
+    sampled = sample_history()
     reds = [n for n in names if n in sampled and not sampled[n][1]]
     never = [n for n in names if n not in sampled]
+    return names, sampled, reds, never
 
-    # Fixed reds need a fresh green row before anything never-sampled.
+
+def test_reds_and_never_sampled_sit_inside_driver_window():
+    names, _, reds, never = _state()
+    pos = {n: i for i, n in enumerate(names)}
     out_of_window = {
         n: pos[n] for n in reds + never if pos[n] >= DRIVER_WINDOW
     }
@@ -51,19 +61,39 @@ def test_front_list_covers_every_query_needing_verification():
     """The committed front list must contain every red / never-sampled
     query (extras are harmless — they just get re-verified), so the
     hand-pasted list cannot silently omit what the artifacts say needs a
-    driver row. Once a later CORRECTNESS_r*.json greens them, the
-    requirement set shrinks and this stays green until new queries ship."""
-    from rotation_status import sample_history
+    driver row."""
+    from aos_spark.queries import _GATE_FRONT
 
-    from aos_spark.queries import _R7_FRONT, QUERIES
-
-    names = list(QUERIES)
-    sampled = sample_history(names)
-    reds = [n for n in names if n in sampled and not sampled[n][1]]
-    never = [n for n in names if n not in sampled]
-    expected = set(reds + never)
-    missing = expected - set(_R7_FRONT)
+    _, _, reds, never = _state()
+    missing = set(reds + never) - set(_GATE_FRONT)
     assert not missing, (
         f"front list omits queries needing driver verification: "
         f"{sorted(missing)}"
     )
+
+
+def test_window_refreshes_stalest_greens_first():
+    """Oldest-green-first (VERDICT r7 #4): once nothing is red or
+    unsampled, no green INSIDE the window may have a strictly newer last
+    driver row than a green OUTSIDE it — otherwise the sample burns slots
+    re-verifying fresh evidence while stale rows age further. Ties at the
+    boundary round are fine (any subset of that round's greens works)."""
+    names, sampled, reds, never = _state()
+    if reds or never:
+        return  # reds/never take absolute priority; staleness is moot
+    window, rest = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
+    newest_in = max(sampled[n][0] for n in window)
+    oldest_out = min(sampled[n][0] for n in rest)
+    assert newest_in <= oldest_out, (
+        f"window holds a round-{newest_in} green while a round-"
+        f"{oldest_out} green sits outside it — re-run "
+        f"scripts/rotation_status.py and refresh the front list"
+    )
+
+
+def test_gate_front_is_the_registry_prefix():
+    """_GATE_FRONT must actually BE the registry's iteration-order prefix
+    — a list that is pasted but not applied verifies nothing."""
+    from aos_spark.queries import _GATE_FRONT, QUERIES
+
+    assert list(QUERIES)[: len(_GATE_FRONT)] == list(_GATE_FRONT)

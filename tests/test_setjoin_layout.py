@@ -101,6 +101,83 @@ def test_ppjoin_rejects_bad_threshold(spark):
         ppjoin_pairs(df, threshold=0.0)
     with pytest.raises(ValueError):
         ppjoin_pairs(df, threshold=1.5)
+    with pytest.raises(ValueError):
+        ppjoin_pairs(df, oversize="explode")
+    with pytest.raises(ValueError):
+        ppjoin_pairs(df, max_shingles_per_doc=0)
+
+
+def test_ppjoin_cap_above_doc_size_is_exact(spark):
+    """A cap no doc reaches must not change anything: brute-force equality
+    holds with max_shingles_per_doc barely above the largest doc."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    biggest = max(len(_shingles(t)) for _, t in DOCS)
+    got = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_pairs(
+            df, "doc_id", "text", 3, 0.3, max_shingles_per_doc=biggest
+        ).collect()
+    }
+    assert got == _brute_force(0.3)
+
+
+def test_ppjoin_truncate_bounds_oversize_doc(spark):
+    """With oversize='truncate', an over-cap doc is represented by its
+    ``cap`` rarest shingles; under-cap pairs stay exact. Construct a corpus
+    where docs 1/2 are near-dups under the cap and doc 3 is a mega-doc:
+    the 1-2 pair must survive with its exact (uncapped) jaccard, and the
+    mega-doc must not crash the plan."""
+    mega = " ".join(f"tok{i} mid{i} end{i}" for i in range(400))
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, mega),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = ppjoin_pairs(
+        df, "doc_id", "text", 3, 0.5, max_shingles_per_doc=50
+    ).collect()
+    sh1, sh2 = _shingles(docs[0][1]), _shingles(docs[1][1])
+    exact = len(sh1 & sh2) / len(sh1 | sh2)
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    [r12] = rows
+    assert r12.jaccard == pytest.approx(exact, abs=1e-6)
+
+
+def test_ppjoin_truncate_is_deterministic_rarest_first(spark):
+    """Truncation keeps the RAREST-first global order: two identical
+    over-cap docs still pair at jaccard 1.0 because both truncate to the
+    same rarest-``cap`` subset."""
+    mega = " ".join(f"w{i} x{i} y{i}" for i in range(100))
+    docs = [(1, mega), (2, mega)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = ppjoin_pairs(
+        df, "doc_id", "text", 3, 0.9, max_shingles_per_doc=40
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_ppjoin_oversize_raise_fails_fast(spark):
+    """oversize='raise' must fail the job with the offending doc id in the
+    message, and must NOT fail when every doc fits the cap."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = [(7, "a b c d e f g h i j k l m n o p q r s t u v w x y z")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        ppjoin_pairs(
+            df, "doc_id", "text", 3, 0.5,
+            max_shingles_per_doc=5, oversize="raise",
+        ).collect()
+    assert "max_shingles_per_doc=5" in str(ei.value)
+    assert "document 7" in str(ei.value)
+    # under the cap: no raise, normal (empty — single doc) result
+    ok = ppjoin_pairs(
+        df, "doc_id", "text", 3, 0.5,
+        max_shingles_per_doc=1000, oversize="raise",
+    ).collect()
+    assert ok == []
 
 
 def _morton_py(x: int, y: int, bits: int) -> int:
