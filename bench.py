@@ -87,6 +87,16 @@ def main() -> None:
         "queries_cold": {k: round(v, 2) for k, v in cold.items()},
     }
     out = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    # Carry the fresh-JVM tail numbers (scripts/bench_tail.py's "isolated"
+    # key) across sweep refreshes so the artifact never loses its
+    # noise-free figures; bench_tail overwrites them when re-run.
+    # tests/test_bench_artifact.py locks artifact/docs agreement.
+    try:
+        prev = json.loads(out.read_text())
+        if "isolated" in prev:
+            full["isolated"] = prev["isolated"]
+    except (OSError, ValueError):
+        pass
     out.write_text(json.dumps(full, indent=2) + "\n")
 
     headline = {k: full[k] for k in

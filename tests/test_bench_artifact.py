@@ -1,0 +1,28 @@
+"""Artifact/documentation agreement for BENCH_LOCAL.json (VERDICT r7
+"Next round" #3): PLANS.md describes an "isolated" key of fresh-JVM tail
+numbers (scripts/bench_tail.py) alongside the sweep's "queries" /
+"queries_cold"; r7's refresh dropped it, leaving the artifact and its
+docs disagreeing. bench.py now carries the key across sweep refreshes —
+this locks the contract so a future refresh can't silently shed it."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+ART = Path(__file__).resolve().parent.parent / "BENCH_LOCAL.json"
+
+
+def test_bench_artifact_carries_documented_keys():
+    d = json.loads(ART.read_text())
+    for key in ("metric", "value", "queries", "queries_cold", "isolated"):
+        assert key in d, f"BENCH_LOCAL.json lost its '{key}' key"
+    assert d["metric"] == "total_query_wall_seconds"
+
+
+def test_isolated_block_shape():
+    d = json.loads(ART.read_text())
+    assert d["isolated"], "isolated tail is empty"
+    for name, row in d["isolated"].items():
+        assert name in d["queries"], f"isolated entry {name} not in sweep"
+        assert set(row) >= {"cold", "warm_min"}, (name, row)
