@@ -167,7 +167,13 @@ def encode_tokens(
     The rank window runs over the VOCABULARY (Zipf-bounded, broadcast-
     sized), never the corpus, so the single-partition window is bounded;
     the corpus side is explode → broadcast join → collect_list re-sorted
-    by position — order restored structurally, not by faith in row order."""
+    by position — order restored structurally, not by faith in row order.
+
+    Per-doc state note (r8 unbounded-state audit): the collected
+    (pos, token_id) row is PROPORTIONAL to the input text row (~8 bytes
+    per token vs the text's own bytes) — the operator's contract is the
+    full token sequence, so this is input-row-sized by definition, not a
+    join-state blowup of the ppjoin class (llm/setjoin.py caps those)."""
     vocab = build_vocab(df, id_col, text_col, min_df)
     vw = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     vocab_ids = vocab.select(
