@@ -68,6 +68,50 @@ def test_ppjoin_equals_brute_force_random(spark, docs, threshold):
     assert got == want
 
 
+def _truncated(sh: dict[int, set[str]], cap: int) -> dict[int, set[str]]:
+    """Replica of the max_shingles_per_doc truncate semantics: global
+    order is (corpus document-frequency ASC, shingle ASC); each doc keeps
+    its first ``cap`` shingles in that order."""
+    from collections import Counter
+
+    df_count = Counter(g for s in sh.values() for g in s)
+    return {
+        i: set(sorted(s, key=lambda g: (df_count[g], g))[:cap])
+        for i, s in sh.items()
+    }
+
+
+@SLOW
+@given(
+    docs=corpus_strategy,
+    threshold=st.sampled_from([0.34, 0.5, 1.0]),
+    cap=st.sampled_from([1, 2, 4, 100]),
+)
+def test_ppjoin_truncate_equals_brute_force_on_truncated_sets(
+    spark, docs, threshold, cap
+):
+    """max_shingles_per_doc truncate semantics, fuzzed: the output must
+    equal the exact all-pairs join over the RAREST-``cap`` subsets (and
+    therefore the uncapped result whenever cap >= every doc's shingle
+    count — the cap=100 examples)."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(
+            df, "doc_id", "text", 3, threshold, max_shingles_per_doc=cap
+        ).collect()
+    }
+    sh = _truncated({i: _shingles(t) for i, t in rows}, cap)
+    want = {}
+    for a, b in combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if union and inter / union >= threshold:
+            want[(a, b)] = round(inter / union, 6)
+    assert got == want
+
+
 @SLOW
 @given(
     pts=st.lists(
