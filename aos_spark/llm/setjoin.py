@@ -56,8 +56,11 @@ def ppjoin_pairs(
     max_shingles_per_doc: int | None = 1_000_000,
     oversize: str = "truncate",
 ) -> DataFrame:
-    """All document pairs with shingle-set Jaccard >= ``threshold``,
-    EXACTLY (no approximation), via prefix-filtered candidate generation.
+    """All document pairs with shingle-set Jaccard >= ``threshold`` —
+    exact for every pair of docs under ``max_shingles_per_doc`` (i.e. every
+    pair in any corpus without a mega-doc; see the oversize semantics
+    below for the over-cap case) — via prefix-filtered candidate
+    generation.
 
     ``max_shingles_per_doc`` bounds the PER-DOCUMENT state: without it one
     pathological mega-document (hundreds of millions of tokens in a 100 TB
@@ -104,6 +107,12 @@ def ppjoin_pairs(
     # tokenize one-eval-per-doc; the inner freq join drops the null rows
     # empty docs produce.
     ex = sh.select("id", F.explode_outer("shingles").alias("shingle"))
+    # Persist the exploded shingle scan: it feeds BOTH the df aggregation
+    # and the posting join probe side, and their exchanges differ
+    # (partial-agg vs join) so ReuseExchange cannot dedupe them — without
+    # the persist the tokenize/shingle pass (the dominant cost at corpus
+    # scale) runs twice (ADVICE r8).
+    ex = persist_tracked(ex)
     # Global document frequency: the total order is (df ASC, shingle ASC) —
     # deterministic, and ties broken by the shingle text itself so the
     # order is identical in any engine that reproduces the counts.

@@ -3238,37 +3238,38 @@ QUERIES.update(R6_QUERIES)
 # driver-green row, so from round 8 the window's marginal value is
 # refreshing the STALEST evidence: reds first (none), then never-sampled
 # (none), then oldest-green-first — `scripts/rotation_status.py`'s
-# suggested order, verbatim (stalest in this window: r3 rows like
-# j3_j5_zone_assignment, j10_lookup_join, w2_first_landfall,
-# s17_raster_zonal). Queries and oracles are unchanged — only dict
-# iteration order moves. Rotation history: r7 front-loaded the last 24
-# never-sampled (closing lifetime coverage at 203/203); r6 the bloom red +
-# 59 never-sampled; r5 the 45 without driver-green rows; r4 the typing-fix
-# set; r1-r3 ran declaration order. tests/test_rotation.py locks this
-# structurally via the stable _GATE_FRONT alias.
-_R8_FRONT = [
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_bruteforce_topk",
-    "sim_lsh_topk", "dedup_embedding_cosine", "j2_point_zone_count",
-    "j3_j5_zone_assignment", "j10_lookup_join", "j13_prev_forecast_delta",
-    "a13_cci_admin_rollup", "a14_value_counts", "w2_first_landfall",
-    "s6_distinct_ordered", "dedup_simhash", "multimodal_image_features",
-    "sim_ivf_topk", "text_bpe_tokens", "text_rolling_fingerprint",
-    "s17_raster_zonal", "asof_join_events", "range_join_events",
-    "dedup_clusters", "decontamination_pairs", "sessionize_events",
-    "sample_split_stats", "q4_priority_semijoin", "q18_large_volume_orders",
-    "corpus_language_stats", "sketch_cms_estimate", "text_pii_scrub",
-    "text_repetition_stats", "sketch_hll_distinct", "tfidf_top_terms",
-    "q3_shipping_priority", "q5_regional_revenue",
-    "q17_small_quantity_revenue", "j2_facility_probability",
-    "cube_order_stats", "pivot_status_revenue", "unpivot_metrics",
-    "rolling_customer_spend", "rank_distribution", "histogram_quantity",
-    "tumbling_event_windows", "set_ops_segments",
-    "corpus_length_percentiles", "gapfill_hourly_events",
-    "percentile_cont_interp", "fuzzy_match_levenshtein",
-    "skew_salted_distinct",
+# suggested order, verbatim (stalest in this window: r4-era rows like
+# stats_correlation, q10_returned_item_customers, plus the r5 TPC-H wave
+# and dedup_resolution). Queries and oracles are unchanged — only dict
+# iteration order moves. Rotation history: r8 refreshed the 50 stalest
+# r3-era greens; r7 front-loaded the last 24 never-sampled (closing
+# lifetime coverage at 203/203); r6 the bloom red + 59 never-sampled; r5
+# the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
+# declaration order. tests/test_rotation.py locks this structurally via
+# the stable _GATE_FRONT alias.
+_R9_FRONT = [
+    "order_autocorrelation",  # mismatch-log suspect (r8 flake) — priority 2
+    "stats_correlation", "q10_returned_item_customers",
+    "chunk_sliding_window", "decontamination_13gram", "pack_context_chunks",
+    "embedding_quantize", "dedup_storage_savings", "array_agg_sorted",
+    "profile_columns", "cumulative_distinct_users", "q12_shipmode_priority",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_profit_by_nation", "q11_important_parts", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
+    "q19_disjunctive_revenue", "q20_promotion_suppliers",
+    "q21_sole_blocker_suppliers", "q22_idle_customers",
+    "corpus_quality_filter", "vocab_min_df", "kmeans_lloyd_step",
+    "funnel_conversion", "cohort_retention", "sketch_hll_grouped",
+    "scd2_dimension_history", "incremental_agg_merge", "vocab_encode_tokens",
+    "validation_suite", "zscore_outliers", "graph_triangle_count",
+    "weighted_sample_stats", "dedup_resolution", "kfold_assignment",
+    "q6_discount_revenue", "json_props_stats", "rollup_time_hierarchy",
+    "bag_difference_except_all", "reconcile_tables", "sequence_gap_detection",
+    "sketch_quantile_histogram", "range_frame_window_spend",
+    "cdc_snapshot_diff", "overlapping_order_windows",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
-_GATE_FRONT = _R8_FRONT
+_GATE_FRONT = _R9_FRONT
 assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)

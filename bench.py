@@ -86,15 +86,35 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in warm.items()},
         "queries_cold": {k: round(v, 2) for k, v in cold.items()},
     }
+    from aos_spark.envinfo import env_fingerprint
+
+    # Version/config forensics (VERDICT r8 #2) — same block the
+    # correctness artifact carries, so timing swings between rounds can be
+    # attributed to environment vs code.
+    full["env"] = env_fingerprint(spark)
     out = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
     # Carry the fresh-JVM tail numbers (scripts/bench_tail.py's "isolated"
     # key) across sweep refreshes so the artifact never loses its
     # noise-free figures; bench_tail overwrites them when re-run.
-    # tests/test_bench_artifact.py locks artifact/docs agreement.
+    # Pruned to queries still in the sweep (a removed/renamed query's
+    # stale number must not outlive its code — ADVICE r8), and the
+    # carried block keeps bench_tail's generation stamp in
+    # "isolated_meta" with carried_forward=True so a reader can see the
+    # tail predates this sweep. tests/test_bench_artifact.py locks
+    # artifact/docs agreement.
     try:
         prev = json.loads(out.read_text())
         if "isolated" in prev:
-            full["isolated"] = prev["isolated"]
+            kept = {k: v for k, v in prev["isolated"].items() if k in warm}
+            dropped = sorted(set(prev["isolated"]) - set(kept))
+            if dropped:
+                print(f"pruned stale isolated entries: {dropped}",
+                      file=sys.stderr)
+            if kept:
+                full["isolated"] = kept
+                full["isolated_meta"] = dict(
+                    prev.get("isolated_meta") or {}, carried_forward=True
+                )
     except (OSError, ValueError):
         pass
     out.write_text(json.dumps(full, indent=2) + "\n")

@@ -61,6 +61,16 @@ def main() -> int:
               f"warm_min {r['warm_min']:.2f}s (cold {r['cold']:.2f}s)")
 
     full["isolated"] = isolated
+    # Generation stamp: when bench.py later carries this block across a
+    # sweep refresh it adds carried_forward=True, so a reader can tell
+    # fresh tail numbers from inherited ones (ADVICE r8).
+    from datetime import datetime, timezone
+
+    full["isolated_meta"] = {
+        "generated_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "n_warm": n_warm,
+        "carried_forward": False,
+    }
     art.write_text(json.dumps(full, indent=2) + "\n")
     print(f"wrote isolated tail ({len(isolated)} queries) to {art}")
     return 0

@@ -96,6 +96,27 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()[:16]
 
 
+def log_mismatch(name: str, sf_dir: str, diff: dict, spark) -> None:
+    """Append a hash-mismatch event (query, diverging canonical rows,
+    full environment fingerprint) to MISMATCH_LOG.jsonl. Append-only and
+    never cleaned: one line per observed divergence is exactly the
+    forensic record the unreproduced r8 flake lacked."""
+    import json
+
+    from aos_spark.envinfo import env_fingerprint
+
+    root = Path(__file__).resolve().parent.parent
+    # Anchor for the rotation machinery (scripts/rotation_status.py):
+    # the suspect clears when a STRICTLY LATER driver round samples the
+    # query green.
+    rounds = [int(p.stem.split("_r")[1]) for p in root.glob("CORRECTNESS_r*.json")]
+    entry = {"query": name, "kind": "cross_engine", "sf_dir": sf_dir,
+             "diff": diff, "as_of_latest_driver_round": max(rounds, default=0),
+             "env": env_fingerprint(spark)}
+    with (root / "MISMATCH_LOG.jsonl").open("a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
@@ -159,6 +180,7 @@ def main() -> int:
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        diff = None
         if not problems:
             sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
             if sh != dh:
@@ -169,11 +191,22 @@ def main() -> int:
                     return {"|".join(canon_value(r[i]) for i in idx) for r in rows}
 
                 sset, dset = canon_rows(srows, scols), canon_rows(drows, dcols)
+                # Persisted evidence, not just stdout: the r8 flake
+                # (order_autocorrelation red once, in the driver's
+                # end-of-round sweep) was unattributable because the
+                # driver's stdout is lost. The diverging rows now ride in
+                # the artifact row AND in an append-only mismatch log.
+                diff = {
+                    "cols": sorted(scols),
+                    "spark_only": sorted(sset - dset)[:5],
+                    "duck_only": sorted(dset - sset)[:5],
+                }
                 print(f"    cols: {sorted(scols)}")
-                for x in sorted(sset - dset)[:3]:
+                for x in diff["spark_only"][:3]:
                     print(f"    spark-only: {x}")
-                for x in sorted(dset - sset)[:3]:
+                for x in diff["duck_only"][:3]:
                     print(f"    duck-only:  {x}")
+                log_mismatch(name, sf_dir, diff, spark)
         dt = time.time() - t0
         results[name] = {
             "rows_match": len(srows) == len(drows),
@@ -183,6 +216,8 @@ def main() -> int:
             "oracle_rows": len(drows),
             "err": None,
         }
+        if diff is not None:
+            results[name]["diff"] = diff
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({dt:.1f}s)")
             n_fail += 1
@@ -193,8 +228,15 @@ def main() -> int:
     if not only:  # full run: persist the all-queries artifact for the judge
         import json
 
+        from aos_spark.envinfo import env_fingerprint
+
+        # "__env__" (reserved, double-underscored so it can never collide
+        # with a query name): the engine-version/config fingerprint that
+        # makes a once-in-a-sweep divergence attributable after the fact
+        # (VERDICT r8 "Next round" #2).
+        artifact = {"__env__": env_fingerprint(spark)} | results
         out = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
-        out.write_text(json.dumps(results, indent=2) + "\n")
+        out.write_text(json.dumps(artifact, indent=2) + "\n")
         print(f"wrote {out} ({len(results)} queries)")
     return 1 if n_fail else 0
 

@@ -20,6 +20,18 @@ def test_bench_artifact_carries_documented_keys():
     assert d["metric"] == "total_query_wall_seconds"
 
 
+def test_bench_artifact_carries_env_block():
+    """VERDICT r8 "Next round" #2: artifacts of record must carry the
+    engine-version/config fingerprint so round-over-round swings can be
+    attributed to environment vs code."""
+    d = json.loads(ART.read_text())
+    env = d.get("env")
+    assert env, "BENCH_LOCAL.json lost its 'env' block"
+    for key in ("pyspark", "duckdb", "python",
+                "spark.sql.shuffle.partitions", "spark.driver.memory"):
+        assert key in env, f"env block lost its '{key}' field"
+
+
 def test_isolated_block_shape():
     d = json.loads(ART.read_text())
     assert d["isolated"], "isolated tail is empty"

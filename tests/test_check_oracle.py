@@ -118,6 +118,15 @@ def test_local_correctness_artifact_covers_every_registered_query():
 
     art = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
     local = json.loads(art.read_text())
+    # Reserved (double-underscored) keys carry artifact metadata, not
+    # query rows; "__env__" is REQUIRED (VERDICT r8 #2 — version/config
+    # forensics so a one-off divergence is attributable after the fact).
+    env = local.pop("__env__", None)
+    assert env is not None, "CORRECTNESS_LOCAL.json lost its __env__ block"
+    for key in ("pyspark", "duckdb", "python", "spark.sql.ansi.enabled",
+                "spark.sql.shuffle.partitions"):
+        assert key in env, f"__env__ block lost its '{key}' field"
+    local = {k: v for k, v in local.items() if not k.startswith("__")}
     missing = set(QUERIES) - set(local)
     stale = set(local) - set(QUERIES)
     assert not missing, f"queries never gate-run locally: {sorted(missing)}"

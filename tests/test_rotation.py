@@ -13,10 +13,15 @@ finding.
 
 Policy (priority order):
 1. reds must sit inside the driver window (fixed bugs need fresh rows);
-2. never-sampled must sit inside the window;
-3. with no reds and nothing unsampled, the window refreshes the STALEST
+2. mismatch-log suspects (MISMATCH_LOG.jsonl entries not yet cleared by
+   a strictly-newer driver-green row) must sit inside the window — one
+   observed divergence outranks any merely-stale green (round 9, the r8
+   order_autocorrelation flake);
+3. never-sampled must sit inside the window;
+4. with no reds and nothing unsampled, the window refreshes the STALEST
    greens: no green inside the window may be strictly newer than a green
-   left outside it.
+   left outside it (suspects exempt — they sit inside regardless of
+   their last-sampled round).
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ DRIVER_WINDOW = 50
 
 
 def _state():
-    from rotation_status import sample_history
+    from rotation_status import mismatch_suspects, sample_history
 
     from aos_spark.queries import QUERIES
 
@@ -39,14 +44,15 @@ def _state():
     sampled = sample_history()
     reds = [n for n in names if n in sampled and not sampled[n][1]]
     never = [n for n in names if n not in sampled]
-    return names, sampled, reds, never
+    suspects = sorted(mismatch_suspects(sampled))
+    return names, sampled, reds, never, suspects
 
 
-def test_reds_and_never_sampled_sit_inside_driver_window():
-    names, _, reds, never = _state()
+def test_reds_suspects_and_never_sampled_sit_inside_driver_window():
+    names, _, reds, never, suspects = _state()
     pos = {n: i for i, n in enumerate(names)}
     out_of_window = {
-        n: pos[n] for n in reds + never if pos[n] >= DRIVER_WINDOW
+        n: pos[n] for n in reds + suspects + never if pos[n] >= DRIVER_WINDOW
     }
     assert not out_of_window, (
         f"{len(out_of_window)} queries needing driver verification sit at "
@@ -64,8 +70,8 @@ def test_front_list_covers_every_query_needing_verification():
     driver row."""
     from aos_spark.queries import _GATE_FRONT
 
-    _, _, reds, never = _state()
-    missing = set(reds + never) - set(_GATE_FRONT)
+    _, _, reds, never, suspects = _state()
+    missing = set(reds + suspects + never) - set(_GATE_FRONT)
     assert not missing, (
         f"front list omits queries needing driver verification: "
         f"{sorted(missing)}"
@@ -86,13 +92,14 @@ def test_window_refreshes_stalest_greens_first():
     turns red the instant the round's CORRECTNESS file appears, through
     no fault in the code). The next session's re-run of
     scripts/rotation_status.py rotates them back out."""
-    names, sampled, reds, never = _state()
+    names, sampled, reds, never, suspects = _state()
     if reds or never:
         return  # reds/never take absolute priority; staleness is moot
     latest = max(rnd for rnd, _ in sampled.values())
     window, rest = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
     in_rounds = [
-        sampled[n][0] for n in window if sampled[n][0] != latest
+        sampled[n][0] for n in window
+        if sampled[n][0] != latest and n not in set(suspects)
     ]
     if not in_rounds:
         return  # whole window just sampled — policy executed this round

@@ -165,7 +165,11 @@ def test_ppjoin_oversize_raise_fails_fast(spark):
 
     docs = [(7, "a b c d e f g h i j k l m n o p q r s t u v w x y z")]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+    # Py4JJavaError (classic py4j surface) or SparkRuntimeException
+    # (Spark-Connect-style capture of USER_RAISED_EXCEPTION) — but NOT a
+    # bare Exception, which would let an unrelated AnalysisException
+    # satisfy the raises check (ADVICE r8).
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as ei:
         ppjoin_pairs(
             df, "doc_id", "text", 3, 0.5,
             max_shingles_per_doc=5, oversize="raise",
