@@ -112,32 +112,56 @@ FROM per_doc GROUP BY term HAVING COUNT(*) >= 2
 
 def q_order_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of the daily average order value, per year.
-    The daily mean is ONE IEEE division of two exactly-converted values
-    (cent-unit decimal sum < 2^53, exact in double; integer count), so
-    the series feeding the moment machinery is bit-identical across
-    engines at any scale factor."""
+
+    The daily mean is computed as EXACT integer micro-units (1e-6
+    currency), floor(1e6 * Σprice / n), via integral division — Spark
+    ``div`` and DuckDB ``//`` both truncate-toward-zero on positive
+    exact decimals — then scaled back to currency with an exact decimal
+    multiply. The series therefore has scale-6 decimal values that every
+    engine represents identically BEFORE the moment machinery's
+    decimal(18,6) cast, closing the round-8 divergence: computing the
+    mean as a double and letting each engine cast double→decimal(18,6)
+    is knife-edge unsafe (Spark correctly rounds via BigDecimal; DuckDB
+    scales by 10^6 in double space first — a double-rounding), which
+    flipped sum_xy by one unit in 3 year-groups at sf0.1 (see
+    MISMATCH_LOG.jsonl round-9 entry). All intermediates are decimal —
+    Σprice·10^6 fits DECIMAL(36,2) — so no int64 overflow at any scale."""
     from aos_spark.ops import stats as ST
 
     o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.year("o_orderdate").alias("yr"),
-        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
-    ).agg(
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avg_price")
+    daily = (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        )
+        .agg(
+            F.expr(
+                "(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(36,2))"
+                " * 1000000) div COUNT(*)"
+            ).alias("micro")
+        )
+        .select(
+            "yr",
+            "day",
+            F.expr(
+                "CAST(micro AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6))"
+            ).alias("avg_price"),
+        )
     )
     return ST.lagged_autocorrelation(daily, ["yr"], "day", "avg_price", lag=1)
 
 
 ORACLE_AUTOCORR = """
-WITH daily AS (
+WITH micro AS (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
          date_trunc('day', o_orderdate) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) AS avg_price
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              * 1000000 AS HUGEINT) // COUNT(*) AS m
   FROM orders GROUP BY 1, 2),
+daily AS (
+  SELECT yr, day,
+         CAST(m AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6)) AS avg_price
+  FROM micro),
 lagged AS (
   SELECT yr, avg_price AS x, LAG(avg_price) OVER (PARTITION BY yr ORDER BY day) AS y
   FROM daily),
