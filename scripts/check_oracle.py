@@ -234,7 +234,10 @@ def main() -> int:
         # with a query name): the engine-version/config fingerprint that
         # makes a once-in-a-sweep divergence attributable after the fact
         # (VERDICT r8 "Next round" #2).
-        artifact = {"__env__": env_fingerprint(spark)} | results
+        # sf_dir is part of the fingerprint: the round-8 divergence was
+        # only attributable because the red artifact's ROW COUNTS happened
+        # to betray that the run had executed at sf0.1 — record it outright.
+        artifact = {"__env__": env_fingerprint(spark) | {"sf_dir": sf_dir}} | results
         out = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
         out.write_text(json.dumps(artifact, indent=2) + "\n")
         print(f"wrote {out} ({len(results)} queries)")

@@ -124,8 +124,12 @@ def test_local_correctness_artifact_covers_every_registered_query():
     env = local.pop("__env__", None)
     assert env is not None, "CORRECTNESS_LOCAL.json lost its __env__ block"
     for key in ("pyspark", "duckdb", "python", "spark.sql.ansi.enabled",
-                "spark.sql.shuffle.partitions"):
+                "spark.sql.shuffle.partitions", "sf_dir"):
         assert key in env, f"__env__ block lost its '{key}' field"
+    # The artifact of record is the sf0.01 gate — a committed artifact
+    # from another sf (e.g. a diagnostic sf0.1 sweep) is not it. The
+    # round-8 divergence hid behind exactly this ambiguity.
+    assert env["sf_dir"].rstrip("/").endswith("sf0.01"), env["sf_dir"]
     local = {k: v for k, v in local.items() if not k.startswith("__")}
     missing = set(QUERIES) - set(local)
     stale = set(local) - set(QUERIES)
