@@ -16,6 +16,22 @@ summation error entirely (sums are exact); only the final catastrophic
 cancellation remains, which is acceptable for the value ranges here and
 is the price of cross-engine reproducibility. For ill-conditioned data,
 pre-center x and y by an approximate mean first (same operator shape).
+
+INPUT CONTRACT (round-9 lesson, the order_autocorrelation divergence):
+the value columns must be EXACTLY representable at the decimal scale —
+raw columns with ≤scale decimal places, values pre-rounded with
+ROUND(x, scale) in double space, or exact decimals. NEVER feed a
+computed double (a quotient, product, or mean): the double→decimal cast
+itself is knife-edge unsafe across engines — Spark correctly rounds the
+shortest decimal repr half-up via BigDecimal, DuckDB scales by
+10^scale in double space first (a double rounding) — and measured
+divergence rates on identical doubles are ~0.4% for quotient-shaped
+values at scale 6 and ~4% for anything at scale 15. Because this module
+emits the rounded moment sums as OUTPUT columns, even one flipped unit
+is a visible result difference, not an absorbed intermediate. Build
+exact series instead (integral division → decimal multiply — see
+queries_r5b.q_order_autocorrelation) and keep
+tests/test_stats_cross_engine.py green.
 """
 
 from __future__ import annotations

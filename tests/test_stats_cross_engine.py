@@ -114,6 +114,59 @@ def test_autocorrelation_engines_agree_on_boundary_fixture(
                 assert sv == dv, f"yr={yr} col={c}: {sv!r} != {dv!r}"
 
 
+def test_autocorrelation_degenerate_years_agree(spark, tmp_path):
+    """Shapes the gate SFs may not contain but a future one might (the
+    r8 lesson: divergences hide in sf-dependent data shapes): a 2-day
+    year gives ONE lagged pair so every (n-1) denominator is zero — both
+    engines must emit NULL, not inf/NaN; a zero-variance year must NULL
+    only corr; a 1-day year must vanish (lag filter leaves no rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aos_spark.queries_r5b import ORACLE_AUTOCORR, q_order_autocorrelation
+
+    rows = [
+        (dt.date(2019, 1, 1), 100.01), (dt.date(2019, 1, 2), 250.37),
+        (dt.date(2021, 6, 1), 999.99),
+        (dt.date(2022, 1, 1), 10.00), (dt.date(2022, 1, 2), 10.00),
+        (dt.date(2022, 1, 3), 10.00),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": [r[0] for r in rows],
+                "o_totalprice": [r[1] for r in rows],
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    srow = {
+        r["yr"]: r.asDict()
+        for r in q_order_autocorrelation(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+    )
+    cols = [d[0] for d in con.execute(ORACLE_AUTOCORR).description]
+    drow = {
+        r[cols.index("yr")]: dict(zip(cols, r))
+        for r in con.execute(ORACLE_AUTOCORR).fetchall()
+    }
+    con.close()
+    assert set(srow) == set(drow) == {2019, 2022}  # 2021 vanishes in both
+    assert srow[2019]["covar_xy"] is None and drow[2019]["covar_xy"] is None
+    assert srow[2022]["stddev_x"] == 0.0 and srow[2022]["corr_xy"] is None
+    for yr in srow:
+        for c in cols:
+            sv, dv = srow[yr][c], drow[yr][c]
+            assert (sv is None) == (dv is None), f"yr={yr} {c}: {sv} vs {dv}"
+            if isinstance(sv, float):
+                assert sv.hex() == float(dv).hex(), f"yr={yr} {c}"
+            elif sv is not None:
+                assert sv == dv, f"yr={yr} {c}"
+
+
 def test_autocorr_series_feeds_decimal_not_double(spark, sf_dir):
     """Structural lock: the analyzed plan of the flagship autocorrelation
     must not cast a DOUBLE-typed mean into the moment decimals. The
