@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from aos_spark.cache import persist_tracked
 from aos_spark.llm.dedup import shingle_frame
+from aos_spark.ops.exact_round import round_ratio6
 
 
 def ppjoin_pairs(
@@ -252,5 +253,12 @@ def ppjoin_pairs(
         .filter(F.col("jaccard_raw") >= threshold)
     )
     return verified.select(
-        "id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard")
+        "id_a",
+        "id_b",
+        # output rounding via the engine-exact rational idiom (the filter
+        # above stays on the unrounded ratio — see the comment there)
+        round_ratio6(
+            F.col("n_common"),
+            F.col("n_a") + F.col("n_b") - F.col("n_common"),
+        ).alias("jaccard"),
     )

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aos_spark.cache import persist_tracked
+from aos_spark.ops.exact_round import round_ratio6, scaled_round6
 
 # Marker-word lists for the n-gram/stopword language heuristic. Deliberately
 # tiny and deterministic: language ID at corpus scale is a scoring pass, and
@@ -67,19 +68,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tokens)
-        .withColumn("alpha_ratio", F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6))
-        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn(
+            "alpha_ratio", round_ratio6(n_alpha, F.greatest(n_chars, F.lit(1)))
+        )
+        .withColumn(
+            "punct_ratio", round_ratio6(n_punct, F.greatest(n_chars, F.lit(1)))
+        )
         .withColumn(
             "stopword_ratio",
-            F.round(stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 6),
+            round_ratio6(stop_hits, F.greatest(n_tokens, F.lit(1))),
         )
         .withColumn(
             "mean_token_len",
-            F.round(
-                (n_chars - n_tokens + 1).cast("double")
-                / F.greatest(n_tokens, F.lit(1)),
-                6,
-            ),
+            round_ratio6(n_chars - n_tokens + 1, F.greatest(n_tokens, F.lit(1))),
         )
     )
 
@@ -207,7 +208,10 @@ def quality_score() -> Column:
         + F.lit(0.2) * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
     )
     penalized = F.when(F.col("punct_ratio") > 0.3, score * 0.5).otherwise(score)
-    return F.round(penalized, 6)
+    # scaled-round (ops/exact_round): ROUND(x, 6) of a compound double is
+    # cross-engine knife-edge unsafe; the 0.5-penalized branch lands on the
+    # 1e-7 grid where exact .5 micro-boundaries are reachable
+    return scaled_round6(penalized)
 
 
 # BPE-ish pre-tokenization pattern (letter runs / digit runs / punctuation
@@ -358,9 +362,7 @@ def winnow_fingerprints(
         "id",
         "n_grams",
         "n_selected",
-        F.round(
-            F.col("n_selected").cast("double") / F.col("n_grams"), 6
-        ).alias("density"),
+        round_ratio6(F.col("n_selected"), F.col("n_grams")).alias("density"),
     )
 
 
@@ -414,9 +416,9 @@ def repetition_stats(
             F.count(F.lit(1)).alias("n_distinct"),
         )
     )
-    top_frac = F.round(F.col("top_c").cast("double") / F.col("total"), 6)
-    dup_frac = F.round(
-        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("total"), 6
+    top_frac = round_ratio6(F.col("top_c"), F.col("total"))
+    dup_frac = round_ratio6(
+        F.col("total") - F.col("n_distinct"), F.col("total")
     )
     top = stats.filter(F.col("kind") == "top").select("id", top_frac.alias("__top"))
     dup = stats.filter(F.col("kind") == "dup").select("id", dup_frac.alias("__dup"))
@@ -726,9 +728,8 @@ def cooccurrence_lift(
         "n_xy",
         "df_a",
         "df_b",
-        F.round(
-            (F.col("n_xy").cast("double") * F.col("__n").cast("double"))
-            / (F.col("df_a").cast("double") * F.col("df_b").cast("double")),
-            6,
+        round_ratio6(
+            F.col("n_xy").cast("decimal(38,0)") * F.col("__n"),
+            F.col("df_a").cast("decimal(38,0)") * F.col("df_b"),
         ).alias("lift"),
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aos_spark.ops.exact_round import round_ratio6
+
 
 def basket_items(
     df: DataFrame, basket_col: str, item_col: str
@@ -109,16 +111,10 @@ def association_rules(
         "ant_n",
         "con_n",
         "n_baskets",
-        F.round(
-            F.col("pair_n").cast("double") / F.col("n_baskets").cast("double"),
-            6,
-        ).alias("support"),
-        F.round(
-            F.col("pair_n").cast("double") / F.col("ant_n").cast("double"), 6
-        ).alias("confidence"),
-        F.round(
-            (F.col("pair_n") * F.col("n_baskets")).cast("double")
-            / (F.col("ant_n") * F.col("con_n")).cast("double"),
-            6,
+        round_ratio6(F.col("pair_n"), F.col("n_baskets")).alias("support"),
+        round_ratio6(F.col("pair_n"), F.col("ant_n")).alias("confidence"),
+        round_ratio6(
+            F.col("pair_n").cast("decimal(38,0)") * F.col("n_baskets"),
+            F.col("ant_n").cast("decimal(38,0)") * F.col("con_n"),
         ).alias("lift"),
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aos_spark.ops.exact_round import round_ratio6_micro
+
 
 def agg_state(
     df: DataFrame,
@@ -54,7 +56,11 @@ def finalize(state: DataFrame, key_cols: list[str]) -> DataFrame:
         *key_cols,
         F.col("__cnt").alias("n"),
         F.round(F.col("__sum").cast("double"), 4).alias("total"),
-        F.round(F.col("__sum").cast("double") / F.col("__cnt"), 6).alias("avg"),
+        # engine-exact mean (ops/exact_round): the double-quotient ROUND
+        # is cross-engine knife-edge unsafe for rationals on the micro grid
+        round_ratio6_micro(F.col("__sum") * 1_000_000, F.col("__cnt")).alias(
+            "avg"
+        ),
         F.round(F.col("__min").cast("double"), 4).alias("min_value"),
         F.round(F.col("__max").cast("double"), 4).alias("max_value"),
     )

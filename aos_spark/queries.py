@@ -26,6 +26,7 @@ from aos_spark.cache import persist_tracked
 from aos_spark.llm import dedup as D
 from aos_spark.llm import similarity as SIM
 from aos_spark.llm import text as TX
+from aos_spark.ops.exact_round import round_ratio6_micro
 from aos_spark.ops import (
     cci,
     filters,
@@ -147,9 +148,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
+            # engine-exact mean (ops/exact_round): ROUND(double_sum/count, 6)
+            # of an arbitrary quotient is cross-engine knife-edge unsafe
+            round_ratio6_micro(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")) * 1_000_000,
+                F.count(F.lit(1)),
+            ).alias("avg_qty"),
+            round_ratio6_micro(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                * 1_000_000,
+                F.count(F.lit(1)),
+            ).alias("avg_price"),
         )
-        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
-        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "count_order", "avg_qty",
+            "avg_price",
+        )
     )
     return out
 
@@ -164,8 +179,8 @@ SELECT l_returnflag, l_linestatus,
                 * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
                 * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order,
-       ROUND({_dsum_sql('l_quantity')} / COUNT(*), 6) AS avg_qty,
-       ROUND({_dsum_sql('l_extendedprice')} / COUNT(*), 6) AS avg_price
+       CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
+       CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_price
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
@@ -420,7 +435,13 @@ def q_preserve_empty_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     agg = c.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("double").alias("n_rich"),
-        F.avg(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("avg_bal"),
+        # engine-exact mean (ops/exact_round) — engine-native decimal AVG
+        # tie-rounding (Spark HALF_UP-at-scale-6 division vs DuckDB double
+        # division) is not pinned down by either engine's contract
+        round_ratio6_micro(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")) * 1_000_000,
+            F.count(F.lit(1)),
+        ).alias("avg_bal"),
     )
     out = rollup.rollup_preserving_empty(
         n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name"),
@@ -434,7 +455,7 @@ def q_preserve_empty_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRESERVE_EMPTY = """
 WITH agg AS (
   SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n_rich,
-         CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS avg_bal
+         CAST((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_bal
   FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
 )
 SELECT n_name, COALESCE(n_rich, 0.0) AS n_rich, ROUND(avg_bal, 6) AS avg_bal
@@ -798,16 +819,16 @@ WITH feats AS (
 ),
 ratios AS (
   SELECT doc_id, n_tokens,
-         ROUND(n_alpha / GREATEST(n_chars, 1), 6) AS alpha_ratio,
-         ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
-         ROUND(stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio
+         CAST((CAST(n_alpha AS HUGEINT) * 1000000 * 2 + CAST(GREATEST(n_chars, 1) AS HUGEINT)) // (CAST(GREATEST(n_chars, 1) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS alpha_ratio,
+         CAST((CAST(n_punct AS HUGEINT) * 1000000 * 2 + CAST(GREATEST(n_chars, 1) AS HUGEINT)) // (CAST(GREATEST(n_chars, 1) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS punct_ratio,
+         CAST((CAST(stop_hits AS HUGEINT) * 1000000 * 2 + CAST(GREATEST(n_tokens, 1) AS HUGEINT)) // (CAST(GREATEST(n_tokens, 1) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS stopword_ratio
   FROM feats
 )
 SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
-       ROUND(CASE WHEN punct_ratio > 0.3 THEN 0.5 ELSE 1.0 END *
+       ROUND((CASE WHEN punct_ratio > 0.3 THEN 0.5 ELSE 1.0 END *
              (0.4 * LEAST(stopword_ratio * 4, 1.0)
               + 0.4 * alpha_ratio
-              + 0.2 * LEAST(n_tokens / 100.0, 1.0)), 6) AS quality
+              + 0.2 * LEAST(n_tokens / 100.0, 1.0))) * 1000000.0, 0) / 1000000.0 AS quality
 FROM ratios
 """
 
@@ -931,8 +952,8 @@ c2 AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total
 c5 AS (SELECT doc_id, COUNT(*) AS n_distinct, SUM(c) AS total
        FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1)
 SELECT d.doc_id,
-       COALESCE(ROUND(CAST(c2.top_c AS DOUBLE) / c2.total, 6), 0.0) AS top_2gram_frac,
-       COALESCE(ROUND(1 - CAST(c5.n_distinct AS DOUBLE) / c5.total, 6), 0.0) AS dup_5gram_frac
+       COALESCE(CAST((CAST(c2.top_c AS HUGEINT) * 1000000 * 2 + CAST(c2.total AS HUGEINT)) // (CAST(c2.total AS HUGEINT) * 2) AS DOUBLE) / 1000000.0, 0.0) AS top_2gram_frac,
+       COALESCE(CAST((CAST(c5.total - c5.n_distinct AS HUGEINT) * 1000000 * 2 + CAST(c5.total AS HUGEINT)) // (CAST(c5.total AS HUGEINT) * 2) AS DOUBLE) / 1000000.0, 0.0) AS dup_5gram_frac
 FROM documents d
 LEFT JOIN c2 ON d.doc_id = c2.doc_id
 LEFT JOIN c5 ON d.doc_id = c5.doc_id
@@ -974,8 +995,8 @@ inter AS (
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2, 3, 4
 )
-SELECT id_a, id_b, ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
-FROM inter WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= 0.35
+SELECT id_a, id_b, CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(n_a + n_b - n_common AS HUGEINT)) // (CAST(n_a + n_b - n_common AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS jaccard
+FROM inter WHERE CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(n_a + n_b - n_common AS HUGEINT)) // (CAST(n_a + n_b - n_common AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 >= 0.35
 """
 
 
@@ -1019,8 +1040,8 @@ verified AS (
          len(sh_a) + len(sh_b) - len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_union
   FROM cand
 )
-SELECT id_a, id_b, ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
-FROM verified WHERE ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) >= {threshold}
+SELECT id_a, id_b, CAST((CAST(n_inter AS HUGEINT) * 1000000 * 2 + CAST(n_union AS HUGEINT)) // (CAST(n_union AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS jaccard
+FROM verified WHERE CAST((CAST(n_inter AS HUGEINT) * 1000000 * 2 + CAST(n_union AS HUGEINT)) // (CAST(n_union AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 >= {threshold}
 """
 
 
@@ -1763,7 +1784,7 @@ inter AS (
 ),
 pairs AS (
   SELECT id_a, id_b FROM inter
-  WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= 0.35
+  WHERE CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(n_a + n_b - n_common AS HUGEINT)) // (CAST(n_a + n_b - n_common AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 >= 0.35
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1961,10 +1982,9 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
-        F.round(
-            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        round_ratio6_micro(
+            F.sum(F.col("quality").cast("decimal(18,6)")) * 1_000_000,
+            F.count(F.lit(1)),
         ).alias("mean_quality"),
         F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0))
         .cast("bigint")
@@ -1986,25 +2006,24 @@ WITH feats AS (
 ),
 ratios AS (
   SELECT lang, n_tokens, bpe,
-         ROUND(n_alpha / GREATEST(n_chars, 1), 6) AS alpha_ratio,
-         ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
-         ROUND(stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio
+         CAST((CAST(n_alpha AS HUGEINT) * 1000000 * 2 + CAST(GREATEST(n_chars, 1) AS HUGEINT)) // (CAST(GREATEST(n_chars, 1) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS alpha_ratio,
+         CAST((CAST(n_punct AS HUGEINT) * 1000000 * 2 + CAST(GREATEST(n_chars, 1) AS HUGEINT)) // (CAST(GREATEST(n_chars, 1) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS punct_ratio,
+         CAST((CAST(stop_hits AS HUGEINT) * 1000000 * 2 + CAST(GREATEST(n_tokens, 1) AS HUGEINT)) // (CAST(GREATEST(n_tokens, 1) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS stopword_ratio
   FROM feats
 ),
 scored AS (
   SELECT lang, n_tokens, bpe,
-         ROUND(CASE WHEN punct_ratio > 0.3 THEN 0.5 ELSE 1.0 END *
+         ROUND((CASE WHEN punct_ratio > 0.3 THEN 0.5 ELSE 1.0 END *
                (0.4 * LEAST(stopword_ratio * 4, 1.0)
                 + 0.4 * alpha_ratio
-                + 0.2 * LEAST(n_tokens / 100.0, 1.0)), 6) AS quality
+                + 0.2 * LEAST(n_tokens / 100.0, 1.0))) * 1000000.0, 0) / 1000000.0 AS quality
   FROM ratios
 )
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
-       ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-         AS mean_quality,
+       CAST((CAST(SUM(CAST(quality AS DECIMAL(18,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS mean_quality,
        CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_high_quality
 FROM scored GROUP BY lang
@@ -2216,8 +2235,8 @@ verified AS (
          len(sh_a) + len(sh_b) - len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_union
   FROM cand
 )
-SELECT id_a, id_b, ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
-FROM verified WHERE ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) >= {threshold}
+SELECT id_a, id_b, CAST((CAST(n_inter AS HUGEINT) * 1000000 * 2 + CAST(n_union AS HUGEINT)) // (CAST(n_union AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS jaccard
+FROM verified WHERE CAST((CAST(n_inter AS HUGEINT) * 1000000 * 2 + CAST(n_union AS HUGEINT)) // (CAST(n_union AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 >= {threshold}
 """
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aos_spark.io.readers import read_sf_table
+from aos_spark.ops.exact_round import round_ratio6, round_ratio6_micro
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -513,10 +514,10 @@ counts AS (
 )
 SELECT n_sample_docs, n_true_pairs, n_candidate_pairs, n_hit_pairs,
        CASE WHEN n_true_pairs > 0
-            THEN ROUND(n_hit_pairs / CAST(n_true_pairs AS DOUBLE), 6)
+            THEN CAST((CAST(n_hit_pairs AS HUGEINT) * 1000000 * 2 + CAST(n_true_pairs AS HUGEINT)) // (CAST(n_true_pairs AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
             ELSE 1.0 END AS recall,
        CASE WHEN n_candidate_pairs > 0
-            THEN ROUND(n_hit_pairs / CAST(n_candidate_pairs AS DOUBLE), 6)
+            THEN CAST((CAST(n_hit_pairs AS HUGEINT) * 1000000 * 2 + CAST(n_candidate_pairs AS HUGEINT)) // (CAST(n_candidate_pairs AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
             ELSE 1.0 END AS precision
 FROM counts
 """
@@ -559,10 +560,9 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("source_lo", "source_hi").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(
-            F.sum(F.col("jaccard").cast("decimal(10,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        round_ratio6_micro(
+            F.sum(F.col("jaccard").cast("decimal(10,6)")) * 1_000_000,
+            F.count(F.lit(1)),
         ).alias("mean_jaccard"),
     )
 
@@ -580,7 +580,7 @@ j AS (
   JOIN documents da ON p.id_a = da.doc_id
   JOIN documents db ON p.id_b = db.doc_id)
 SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
-       ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+       CAST((CAST(SUM(CAST(jaccard AS DECIMAL(10,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS mean_jaccard
 FROM j GROUP BY source_lo, source_hi
 """
 
@@ -815,8 +815,8 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "n_truth",
             F.coalesce(F.col("__h"), F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("__h"), F.lit(0)) / F.col("n_truth"), 6
+            round_ratio6(
+                F.coalesce(F.col("__h"), F.lit(0)), F.col("n_truth")
             ).alias("recall_at_k"),
         )
     )
@@ -834,7 +834,7 @@ hits AS (
 pt AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
 ph AS (SELECT query_id, COUNT(*) AS n_hits FROM hits GROUP BY 1)
 SELECT pt.query_id, pt.n_truth, COALESCE(ph.n_hits, 0) AS n_hits,
-       ROUND(COALESCE(ph.n_hits, 0) / CAST(pt.n_truth AS DOUBLE), 6) AS recall_at_k
+       CAST((CAST(COALESCE(ph.n_hits, 0) AS HUGEINT) * 1000000 * 2 + CAST(pt.n_truth AS HUGEINT)) // (CAST(pt.n_truth AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS recall_at_k
 FROM pt LEFT JOIN ph ON pt.query_id = ph.query_id
 """
 
@@ -865,8 +865,7 @@ pairs AS (
   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
 SELECT p.term_a, p.term_b, p.n_xy,
        ta.dfreq AS df_a, tb.dfreq AS df_b,
-       ROUND((CAST(p.n_xy AS DOUBLE) * CAST(nd.n AS DOUBLE))
-             / (CAST(ta.dfreq AS DOUBLE) * CAST(tb.dfreq AS DOUBLE)), 6) AS lift
+       CAST((CAST(p.n_xy * nd.n AS HUGEINT) * 1000000 * 2 + CAST(ta.dfreq * tb.dfreq AS HUGEINT)) // (CAST(ta.dfreq * tb.dfreq AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS lift
 FROM pairs p
 JOIN tf ta ON p.term_a = ta.term
 JOIN tf tb ON p.term_b = tb.term, nd

@@ -230,10 +230,9 @@ SELECT d.antecedent, d.consequent,
        CAST(ia.item_n AS BIGINT) AS ant_n,
        CAST(ic.item_n AS BIGINT) AS con_n,
        CAST(t.n_baskets AS BIGINT) AS n_baskets,
-       ROUND(CAST(d.pair_n AS DOUBLE) / CAST(t.n_baskets AS DOUBLE), 6) AS support,
-       ROUND(CAST(d.pair_n AS DOUBLE) / CAST(ia.item_n AS DOUBLE), 6) AS confidence,
-       ROUND(CAST(d.pair_n * t.n_baskets AS DOUBLE)
-             / CAST(ia.item_n * ic.item_n AS DOUBLE), 6) AS lift
+       CAST((CAST(d.pair_n AS HUGEINT) * 1000000 * 2 + CAST(t.n_baskets AS HUGEINT)) // (CAST(t.n_baskets AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS support,
+       CAST((CAST(d.pair_n AS HUGEINT) * 1000000 * 2 + CAST(ia.item_n AS HUGEINT)) // (CAST(ia.item_n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS confidence,
+       CAST((CAST(d.pair_n * t.n_baskets AS HUGEINT) * 1000000 * 2 + CAST(ia.item_n * ic.item_n AS HUGEINT)) // (CAST(ia.item_n * ic.item_n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS lift
 FROM directed d
 JOIN item_n ia ON d.antecedent = ia.item
 JOIN item_n ic ON d.consequent = ic.item

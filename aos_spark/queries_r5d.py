@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aos_spark.io.readers import read_sf_table
+from aos_spark.ops.exact_round import round_ratio6
 from aos_spark.llm.dedup import (
     MINHASH_PRIME,
     ensure_min_partitions,
@@ -118,7 +119,7 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_grams",
         "n_novel",
-        F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias(
+        round_ratio6(F.col("n_novel"), F.col("n_grams")).alias(
             "novelty_rate"
         ),
     )
@@ -142,8 +143,7 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
        CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS n_novel,
-       ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS novelty_rate
+       CAST((CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS novelty_rate
 FROM f GROUP BY source
 """
 
@@ -169,9 +169,7 @@ def q_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n_paths",
-        F.round(F.col("n_paths").cast("double") / F.col("n_from"), 6).alias(
-            "prob"
-        ),
+        round_ratio6(F.col("n_paths"), F.col("n_from")).alias("prob"),
     )
 
 
@@ -189,7 +187,7 @@ t AS (
          CAST(SUM(n_paths) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
   FROM c)
 SELECT from_type, to_type, n_paths,
-       ROUND(CAST(n_paths AS DOUBLE) / n_from, 6) AS prob
+       CAST((CAST(n_paths AS HUGEINT) * 1000000 * 2 + CAST(n_from AS HUGEINT)) // (CAST(n_from AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS prob
 FROM t
 """
 

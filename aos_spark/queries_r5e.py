@@ -37,6 +37,7 @@ from aos_spark.llm.dedup import (
     shingle_intersection_counts,
 )
 from aos_spark.ops import sketches
+from aos_spark.ops.exact_round import round_ratio6
 
 R5E_QUERIES: dict = {}
 R5E_ORACLES: dict = {}
@@ -197,9 +198,7 @@ def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all test SFs) results are bit-identical to the uncapped oracle."""
     d = _t(spark, sf_dir, "documents")
     inter = shingle_intersection_counts(d, "doc_id", "text", 3)
-    containment = F.round(
-        F.col("n_common").cast("double") / F.least("n_a", "n_b"), 6
-    )
+    containment = round_ratio6(F.col("n_common"), F.least("n_a", "n_b"))
     return (
         inter.withColumn("containment", containment)
         .filter(F.col("containment") >= 0.5)
@@ -223,9 +222,9 @@ inter AS (
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b, n_common,
-       ROUND(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b), 6) AS containment
+       CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(LEAST(n_a, n_b) AS HUGEINT)) // (CAST(LEAST(n_a, n_b) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS containment
 FROM inter
-WHERE ROUND(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b), 6) >= 0.5
+WHERE CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(LEAST(n_a, n_b) AS HUGEINT)) // (CAST(LEAST(n_a, n_b) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 >= 0.5
 """
 
 

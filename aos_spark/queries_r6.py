@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from aos_spark.io.readers import read_sf_table
 from aos_spark.llm.setjoin import ppjoin_pairs
+from aos_spark.ops.exact_round import round_ratio6
 from aos_spark.ops.layout import chunk_minmax_census, zorder_key, zorder_key_sql
 
 R6_QUERIES: dict = {}
@@ -65,7 +66,7 @@ inter AS (
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b,
-       ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+       CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(n_a + n_b - n_common AS HUGEINT)) // (CAST(n_a + n_b - n_common AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS jaccard
 FROM inter
 WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
 """
@@ -285,7 +286,7 @@ sel AS (
   SELECT DISTINCT doc_id, n_grams, wmin
   FROM win WHERE pos <= GREATEST(n_grams - 4, 0))
 SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_selected,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / n_grams, 6) AS density
+       CAST((CAST(COUNT(*) AS HUGEINT) * 1000000 * 2 + CAST(n_grams AS HUGEINT)) // (CAST(n_grams AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS density
 FROM sel GROUP BY doc_id, n_grams
 """
 
@@ -343,8 +344,8 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "n_truth",
         F.coalesce(F.col("__h"), F.lit(0)).alias("n_hits"),
-        F.round(
-            F.coalesce(F.col("__h"), F.lit(0)) / F.col("n_truth"), 6
+        round_ratio6(
+            F.coalesce(F.col("__h"), F.lit(0)), F.col("n_truth")
         ).alias("recall_at_k"),
     )
 
@@ -374,7 +375,7 @@ hits AS (
 pt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
 ph AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY 1)
 SELECT pt.query_id, pt.n_truth, COALESCE(ph.n_hits, 0) AS n_hits,
-       ROUND(COALESCE(ph.n_hits, 0) / CAST(pt.n_truth AS DOUBLE), 6) AS recall_at_k
+       CAST((CAST(COALESCE(ph.n_hits, 0) AS HUGEINT) * 1000000 * 2 + CAST(pt.n_truth AS HUGEINT)) // (CAST(pt.n_truth AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS recall_at_k
 FROM pt LEFT JOIN ph ON pt.query_id = ph.query_id
 """
 
@@ -420,8 +421,8 @@ inter AS (
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2, 3, 4),
 pairs AS (
-  SELECT ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
-  FROM inter WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= {lo}),
+  SELECT CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(n_a + n_b - n_common AS HUGEINT)) // (CAST(n_a + n_b - n_common AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS jaccard
+  FROM inter WHERE CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(n_a + n_b - n_common AS HUGEINT)) // (CAST(n_a + n_b - n_common AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 >= {lo}),
 fanned AS (
   SELECT t.threshold_pm
   FROM pairs, UNNEST([{pm_list}]) AS t(threshold_pm)
@@ -489,7 +490,7 @@ inter AS (
   GROUP BY 1, 2, 3, 4),
 pairs AS (
   SELECT id_a, id_b FROM inter
-  WHERE ROUND(n_common / (n_a + n_b - n_common), 6) >= 0.5),
+  WHERE CAST((CAST(n_common AS HUGEINT) * 1000000 * 2 + CAST(n_a + n_b - n_common AS HUGEINT)) // (CAST(n_a + n_b - n_common AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 >= 0.5),
 sp AS (
   SELECT doc_id,
          CASE WHEN bucket < 80 THEN 'train'
@@ -899,9 +900,7 @@ def q_shard_rebalance_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method",
         "n_docs",
         "n_moved",
-        F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6).alias(
-            "moved_share"
-        ),
+        round_ratio6(F.col("n_moved"), F.col("n_docs")).alias("moved_share"),
     )
 
 
@@ -929,13 +928,12 @@ WITH docs AS (
 {ring_cte("new", _N_SHARDS + 1)}
 SELECT 'mod' AS method, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN h % {_N_SHARDS} <> h % {_N_SHARDS + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
-       ROUND(CAST(SUM(CASE WHEN h % {_N_SHARDS} <> h % {_N_SHARDS + 1} THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS moved_share
+       CAST((CAST(SUM(CASE WHEN h % {_N_SHARDS} <> h % {_N_SHARDS + 1} THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS moved_share
 FROM docs
 UNION ALL
 SELECT 'ring', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END) AS BIGINT),
-       ROUND(CAST(SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+       CAST((CAST(SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
 FROM asg_old o JOIN asg_new n USING (doc_id, h)
 """
 

@@ -238,7 +238,14 @@ def main() -> int:
         # only attributable because the red artifact's ROW COUNTS happened
         # to betray that the run had executed at sf0.1 — record it outright.
         artifact = {"__env__": env_fingerprint(spark) | {"sf_dir": sf_dir}} | results
-        out = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
+        if sf_dir.rstrip("/").endswith("sf0.01"):
+            out = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
+        else:
+            # Diagnostic sweeps at other SFs must not clobber the artifact
+            # of record (its lock asserts __env__.sf_dir is the sf0.01
+            # gate) — they get their own file, kept as evidence.
+            sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "")
+            out = Path(__file__).resolve().parent.parent / f"GATE_{sf_tag.upper()}_DIAG.json"
         out.write_text(json.dumps(artifact, indent=2) + "\n")
         print(f"wrote {out} ({len(results)} queries)")
     return 1 if n_fail else 0
