@@ -85,12 +85,24 @@ def sql_scaled_round6(x: str) -> str:
     Caveat: |x| must stay below 2^52/10^6 ≈ 4.5e9 (scaled value must be
     in the exact-integer double range) — true for every ratio/score/
     probability output."""
-    return f"ROUND(({x}) * 1000000.0, 0) / 1000000.0"
+    return sql_scaled_round(x, 6)
+
+
+def sql_scaled_round(x: str, scale: int) -> str:
+    """:func:`sql_scaled_round6` at an arbitrary decimal scale."""
+    p = float(10 ** scale)
+    return f"ROUND(({x}) * {p!r}, 0) / {p!r}"
 
 
 def scaled_round6(x: Column) -> Column:
     """Column form of :func:`sql_scaled_round6`."""
-    return F.round(x * F.lit(1_000_000.0), 0) / F.lit(1_000_000.0)
+    return scaled_round(x, 6)
+
+
+def scaled_round(x: Column, scale: int) -> Column:
+    """Column form of :func:`sql_scaled_round`."""
+    p = float(10 ** scale)
+    return F.round(x * F.lit(p), 0) / F.lit(p)
 
 
 def round_ratio6_micro(num_micro: Column, den: Column) -> Column:

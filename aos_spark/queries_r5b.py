@@ -387,9 +387,9 @@ def _incremental_dedup_oracle(
         for bi in range(bands)
     )
     jac = (
-        "ROUND(CAST(len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS DOUBLE)"
-        " / (len(x.shingles) + len(y.shingles)"
-        " - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))), 6)"
+        "CAST((CAST(len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS HUGEINT) * 1000000 * 2"
+        " + CAST((len(x.shingles) + len(y.shingles) - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))) AS HUGEINT))"
+        " // (CAST((len(x.shingles) + len(y.shingles) - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0"
     )
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
@@ -473,9 +473,9 @@ def _lsh_recall_oracle(
         for bi in range(bands)
     )
     jac = (
-        "ROUND(CAST(len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS DOUBLE)"
-        " / (len(x.shingles) + len(y.shingles)"
-        " - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))), 6)"
+        "CAST((CAST(len(list_filter(x.shingles, s -> list_contains(y.shingles, s))) AS HUGEINT) * 1000000 * 2"
+        " + CAST((len(x.shingles) + len(y.shingles) - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))) AS HUGEINT))"
+        " // (CAST((len(x.shingles) + len(y.shingles) - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0"
     )
     return f"""
 WITH sample_ids AS (
@@ -889,7 +889,7 @@ def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_label = Window.partitionBy("labeled_lang")
     return conf.withColumn(
         "share",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(per_label), 6),
+        round_ratio6(F.col("n_docs"), F.sum("n_docs").over(per_label)),
     )
 
 
@@ -902,7 +902,7 @@ conf AS (
   SELECT labeled_lang, detected_lang, COUNT(*) AS n_docs
   FROM detected GROUP BY 1, 2)
 SELECT labeled_lang, detected_lang, n_docs,
-       ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6) AS share
+       CAST((CAST(n_docs AS HUGEINT) * 1000000 * 2 + CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS HUGEINT)) // (CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS share
 FROM conf
 """
 

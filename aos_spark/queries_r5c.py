@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aos_spark.io.readers import read_sf_table
+from aos_spark.ops.exact_round import scaled_round
 
 R5C_QUERIES: dict = {}
 R5C_ORACLES: dict = {}
@@ -766,9 +767,9 @@ def q_welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n1",
         "n2",
-        F.round(m1, 4).alias("mean_urgent"),
-        F.round(m2, 4).alias("mean_low"),
-        F.round(m1 - m2, 4).alias("mean_diff"),
+        scaled_round(m1, 4).alias("mean_urgent"),
+        scaled_round(m2, 4).alias("mean_low"),
+        scaled_round(m1 - m2, 4).alias("mean_diff"),
         F.round(t, 6).alias("t_stat"),
         F.round(dfw, 2).alias("welch_df"),
     )
@@ -790,9 +791,9 @@ WITH m AS (
   FROM orders
   WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
 SELECT n1, n2,
-       ROUND(s1 / CAST(n1 AS DOUBLE), 4) AS mean_urgent,
-       ROUND(s2 / CAST(n2 AS DOUBLE), 4) AS mean_low,
-       ROUND(s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE), 4) AS mean_diff,
+       ROUND((s1 / CAST(n1 AS DOUBLE)) * 10000.0, 0) / 10000.0 AS mean_urgent,
+       ROUND((s2 / CAST(n2 AS DOUBLE)) * 10000.0, 0) / 10000.0 AS mean_low,
+       ROUND((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE)) * 10000.0, 0) / 10000.0 AS mean_diff,
        ROUND((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
              / SQRT(((ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
                     + ((ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)),

@@ -305,9 +305,7 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)).select(
         "digit",
         "n_orders",
-        F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias(
-            "share"
-        ),
+        round_ratio6(F.col("n_orders"), F.col("total")).alias("share"),
     )
 
 
@@ -320,7 +318,7 @@ c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY 1),
 t AS (SELECT digit, n_orders,
              CAST(SUM(n_orders) OVER () AS BIGINT) AS total FROM c)
 SELECT digit, n_orders,
-       ROUND(CAST(n_orders AS DOUBLE) / total, 6) AS share
+       CAST((CAST(n_orders AS HUGEINT) * 1000000 * 2 + CAST(total AS HUGEINT)) // (CAST(total AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS share
 FROM t
 """
 
