@@ -85,11 +85,24 @@ def test_no_query_uses_rdds(spark):
 
 def test_registry_wide_no_cartesian_and_global_window_allowlist(spark):
     """Sweep EVERY registered query's plan: no CartesianProduct anywhere,
-    and the set of queries whose plan contains a GLOBAL (unpartitioned)
-    window must equal the reviewed allowlist below — each allowlisted
-    query's global window runs over a BOUNDED dim frame (a histogram,
-    a |strata| plan, a vocab), never the fact table. A new query that
-    accidentally windows the corpus globally turns this red."""
+    no row-at-a-time Python eval anywhere, the GLOBAL-window set must
+    equal the reviewed allowlist below — each allowlisted query's global
+    window runs over a BOUNDED dim frame (a histogram, a |strata| plan,
+    a vocab), never the fact table — and each query's plan-node
+    fingerprint (shuffle/broadcast/join/sort/Python counts) must match
+    the committed ``PLAN_FINGERPRINT.json``, so an edit that silently
+    adds a shuffle or downgrades a broadcast join to ANY of the 203
+    queries fails here instead of at 100 TB. On intended plan changes,
+    review the printed drift and regenerate with
+    ``python scripts/plan_fingerprint.py``."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from plan_fingerprint import ARTIFACT, diff, fingerprint_plan  # noqa: E402
+
+    from aos_spark.cache import release_tracked
     from aos_spark.queries import QUERIES
 
     # reviewed r6: every entry windows a bounded frame (histogram bins,
@@ -108,8 +121,13 @@ def test_registry_wide_no_cartesian_and_global_window_allowlist(spark):
         for i in range(p.children().size()):
             yield from nodes(p.children().apply(i))
 
-    cartesian, global_win = [], set()
-    for name, fn in QUERIES.items():
+    cartesian, global_win, fingerprints = [], set(), {}
+    for name, fn in sorted(QUERIES.items()):
+        # same cache hygiene as the generator: caches left by earlier
+        # queries (or earlier tests) change later plans, so every query
+        # is fingerprinted against an empty cache
+        release_tracked()
+        spark.catalog.clearCache()
         df = fn(spark, SF)
         opt = df._jdf.queryExecution().optimizedPlan()
         for n in nodes(opt):
@@ -118,10 +136,28 @@ def test_registry_wide_no_cartesian_and_global_window_allowlist(spark):
                 and n.partitionSpec().isEmpty()
             ):
                 global_win.add(name)
-        if "CartesianProduct" in df._jdf.queryExecution().executedPlan().toString():
+        plan_str = df._jdf.queryExecution().executedPlan().toString()
+        fingerprints[name] = fingerprint_plan(plan_str)
+        if "CartesianProduct" in plan_str:
             cartesian.append(name)
+    release_tracked()
+    spark.catalog.clearCache()
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     unexpected = global_win - GLOBAL_WINDOW_OK
     stale = GLOBAL_WINDOW_OK - global_win
     assert not unexpected, f"new GLOBAL windows (corpus-wide sort risk): {sorted(unexpected)}"
     assert not stale, f"allowlist entries no longer global-windowed: {sorted(stale)}"
+
+    # row-at-a-time Python eval is the anti-pattern — zero, independently
+    # of whatever the committed artifact says
+    row_py = sorted(n for n, f in fingerprints.items() if f["row_python"])
+    assert not row_py, f"BatchEvalPython (row-at-a-time UDF) in: {row_py}"
+
+    committed = json.loads(ARTIFACT.read_text())["queries"]
+    drift = diff(committed, fingerprints)
+    assert not drift, (
+        "plan fingerprint drift vs PLAN_FINGERPRINT.json — review each "
+        "line (intended improvement → regenerate via `python "
+        "scripts/plan_fingerprint.py`; accidental shuffle/join regression "
+        "→ fix the code):\n" + "\n".join(drift)
+    )
