@@ -10,25 +10,35 @@ surfacing as a 100 TB incident. Counts (not full plan-string hashes) so
 the lock is robust to expression-id / path churn while still pinning the
 exchange structure.
 
-Node classes counted (from ``executedPlan().toString()`` — the AQE
-*initial* plan, deterministic for fixed code + fixed input files, no
-execution needed):
+Counting walks the JVM plan TREE, not the explain string: a plan string
+re-prints every ``InMemoryRelation``'s cached build plan under each of
+its consumers (triangle_count's 5-consumer edge cache printed as 66
+exchanges when its own job runs zero), so string counts misstate what
+executes. The walk descends through ``AdaptiveSparkPlanExec.initialPlan``
+(the deterministic pre-AQE shape) and into each unique cached relation's
+build plan exactly ONCE — matching a cold run, where each persist
+materializes once regardless of consumer count.
 
-- ``shuffles``       Exchange hash/range/SinglePartition (each is a full
-                     shuffle of its input at scale)
-- ``broadcasts``     BroadcastExchange (small-side hash relation builds)
-- ``smj``            SortMergeJoin
-- ``bhj``            BroadcastHashJoin
-- ``bnlj``           BroadcastNestedLoopJoin (bounded-side inequality joins)
-- ``sorts``          Sort nodes (global or per-partition)
+Node classes counted:
+
+- ``shuffles``       ShuffleExchangeExec (full shuffle of its input)
+- ``broadcasts``     BroadcastExchangeExec (small-side builds)
+- ``smj``            SortMergeJoinExec
+- ``bhj``            BroadcastHashJoinExec
+- ``shj``            ShuffledHashJoinExec
+- ``bnlj``           BroadcastNestedLoopJoinExec (bounded-side inequality)
+- ``cartesian``      CartesianProductExec — asserted zero by the test
+- ``sorts``          SortExec (global or per-partition)
+- ``cache_scans``    InMemoryTableScanExec consumers
+- ``cache_builds``   unique cached relations (each builds once per run)
 - ``arrow_python``   ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
-                     (+WithState) / AggregateInPandas — the sanctioned
-                     vectorized Python path
-- ``row_python``     BatchEvalPython — row-at-a-time Python UDFs; the
+                     (+WithState) / AggregateInPandas / MapInBatch — the
+                     sanctioned vectorized Python path
+- ``row_python``     BatchEvalPythonExec — row-at-a-time Python UDFs; the
                      anti-pattern, asserted ZERO for every query
 
 Usage:
-    python scripts/plan_fingerprint.py [sf_dir]        # (re)generate
+    python scripts/plan_fingerprint.py [sf_dir]          # (re)generate
     python scripts/plan_fingerprint.py --check [sf_dir]  # diff, exit 1 on drift
 
 Regenerate ONLY after reviewing the diff the failing test prints: a
@@ -39,7 +49,6 @@ artifact with the code change) or an accidental regression (fix the code).
 from __future__ import annotations
 
 import json
-import re
 import sys
 from pathlib import Path
 
@@ -48,34 +57,67 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 ARTIFACT = Path(__file__).resolve().parent.parent / "PLAN_FINGERPRINT.json"
 DEFAULT_SF = "/root/testdata/sf0.01"
 
-# node-name → fingerprint key; matched as word-prefixed operator names so
-# e.g. "ReusedExchange" never counts as a shuffle and "SortAggregate"
-# never counts as a Sort.
-_PATTERNS: dict[str, re.Pattern[str]] = {
-    "shuffles": re.compile(
-        r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
-    ),
-    "broadcasts": re.compile(r"\bBroadcastExchange\b"),
-    "smj": re.compile(r"\bSortMergeJoin\b"),
-    "bhj": re.compile(r"\bBroadcastHashJoin\b"),
-    "bnlj": re.compile(r"\bBroadcastNestedLoopJoin\b"),
-    "sorts": re.compile(r"\bSort \["),
-    "arrow_python": re.compile(
-        r"\b(?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas(?:WithState)?"
-        r"|AggregateInPandas|MapInArrow)\b"
-    ),
-    "row_python": re.compile(r"\bBatchEvalPython\b"),
+_CLASS_KEYS: dict[str, str] = {
+    "ShuffleExchangeExec": "shuffles",
+    "BroadcastExchangeExec": "broadcasts",
+    "SortMergeJoinExec": "smj",
+    "BroadcastHashJoinExec": "bhj",
+    "ShuffledHashJoinExec": "shj",
+    "BroadcastNestedLoopJoinExec": "bnlj",
+    "CartesianProductExec": "cartesian",
+    "SortExec": "sorts",
+    "InMemoryTableScanExec": "cache_scans",
+    "ArrowEvalPythonExec": "arrow_python",
+    "ArrowEvalPythonUDTFExec": "arrow_python",
+    "MapInPandasExec": "arrow_python",
+    "MapInBatchExec": "arrow_python",
+    "MapInArrowExec": "arrow_python",
+    "FlatMapGroupsInPandasExec": "arrow_python",
+    "FlatMapGroupsInPandasWithStateExec": "arrow_python",
+    "FlatMapCoGroupsInPandasExec": "arrow_python",
+    "AggregateInPandasExec": "arrow_python",
+    "WindowInPandasExec": "arrow_python",
+    "BatchEvalPythonExec": "row_python",
+    "BatchEvalPythonUDTFExec": "row_python",
 }
 
+KEYS = [
+    "shuffles", "broadcasts", "smj", "bhj", "shj", "bnlj", "cartesian",
+    "sorts", "cache_scans", "cache_builds", "arrow_python", "row_python",
+]
 
-def fingerprint_plan(plan_str: str) -> dict[str, int]:
-    """Count plan-shape-critical nodes in a physical-plan string."""
-    return {key: len(pat.findall(plan_str)) for key, pat in _PATTERNS.items()}
+
+def _walk(plan, counts: dict[str, int], seen_caches: set[int]) -> None:
+    name = plan.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        # leaf wrapper; the deterministic pre-AQE shape is initialPlan
+        # (a cached relation materialized at construction time carries an
+        # already-finalized adaptive plan — its initial plan is still the
+        # right session-independent census)
+        _walk(plan.initialPlan(), counts, seen_caches)
+        return
+    key = _CLASS_KEYS.get(name)
+    if key:
+        counts[key] += 1
+    if name == "InMemoryTableScanExec":
+        rel = plan.relation()
+        cache_id = rel.cacheBuilder().hashCode()
+        if cache_id not in seen_caches:
+            seen_caches.add(cache_id)
+            counts["cache_builds"] += 1
+            _walk(rel.cachedPlan(), counts, seen_caches)
+        return
+    for i in range(plan.children().size()):
+        _walk(plan.children().apply(i), counts, seen_caches)
 
 
 def query_fingerprint(df) -> dict[str, int]:
-    """Fingerprint a DataFrame's initial physical plan (no execution)."""
-    return fingerprint_plan(df._jdf.queryExecution().executedPlan().toString())
+    """Fingerprint a DataFrame's initial physical plan (no execution of
+    the query itself; construction-time persists may run jobs, as they
+    do on any cold run)."""
+    counts = {k: 0 for k in KEYS}
+    _walk(df._jdf.queryExecution().executedPlan(), counts, set())
+    return counts
 
 
 def sweep(spark, sf_dir: str) -> dict[str, dict[str, int]]:
@@ -145,7 +187,7 @@ def main() -> int:
         )
         + "\n"
     )
-    totals = {k: sum(q[k] for q in fp.values()) for k in _PATTERNS}
+    totals = {k: sum(q[k] for q in fp.values()) for k in KEYS}
     print(f"wrote {ARTIFACT.name}: {len(fp)} queries, totals {totals}")
     return 0
 

@@ -100,7 +100,7 @@ def test_registry_wide_no_cartesian_and_global_window_allowlist(spark):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
-    from plan_fingerprint import ARTIFACT, diff, fingerprint_plan  # noqa: E402
+    from plan_fingerprint import ARTIFACT, diff, query_fingerprint  # noqa: E402
 
     from aos_spark.cache import release_tracked
     from aos_spark.queries import QUERIES
@@ -136,9 +136,8 @@ def test_registry_wide_no_cartesian_and_global_window_allowlist(spark):
                 and n.partitionSpec().isEmpty()
             ):
                 global_win.add(name)
-        plan_str = df._jdf.queryExecution().executedPlan().toString()
-        fingerprints[name] = fingerprint_plan(plan_str)
-        if "CartesianProduct" in plan_str:
+        fingerprints[name] = query_fingerprint(df)
+        if fingerprints[name]["cartesian"]:
             cartesian.append(name)
     release_tracked()
     spark.catalog.clearCache()
