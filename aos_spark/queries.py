@@ -140,49 +140,59 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax1 = (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
     disc_price = e * disc1          # decimal(19,4), exact
     charge = (e * disc1) * tax1     # decimal(24,6), exact
+    # ONE decimal sum buffer per column: the sums feed both the sum_* output
+    # (cast to double) and the engine-exact averages (derived in the post-agg
+    # projection, which Catalyst fuses into the final HashAggregate's result
+    # expressions — no extra stage). Both columns are 2-decimal-valued, so
+    # the decimal(18,2) sum equals the old dedicated decimal(18,6) avg
+    # numerator exactly; ROUND(double_sum/count, 6) of an arbitrary quotient
+    # stays cross-engine knife-edge unsafe, hence round_ratio6_micro
+    # (ops/exact_round) on the micro-scaled exact sums.
+    micro = F.lit(1_000_000).cast("decimal(7,0)")  # keeps the product ≤ p38
     out = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__sp"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
-            # engine-exact mean (ops/exact_round): ROUND(double_sum/count, 6)
-            # of an arbitrary quotient is cross-engine knife-edge unsafe
-            round_ratio6_micro(
-                F.sum(F.col("l_quantity").cast("decimal(18,6)")) * 1_000_000,
-                F.count(F.lit(1)),
-            ).alias("avg_qty"),
-            round_ratio6_micro(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-                * 1_000_000,
-                F.count(F.lit(1)),
-            ).alias("avg_price"),
         )
         .select(
-            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-            "sum_disc_price", "sum_charge", "count_order", "avg_qty",
-            "avg_price",
+            "l_returnflag", "l_linestatus",
+            F.col("__sq").cast("double").alias("sum_qty"),
+            F.col("__sp").cast("double").alias("sum_base_price"),
+            "sum_disc_price", "sum_charge", "count_order",
+            round_ratio6_micro(
+                F.col("__sq") * micro, F.col("count_order")
+            ).alias("avg_qty"),
+            round_ratio6_micro(
+                F.col("__sp") * micro, F.col("count_order")
+            ).alias("avg_price"),
         )
     )
     return out
 
 
-ORACLE_PRICING = f"""
+ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       {_dsum_sql('l_quantity')} AS sum_qty,
-       {_dsum_sql('l_extendedprice')} AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-                * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-       COUNT(*) AS count_order,
-       CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
-       CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(*) AS HUGEINT)) // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_price
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(__sq AS DOUBLE) AS sum_qty,
+       CAST(__sp AS DOUBLE) AS sum_base_price,
+       sum_disc_price, sum_charge, count_order,
+       CAST((CAST(__sq * 1000000 AS HUGEINT) * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
+       CAST((CAST(__sp * 1000000 AS HUGEINT) * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_price
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS __sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS __sp,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                  * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+         COUNT(*) AS count_order
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus)
 """
 
 

@@ -865,7 +865,7 @@ pairs AS (
   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
 SELECT p.term_a, p.term_b, p.n_xy,
        ta.dfreq AS df_a, tb.dfreq AS df_b,
-       CAST((CAST(p.n_xy * nd.n AS HUGEINT) * 1000000 * 2 + CAST(ta.dfreq * tb.dfreq AS HUGEINT)) // (CAST(ta.dfreq * tb.dfreq AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS lift
+       CAST((CAST(p.n_xy AS HUGEINT) * CAST(nd.n AS HUGEINT) * 1000000 * 2 + CAST(ta.dfreq AS HUGEINT) * CAST(tb.dfreq AS HUGEINT)) // (CAST(ta.dfreq AS HUGEINT) * CAST(tb.dfreq AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS lift
 FROM pairs p
 JOIN tf ta ON p.term_a = ta.term
 JOIN tf tb ON p.term_b = tb.term, nd

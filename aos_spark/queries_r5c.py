@@ -233,7 +233,7 @@ SELECT d.antecedent, d.consequent,
        CAST(t.n_baskets AS BIGINT) AS n_baskets,
        CAST((CAST(d.pair_n AS HUGEINT) * 1000000 * 2 + CAST(t.n_baskets AS HUGEINT)) // (CAST(t.n_baskets AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS support,
        CAST((CAST(d.pair_n AS HUGEINT) * 1000000 * 2 + CAST(ia.item_n AS HUGEINT)) // (CAST(ia.item_n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS confidence,
-       CAST((CAST(d.pair_n * t.n_baskets AS HUGEINT) * 1000000 * 2 + CAST(ia.item_n * ic.item_n AS HUGEINT)) // (CAST(ia.item_n * ic.item_n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS lift
+       CAST((CAST(d.pair_n AS HUGEINT) * CAST(t.n_baskets AS HUGEINT) * 1000000 * 2 + CAST(ia.item_n AS HUGEINT) * CAST(ic.item_n AS HUGEINT)) // (CAST(ia.item_n AS HUGEINT) * CAST(ic.item_n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS lift
 FROM directed d
 JOIN item_n ia ON d.antecedent = ia.item
 JOIN item_n ic ON d.consequent = ic.item

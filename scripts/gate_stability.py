@@ -106,9 +106,11 @@ def main() -> int:
     default_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
 
     spark_passes = []
+    resolved_shuffles = []  # what each pass ACTUALLY ran under, for forensics
     for i in range(n_passes):
         shuffle = shuffles[i % len(shuffles)]
         shuffle = default_shuffle if shuffle == "default" else shuffle
+        resolved_shuffles.append(int(shuffle))
         t0 = time.time()
         spark_passes.append(spark_pass(spark, names, sf_dir, shuffle))
         print(f"spark pass {i + 1}/{n_passes} (shuffle={shuffle}): "
@@ -123,15 +125,20 @@ def main() -> int:
         "sf_dir": sf_dir,
         "n_queries": len(names),
         "spark_passes": n_passes,
-        "shuffle_partitions_per_pass": shuffles[:n_passes],
+        "shuffle_partitions_per_pass": resolved_shuffles,
         "duckdb_threads_per_pass": ["auto", 1],
         "unstable": unstable,
         "env": env_fingerprint(spark),
     }
     if not only:
-        (ROOT / "GATE_STABILITY.json").write_text(
-            json.dumps(summary, indent=2) + "\n"
-        )
+        # same guard as check_oracle.py: diagnostic sweeps at other SFs
+        # must not clobber the sf0.01 artifact of record
+        if sf_dir.rstrip("/").endswith("sf0.01"):
+            out = ROOT / "GATE_STABILITY.json"
+        else:
+            sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "")
+            out = ROOT / f"GATE_STABILITY_{sf_tag.upper()}_DIAG.json"
+        out.write_text(json.dumps(summary, indent=2) + "\n")
     if unstable:
         rounds = [int(p.stem.split("_r")[1])
                   for p in ROOT.glob("CORRECTNESS_r*.json")]

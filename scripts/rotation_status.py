@@ -91,9 +91,10 @@ def suggested_front(names: list[str], sampled: dict[str, tuple[int, bool]]) -> l
     """The full priority order (callers slice to DRIVER_WINDOW)."""
     pos = {n: i for i, n in enumerate(names)}
     reds = [n for n in names if n in sampled and not sampled[n][1]]
+    suspect_set = mismatch_suspects(sampled)  # one log parse, not one per name
     suspects = [
         n for n in names
-        if n in mismatch_suspects(sampled) and n not in set(reds)
+        if n in suspect_set and n not in set(reds)
     ]
     never = [n for n in names if n not in sampled and n not in set(suspects)]
     greens = sorted(
