@@ -182,3 +182,64 @@ SELECT MAX(c) FROM (
             f"{sf}: a shingle appears in {max_df} docs > cap {cap} — the "
             "capped Spark machinery and the uncapped oracles now diverge"
         )
+
+
+def test_oracle_inline_rounding_idioms_are_structurally_certified():
+    """Every integral-division rounding idiom hand-inlined in an oracle
+    string must have EXACTLY the certified exact_round shape, so the
+    fuzz certification of ops/exact_round transfers to the inline copies.
+
+    Round 9's review weighed interpolating duck_round_ratio6() into the
+    ~40 oracle f-strings versus keeping the inline SQL; interpolation
+    would require converting large plain-string oracles to f-strings
+    (brace-escaping churn across six files) for zero value change, so
+    the repo keeps the inline idiom and this test makes the
+    copy-consistency review MECHANICAL instead of manual: for every
+    occurrence, the half-up bias term must equal the divisor operand
+    (num·2·s + d) // (d·2) — a numerator/denominator copy-paste mismatch
+    here silently rounds against the wrong denominator, the exact bug
+    class the idiom exists to prevent — the divisor must be a HUGEINT
+    cast, and the numerator must be micro-scaled. Any OTHER integral
+    division in an oracle must be on the reviewed allowlist below."""
+    import re
+
+    from aos_spark.queries import ORACLES
+
+    idiom = re.compile(
+        r"CAST\(\((?P<left>.+?) \* 2 \+ (?P<bias>.+?)\) "
+        r"// \((?P<div>.+?) \* 2\) AS DOUBLE\) / 1000000\.0"
+    )
+    # reviewed non-rounding integral divisions (each exact and
+    # engine-identical on its non-negative operands):
+    allowed_other = [
+        # RRF's exact micro-unit score 1e9 // (60 + rank)
+        re.compile(r"\d+ // \(60 \+ [a-z]+\.rank\)"),
+        # constant bucketing (chunk ids, length bands): x // <int literal>
+        re.compile(r"\w+ // \d+\b"),
+        # the order_autocorrelation floor-mean: micro-scaled decimal sum
+        # // COUNT(*) with NO half-up bias, BY DESIGN — both engines
+        # truncate non-negative integral division identically; mirrored
+        # by Spark's `div` and locked by test_stats_cross_engine.py
+        re.compile(r"AS HUGEINT\) // COUNT\(\*\)"),
+    ]
+
+    bad = []
+    for name, sql in ORACLES.items():
+        stripped = sql
+        for m in idiom.finditer(sql):
+            left, bias, div = m.group("left"), m.group("bias"), m.group("div")
+            if bias != div:
+                bad.append((name, f"bias != divisor: {bias!r} vs {div!r}"))
+            if not (div.startswith("CAST(") and div.endswith("AS HUGEINT)")):
+                bad.append((name, f"divisor not a HUGEINT cast: {div!r}"))
+            if not (
+                left.endswith("* 1000000")
+                or re.search(r"\* 1000000 AS HUGEINT\)$", left)
+            ):
+                bad.append((name, f"numerator not micro-scaled: {left!r}"))
+            stripped = stripped.replace(m.group(0), "")
+        for rest in re.finditer(r".{0,40}//.{0,40}", stripped):
+            frag = rest.group(0)
+            if not any(p.search(frag) for p in allowed_other):
+                bad.append((name, f"unvetted integral division: ...{frag}..."))
+    assert not bad, "\n".join(f"{n}: {msg}" for n, msg in bad)
