@@ -31,6 +31,12 @@ def env_fingerprint(spark=None) -> dict:
         "duckdb": duckdb.__version__,
         "platform": platform.platform(),
         "cpu_count": os.cpu_count(),
+        # load at capture time: round 9 saw back-to-back sweeps differ
+        # 25% on identical code purely from machine load — without this
+        # field that swing is indistinguishable from a code regression
+        "loadavg_1_5_15": (
+            list(os.getloadavg()) if hasattr(os, "getloadavg") else None
+        ),
         "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS"),
         "AOS_DRIVER_MEM": os.environ.get("AOS_DRIVER_MEM"),
     }

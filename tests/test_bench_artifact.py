@@ -28,7 +28,8 @@ def test_bench_artifact_carries_env_block():
     env = d.get("env")
     assert env, "BENCH_LOCAL.json lost its 'env' block"
     for key in ("pyspark", "duckdb", "python",
-                "spark.sql.shuffle.partitions", "spark.driver.memory"):
+                "spark.sql.shuffle.partitions", "spark.driver.memory",
+                "loadavg_1_5_15"):
         assert key in env, f"env block lost its '{key}' field"
 
 
