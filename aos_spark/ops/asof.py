@@ -44,6 +44,8 @@ def asof_join(
     nothing matches) and ``asof_ts`` (the matched right timestamp)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unsupported direction: {direction!r}")
+    if value_cols and "__matched_ts" in value_cols:
+        raise ValueError("'__matched_ts' is reserved by the carry struct")
     if by is None:
         by = ["user_id"]
     if value_cols is None:
@@ -77,13 +79,31 @@ def asof_join(
         {"forward": w_fwd} if direction == "forward" else
         {"backward": w_back, "forward": w_fwd}
     )
-    carried = merged
+    # Carry the matched right row ATOMICALLY: one struct per right row
+    # (non-null even when every value field is NULL), one last(_, True)
+    # per direction. Independent per-column carries would let
+    # last(ignoreNulls=True) skip a matched row's NULL value and pair the
+    # matched timestamp with a STALE value from an earlier row — pandas
+    # merge_asof / DuckDB ASOF return the matched row's NULL (r9 review).
+    carried = merged.withColumn(
+        "__r_row",
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col("__r_ts").alias("__matched_ts"),
+                *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+            ),
+        ),
+    )
     for tag, w in tags.items():
+        carried = carried.withColumn(f"__row_{tag}", F.last("__r_row", True).over(w))
+        carried = carried.withColumn(
+            f"__mts_{tag}", F.col(f"__row_{tag}").getField("__matched_ts")
+        )
         for c in value_cols:
             carried = carried.withColumn(
-                f"__m_{tag}_{c}", F.last(f"__v_{c}", True).over(w)
+                f"__m_{tag}_{c}", F.col(f"__row_{tag}").getField(c)
             )
-        carried = carried.withColumn(f"__mts_{tag}", F.last("__r_ts", True).over(w))
     out = carried.filter(F.col("__side") == 1)
 
     # Sub-second epoch seconds (ADVICE r4: unix_timestamp truncates to
@@ -98,9 +118,12 @@ def asof_join(
         _needs_cast = isinstance(dt_on, TimestampNTZType)
 
         def to_epoch(c: Column) -> Column:
-            return F.unix_micros(c.cast("timestamp") if _needs_cast else c) / F.lit(
-                1_000_000.0
-            )
+            # "timestamp_ltz" explicitly: under timestampType=TIMESTAMP_NTZ
+            # sessions (the gate), cast("timestamp") resolves back to NTZ
+            # and unix_micros rejects it (r9 review follow-up)
+            return F.unix_micros(
+                c.cast("timestamp_ltz") if _needs_cast else c
+            ) / F.lit(1_000_000.0)
     else:
         def to_epoch(c: Column) -> Column:
             return c.cast("double")
@@ -142,10 +165,11 @@ def asof_join(
         )
     out = out.withColumn("asof_ts", F.when(within, F.col("__mts")))
     drop = (
-        ["__side", "__r_ts", "__mts"]
+        ["__side", "__r_ts", "__mts", "__r_row"]
         + [f"__v_{c}" for c in value_cols]
         + [f"__m_{c}" for c in value_cols]
         + [f"__m_{t}_{c}" for t in tags for c in value_cols]
         + [f"__mts_{t}" for t in tags]
+        + [f"__row_{t}" for t in tags]
     )
     return out.drop(*drop)

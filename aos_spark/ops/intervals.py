@@ -87,6 +87,12 @@ def bucketized_range_join(
     anti-join union)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        # the output is points ⋈ intervals side by side — a shared name
+        # makes every downstream reference ambiguous (and crashed the
+        # 'left' rebuild before r9); fail loud instead
+        raise ValueError(f"points and intervals share column names: {sorted(shared)}")
     w = float(bucket_width)
     iv = intervals.withColumn(
         "__bucket",
@@ -109,9 +115,18 @@ def bucketized_range_join(
     if how == "inner":
         return matched
     if how == "left":
-        missing = pt.drop("__bucket").join(
-            matched.select(*points.columns), points.columns, "left_anti"
+        # NULL-SAFE anti join (r9 review): a plain column-name anti join
+        # evaluates `x = x` as NULL for a NULL cell, so a matched point
+        # row containing any NULL was re-emitted as unmatched — one input
+        # row becoming two output rows. eqNullSafe keys still plan as a
+        # hash/sort-merge join (Spark supports null-safe equality keys).
+        mk = matched.select(
+            *[F.col(c).alias(f"__m_{c}") for c in points.columns]
         )
+        cond = F.lit(True)
+        for c in points.columns:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+        missing = pt.drop("__bucket").join(mk, cond, "left_anti")
         return matched.unionByName(missing, allowMissingColumns=True)
     raise ValueError(f"unsupported how: {how!r}")
 

@@ -53,14 +53,20 @@ def snapshot_diff(
     unchanged rows are dropped, so the feed size tracks the CHANGE rate,
     not the table size. Attribute comparison is null-safe; output carries
     the key plus the new-side attributes (null for deletes)."""
-    o = old.alias("o")
-    n = new.alias("n")
+    # Null-safe key join + explicit presence markers (r9 review): a `=`
+    # join never matches NULL key cells (spurious delete+insert churn for
+    # a key with a NULL component), and testing row presence via
+    # key_cols[0].isNotNull() misreads a genuine row whose first key
+    # component is NULL as "absent" — here that mislabeled a surviving
+    # old row as an 'insert'.
+    o = old.withColumn("__o_present", F.lit(1)).alias("o")
+    n = new.withColumn("__n_present", F.lit(1)).alias("n")
     cond = F.lit(True)
     for k in key_cols:
-        cond = cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
+        cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
-    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    in_old = F.col("o.__o_present").isNotNull()
+    in_new = F.col("n.__n_present").isNotNull()
     same = _attrs_equal(attr_cols, "o", "n")
     op = (
         F.when(~in_old, "insert")
@@ -98,16 +104,26 @@ def scd2_apply(
     """
     eff = F.lit(effective_date).cast("date")
     closed = history.filter(F.col(to_col).isNotNull())
-    open_rows = history.filter(F.col(to_col).isNull()).alias("o")
-    snap = snapshot.alias("s")
+    # Null-safe join + presence markers, same rationale as snapshot_diff
+    # (r9 review): with `=` keys and key_cols[0].isNotNull() presence
+    # tests, an open history row whose first key component is NULL joined
+    # nothing and then fell through ALL THREE branch filters — silently
+    # vanishing from the returned history; a NULL in a later key
+    # component caused a spurious close+reopen on every apply.
+    open_rows = (
+        history.filter(F.col(to_col).isNull())
+        .withColumn("__o_present", F.lit(1))
+        .alias("o")
+    )
+    snap = snapshot.withColumn("__s_present", F.lit(1)).alias("s")
 
     join_cond = F.lit(True)
     for k in key_cols:
-        join_cond = join_cond & (F.col(f"o.{k}") == F.col(f"s.{k}"))
+        join_cond = join_cond & F.col(f"o.{k}").eqNullSafe(F.col(f"s.{k}"))
     joined = open_rows.join(snap, join_cond, "full_outer")
 
-    in_open = F.col(f"o.{key_cols[0]}").isNotNull()
-    in_snap = F.col(f"s.{key_cols[0]}").isNotNull()
+    in_open = F.col("o.__o_present").isNotNull()
+    in_snap = F.col("s.__s_present").isNotNull()
     same = _attrs_equal(attr_cols, "o", "s")
 
     # surviving open rows, unchanged

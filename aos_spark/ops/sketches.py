@@ -97,63 +97,24 @@ def hll_registers(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
     md5-first-8-hex trick, so the sketch is deterministic and externally
     reproducible; index = top p bits, ρ over the remaining 32−p bits.
     Duplicate keys cannot change any register (max is idempotent), so the
-    frame needs no pre-distinct."""
-    q = HLL_HASH_BITS - p
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    return (
-        df.select(h.alias("__h"))
-        .select(
-            F.shiftright("__h", q).alias("register"),
-            F.col("__h").bitwiseAND(F.lit((1 << q) - 1)).alias("__w"),
-        )
-        .select("register", F.expr(rho_case_sql("__w", q)).alias("__rho"))
-        .groupBy("register")
-        .agg(F.max("__rho").alias("max_rho"))
-    )
+    frame needs no pre-distinct. (Delegates to the grouped variant with
+    no groups — r9 review removed the verbatim duplicate body, whose two
+    copies had to stay bit-identical for the cross-engine gate.)"""
+    return hll_registers_grouped(df, key_col, [], p)
 
 
 def hll_estimate(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
     """One-row distinct-count estimate from the register frame (Flajolet
     et al. 2007): raw = α_m·m²/Σ2^(−M_i) with empty registers contributing
-    2⁰, and the small-range linear-counting correction m·ln(m/V) when
-    raw ≤ 2.5m and V (empty registers) > 0. Everything except the ln
-    branch is exact IEEE754 arithmetic (the 2^−M terms come from integer
-    shifts, not pow), so when V = 0 the estimate is bit-identical across
-    engines; the ln branch is within-engine deterministic only."""
-    m = 1 << p
-    regs = hll_registers(df, key_col, p)
-    agg = regs.agg(
-        # shiftleft with a column bit-count needs the SQL form (the Python
-        # wrapper only takes an int); 1<<M then exact double division gives
-        # the 2^-M terms without pow()
-        F.sum(F.lit(1.0) / F.expr("CAST(shiftleft(1, max_rho) AS DOUBLE)")).alias(
-            "__present_inv"
-        ),
-        F.count(F.lit(1)).alias("__n_present"),
-    )
-    alpha = 0.7213 / (1 + 1.079 / m)
-    # SUM over zero register rows is NULL — coalesce so an EMPTY input
-    # yields estimate 0.0 (V = m; linear counting m·ln(m/m) = 0), not NULL.
-    present_inv = F.coalesce(F.col("__present_inv"), F.lit(0.0))
-    sum_inv = present_inv + (F.lit(m) - F.col("__n_present")).cast("double")
-    v_zero = (F.lit(m) - F.col("__n_present")).alias("v_zero")
-    raw = F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
-        F.lit(alpha) * m * m / sum_inv
-    )
-    corrected = F.when(
-        (raw <= 2.5 * m) & (F.col("__n_present") < m),
-        F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
-            F.lit(float(m)) * F.log(F.lit(m).cast("double") / v_zero)
-        ),
-    ).otherwise(raw)
-    return agg.select(
-        F.lit(m).alias("m"),
-        v_zero,
-        F.round(raw, 6).alias("raw_estimate"),
-        F.round(corrected, 6).alias("estimate"),
-    )
+    2⁰, the small-range linear-counting correction m·ln(m/V) when
+    raw ≤ 2.5m and V (empty registers) > 0, and the 32-bit large-range
+    correction −2³²·ln(1 − raw/2³²) when raw > 2³²/30. Everything except
+    the ln branches is exact IEEE754 arithmetic (the 2^−M terms come from
+    integer shifts, not pow), so in the uncorrected band the estimate is
+    bit-identical across engines; the ln branches are within-engine
+    deterministic only. (Delegates to hll_estimate_from_registers — r9
+    review removed the duplicate estimation body.)"""
+    return hll_estimate_from_registers(hll_registers(df, key_col, p), [], p)
 
 
 def hll_registers_grouped(
@@ -197,10 +158,17 @@ def hll_estimate_from_registers(
     """Per-group estimate straight from a register frame — the entry
     point for MERGED sketches (e.g. daily registers rolled up to weekly
     with a groupBy-max, then estimated here without re-reading raw data).
-    Same Flajolet arithmetic as hll_estimate; shift-based 2^−M terms, the
-    ln linear-counting branch only fires when v_zero > 0."""
+    Same Flajolet arithmetic as hll_estimate (which delegates here);
+    shift-based 2^−M terms, the ln linear-counting branch only fires when
+    v_zero > 0. The estimation pipeline lives ONLY here — the gate's
+    bit-exactness contract needs a single copy."""
     m = 1 << p
     agg = regs.groupBy(*group_cols).agg(
+        # shiftleft with a column bit-count needs the SQL form (the Python
+        # wrapper only takes an int); 1<<M then exact double division gives
+        # the 2^-M terms without pow(). SUM over zero register rows is
+        # NULL — coalesce so an EMPTY input yields estimate 0.0 (V = m;
+        # linear counting m·ln(m/m) = 0), not NULL.
         F.sum(F.lit(1.0) / F.expr("CAST(shiftleft(1, max_rho) AS DOUBLE)")).alias(
             "__present_inv"
         ),
@@ -213,12 +181,28 @@ def hll_estimate_from_registers(
     raw = F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
         F.lit(alpha) * m * m / sum_inv
     )
-    corrected = F.when(
-        (raw <= 2.5 * m) & (F.col("__n_present") < m),
-        F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
-            F.lit(float(m)) * F.log(F.lit(m).cast("double") / v_zero)
-        ),
-    ).otherwise(raw)
+    # Flajolet's full correction ladder for the 32-bit hash (r9 review —
+    # the large-range branch was missing, biasing estimates low once true
+    # cardinality approaches 2^32/30 ≈ 143M): small-range linear counting
+    # below 2.5m with empty registers, raw in the middle band, and
+    # E* = −2³²·ln(1 − raw/2³²) above 2³²/30. The large-range formula is
+    # undefined at raw ≥ 2³² (saturated sketch — every register at max ρ
+    # can push raw past the hash space); clamp to the raw estimate there
+    # rather than emit NaN.
+    two32 = float(1 << 32)
+    corrected = (
+        F.when(
+            (raw <= 2.5 * m) & (F.col("__n_present") < m),
+            F.when(F.col("__n_present") == 0, F.lit(0.0)).otherwise(
+                F.lit(float(m)) * F.log(F.lit(m).cast("double") / v_zero)
+            ),
+        )
+        .when(
+            (raw > F.lit(two32 / 30.0)) & (raw < F.lit(two32)),
+            -F.lit(two32) * F.log(F.lit(1.0) - raw / F.lit(two32)),
+        )
+        .otherwise(raw)
+    )
     return agg.select(
         *group_cols,
         F.lit(m).alias("m"),
@@ -305,12 +289,47 @@ def hot_keys(
     threshold: int,
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Keys whose estimated frequency exceeds ``threshold`` — the input to
     salting decisions (ops/skew). Never misses a genuinely hot key (CMS
     never undercounts); may include borderline false positives, which a
-    targeted exact count over just these candidates can then prune."""
+    targeted exact count over just these candidates can then prune.
+
+    Candidate generation is SUBLINEAR (r9 review — probing every distinct
+    key shuffled the full key domain, the exact cost the sketch exists to
+    avoid): a map-side pigeonhole pass counts keys WITHIN each partition
+    (no shuffle; Arrow batches accumulated per partition) and emits those
+    with local count ≥ ceil((threshold+1)/P). Any key with global count >
+    threshold must clear that bar in at least one of its P partitions, so
+    a truly hot key cannot be missed; candidate volume is bounded by
+    N·P/threshold rows instead of |distinct keys|. Borderline
+    NON-hot keys' membership depends on how their rows spread across
+    partitions — pass ``candidates`` explicitly when the false-positive
+    set must be partitioning-invariant. NULL keys are never candidates
+    (the md5 bucket of NULL is NULL; a NULL-heavy key calls for a
+    dedicated null-route, not salting)."""
     sketch = cms_build(df, key_col, depth, width)
-    distinct_keys = df.select(key_col).distinct()
-    est = cms_estimate(sketch, distinct_keys, key_col, depth, width)
+    if candidates is None:
+        import pandas as pd  # noqa: PLC0415 - worker-side dependency
+
+        n_parts = max(1, df.rdd.getNumPartitions())  # plan-level, no job
+        thr_local = -(-(threshold + 1) // n_parts)  # ceil((T+1)/P)
+
+        def _local_heavy(batches):
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for pdf in batches:
+                counts.update(pdf[key_col].dropna().value_counts().to_dict())
+            yield pd.DataFrame(
+                {key_col: [k for k, v in counts.items() if v >= thr_local]}
+            )
+
+        candidates = (
+            df.select(key_col)
+            .mapInPandas(_local_heavy, schema=df.select(key_col).schema)
+            .distinct()
+        )
+    est = cms_estimate(sketch, candidates, key_col, depth, width)
     return est.filter(F.col("est_count") > threshold)

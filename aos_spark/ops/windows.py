@@ -28,7 +28,15 @@ def lead_segments(
     out = df
     for c in point_cols:
         out = out.withColumn(f"{c}_next", F.lead(c).over(w))
-    return out.filter(F.col(f"{point_cols[0]}_next").isNotNull())
+    # successor EXISTENCE via lead of a constant (r9 review): filtering on
+    # lead(point_cols[0]).isNotNull() also dropped segments whose successor
+    # row exists but carries a NULL point value — an n-point track must
+    # yield n-1 segments regardless of NULL cells.
+    return (
+        out.withColumn("__has_next", F.lead(F.lit(1)).over(w))
+        .filter(F.col("__has_next").isNotNull())
+        .drop("__has_next")
+    )
 
 
 def first_match(
@@ -59,10 +67,28 @@ def sessionize(
     running count of session starts. One shuffle (by key), two window
     passes over it — the batch face of the stateful streaming operator in
     aos_spark/streaming/jobs.py."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    # unix_timestamp handles TIMESTAMP and TIMESTAMP_NTZ alike; a bare
-    # .cast("long") raises AnalysisException on NTZ columns.
-    epoch = F.unix_timestamp(F.col(ts_col))
+    # Sub-second-exact epoch (r9 review): unix_timestamp truncates to
+    # whole seconds, so two events whose true gap is 1800.8 s could land
+    # in the SAME session at gap_seconds=1800 — while the streaming face
+    # (streaming/jobs.py, fractional ns epochs) splits them. Same
+    # unix_micros treatment as ops/asof.py: NTZ via a cast (exact under
+    # the engine's fixed UTC session timezone), micros stay exact in
+    # double for ~285 years of epoch.
+    dt_ts = df.schema[ts_col].dataType
+    if isinstance(dt_ts, (TimestampType, TimestampNTZType)):
+        _c = F.col(ts_col)
+        if isinstance(dt_ts, TimestampNTZType):
+            # "timestamp_ltz" explicitly: under sessions with
+            # spark.sql.timestampType=TIMESTAMP_NTZ (the gate's driver
+            # parity setting), a bare cast("timestamp") resolves to NTZ
+            # and unix_micros rejects it
+            _c = _c.cast("timestamp_ltz")
+        epoch = F.unix_micros(_c) / F.lit(1_000_000.0)
+    else:
+        epoch = F.col(ts_col).cast("double")
     gap = epoch - F.lag(epoch).over(w)
     starts = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     with_sid = df.withColumn("__start", starts).withColumn(
@@ -156,16 +182,33 @@ def sequence_gaps(
         F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
     )
     ws = Window.orderBy("__b")
+    # cross-bucket deltas in decimal(38,0) (r9 review): buckets can sit
+    # anywhere in the long range, and a raw long __mn - __pmx overflows
+    # for spans past 2^63 — silently missing the gap under non-ANSI
+    # arithmetic, throwing under the gate's ANSI sessions. (The
+    # intra-bucket delta above is safe: same-bucket ids differ < bucket.)
+    # The gap BOUNDS stay long-safe whenever a gap exists: __pmx + 1 and
+    # __mn - 1 are then interior to the id range.
+    mn_d = F.col("__mn").cast("decimal(38,0)")
+    pmx_d = F.col("__pmx").cast("decimal(38,0)")
     inter = (
         summary.withColumn("__pmx", F.lag("__mx").over(ws))
-        .filter(F.col("__pmx").isNotNull() & (F.col("__mn") - F.col("__pmx") > 1))
+        .filter(F.col("__pmx").isNotNull() & (mn_d - pmx_d > 1))
         .select(
             (F.col("__pmx") + 1).alias("gap_start"),
             (F.col("__mn") - 1).alias("gap_end"),
         )
     )
+    # gap_len likewise in decimal, surfaced as long; a gap longer than
+    # Long.MAX (possible only for ids spanning most of the long range) is
+    # unrepresentable — emit NULL rather than a wrapped/raised value
+    len_d = (
+        F.col("gap_end").cast("decimal(38,0)")
+        - F.col("gap_start").cast("decimal(38,0)")
+        + 1
+    )
     return intra.unionByName(inter).select(
         "gap_start",
         "gap_end",
-        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+        F.when(len_d <= F.lit(2**63 - 1), len_d.cast("long")).alias("gap_len"),
     )

@@ -313,10 +313,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
-                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
-                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
-                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 21600
+         -- fractional epoch seconds (micros / 1e6 — exactly representable
+         -- doubles, bit-identical to Spark's unix_micros treatment): the
+         -- r9 review found the batch operator truncated to whole seconds,
+         -- merging sessions whose true gap just exceeds the threshold
+         -- while the streaming face split them; operator and oracle were
+         -- converted to sub-second-exact gaps in lockstep
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 21600
               THEN 1 ELSE 0 END AS start_flag
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2164,6 +2168,7 @@ def _hll_oracle(p: int = 6) -> str:
     m, q = 1 << p, 32 - p
     rho = sketches.rho_case_sql("w", q)  # same CASE text as the Spark plan
     alpha = 0.7213 / (1 + 1.079 / m)
+    _TWO32 = float(1 << 32)  # large-range correction domain (32-bit hash)
     return f"""
 WITH h AS (
   SELECT CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
@@ -2182,6 +2187,10 @@ est AS (
 SELECT {m} AS m, v_zero, ROUND(raw, 6) AS raw_estimate,
        ROUND(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND v_zero > 0
                   THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v_zero)
+                  WHEN raw > CAST({_TWO32 / 30.0!r} AS DOUBLE)
+                       AND raw < CAST({_TWO32!r} AS DOUBLE)
+                  THEN -CAST({_TWO32!r} AS DOUBLE)
+                       * ln(1.0 - raw / CAST({_TWO32!r} AS DOUBLE))
                   ELSE raw END, 6) AS estimate
 FROM est
 """

@@ -227,6 +227,7 @@ def _hll_grouped_oracle(p: int = 6) -> str:
     m, q = 1 << p, 32 - p
     rho = sketches.rho_case_sql("w", q)
     alpha = 0.7213 / (1 + 1.079 / m)
+    _TWO32 = float(1 << 32)  # large-range correction domain (32-bit hash)
     return f"""
 WITH h AS (
   SELECT o_orderstatus,
@@ -249,6 +250,10 @@ est AS (
 SELECT o_orderstatus, {m} AS m, v_zero, ROUND(raw, 6) AS raw_estimate,
        ROUND(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND v_zero > 0
                   THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v_zero)
+                  WHEN raw > CAST({_TWO32 / 30.0!r} AS DOUBLE)
+                       AND raw < CAST({_TWO32!r} AS DOUBLE)
+                  THEN -CAST({_TWO32!r} AS DOUBLE)
+                       * ln(1.0 - raw / CAST({_TWO32!r} AS DOUBLE))
                   ELSE raw END, 6) AS estimate
 FROM est
 """

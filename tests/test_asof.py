@@ -152,3 +152,43 @@ def test_asof_tolerance_subsecond_boundary(spark):
         left, right, value_cols=["signal"], tolerance_seconds=1
     ).collect()
     assert out[0]["signal"] is None  # 1.4 s > 1 s horizon
+
+
+def test_asof_null_value_rows_match_atomically(spark):
+    """A matched right row whose VALUE is NULL must yield that row's NULL
+    (pandas merge_asof / DuckDB ASOF semantics), not a stale value from
+    an earlier row. The r9 review found the per-column last(_, True)
+    carries skipped the NULL and paired the matched timestamp with a
+    value from outside the tolerance horizon."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:31:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 10:00:00"), 5.0),
+            (100, _ts("2024-01-01 10:30:00"), None),
+        ],
+        StructType([
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("signal", DoubleType()),
+        ]),
+    )
+    # backward, tolerance 120 s: the 10:30 row matches (61 s away); its
+    # value is NULL — the 10:00 row (91 min away) must NOT leak through
+    row = asof_join(
+        left, right, value_cols=["signal"], tolerance_seconds=120
+    ).collect()[0]
+    assert row["asof_ts"] == _ts("2024-01-01 10:30:00")
+    assert row["signal"] is None
+
+    # nearest direction: same atomicity on both carries
+    row_n = asof_join(
+        left, right, value_cols=["signal"], direction="nearest"
+    ).collect()[0]
+    assert row_n["asof_ts"] == _ts("2024-01-01 10:30:00")
+    assert row_n["signal"] is None

@@ -118,3 +118,43 @@ def test_interval_overlap_join_keyed(spark):
     # each row overlaps itself within its key; never across keys
     assert rows.count() == 2
     assert rows.filter(F.col("a.u") == F.col("b.u")).count() == 2
+
+
+def test_range_join_left_null_cell_rows_not_duplicated(spark):
+    """r9 review: the 'left' rebuild anti-joined on plain column
+    equality, so a MATCHED point row with a NULL in any column failed
+    the anti-match and was re-emitted as unmatched — one input row
+    yielding two output rows. The anti join is now null-safe."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 5.0, None), (2, -3.0, None)],
+        StructType([
+            StructField("pid", LongType()),
+            StructField("value", DoubleType()),
+            StructField("note", StringType()),
+        ]),
+    )
+    intervals = spark.createDataFrame(
+        [("a", 4.0, 6.0)], ["iv", "lo", "hi"]
+    )
+    out = bucketized_range_join(
+        points, intervals, "value", "lo", "hi", 8.0, how="left"
+    ).collect()
+    got = sorted((r["pid"], r["iv"]) for r in out)
+    # pid 1 matched (exactly once), pid 2 unmatched (exactly once)
+    assert got == [(1, "a"), (2, None)]
+
+
+def test_range_join_rejects_shared_column_names(spark):
+    """Shared names make the points ⋈ intervals output ambiguous (and
+    crashed the 'left' rebuild with an AnalysisException pre-r9) — the
+    operator now fails loud up front."""
+    points = spark.createDataFrame([(1, 5.0)], ["pid", "value"])
+    intervals = spark.createDataFrame(
+        [("a", 4.0, 6.0, "x")], ["iv", "lo", "hi", "pid"]
+    )
+    with pytest.raises(ValueError, match="share column names"):
+        bucketized_range_join(points, intervals, "value", "lo", "hi", 8.0)

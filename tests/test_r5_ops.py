@@ -433,3 +433,24 @@ def test_write_training_shards_snapshot_on_shrunken_rerun(spark, tmp_path):
     assert {r["shard"] for r in back.select("shard").distinct().collect()} == {
         r["shard"] for r in manifest
     }
+
+
+def test_sequence_gaps_extreme_long_range(spark):
+    """r9 review: cross-bucket gap deltas overflowed long for ids
+    spanning more than half the long range (missing the gap non-ANSI,
+    throwing ANSI). Deltas now run in decimal(38,0); a gap longer than
+    Long.MAX reports NULL gap_len (unrepresentable) with exact bounds."""
+    from aos_spark.ops.windows import sequence_gaps
+
+    lo, hi = -(2**63), 2**63 - 1
+    df = spark.createDataFrame([(lo,), (hi,)], "event_id long")
+    rows = sequence_gaps(df, "event_id", bucket=4096).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["gap_start"] == lo + 1 and r["gap_end"] == hi - 1
+    assert r["gap_len"] is None  # 2^64 - 3 exceeds any BIGINT
+
+    # a representable-but-huge gap still reports its exact length
+    df2 = spark.createDataFrame([(0,), (2**62,)], "event_id long")
+    r2 = sequence_gaps(df2, "event_id", bucket=4096).collect()[0]
+    assert r2["gap_len"] == 2**62 - 1

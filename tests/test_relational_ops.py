@@ -161,6 +161,19 @@ def test_sessionize_and_asof_survive_ntz_timestamps(spark):
                     value_cols=["value"], tolerance_seconds=3600)
     assert out.count() == left.count()
 
+    # and under the GATE's session flavor (timestampType=TIMESTAMP_NTZ,
+    # where a bare cast("timestamp") resolves to NTZ and unix_micros
+    # rejects it — r9 review follow-up): same two paths must still run
+    prev = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        assert W.sessionize(ev, ["user_id"], "ts", 6 * 3600, "value").count() > 0
+        out2 = asof_join(left, right, on="ts", by=["user_id"],
+                         value_cols=["value"], tolerance_seconds=3600)
+        assert out2.count() == left.count()
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
+
 
 def test_embedding_quantize_string_roundtrips_int8_array(spark, sf_dir):
     """The driver-facing q_int8 column is a comma-joined string (the
@@ -232,3 +245,44 @@ def test_trimmed_mean_is_outlier_robust(spark, tmp_path):
     r = q_trimmed_mean_prices(spark, d).collect()[0]
     assert r["n_rows"] == 41 and r["n_kept"] == 37
     assert 100.0 <= r["trimmed_mean"] <= 105.0  # outlier gone
+
+
+def test_sessionize_subsecond_gap_splits(spark):
+    """r9 review: unix_timestamp truncation let a true gap of 21600.8 s
+    read as exactly 21600, merging sessions the streaming face splits.
+    Gaps are now sub-second exact (unix_micros), matching
+    streaming/jobs.py's fractional-epoch sessionizer."""
+    from datetime import datetime
+
+    from aos_spark.ops import windows as W
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0, 100_000), 1.0),
+            # 1800.8 s later: must be a NEW session at gap_seconds=1800
+            (1, datetime(2024, 1, 1, 0, 30, 0, 900_000), 1.0),
+            # 1799.5 s later: SAME session
+            (1, datetime(2024, 1, 1, 1, 0, 0, 400_000), 1.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = W.sessionize(ev, ["user_id"], "ts", 1800, "value").collect()
+    sizes = sorted(r["n_events"] for r in out)
+    assert sizes == [1, 2], out
+
+
+def test_lead_segments_null_point_value_keeps_segment(spark):
+    """r9 review: a successor row with a NULL point value dropped the
+    segment, shorting an n-point track below n-1 segments; the filter
+    now tests successor EXISTENCE."""
+    from aos_spark.ops.windows import lead_segments
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0, 1.0), (1, 2, None, 2.0), (1, 3, 30.0, 3.0)],
+        "k long, seq long, cx double, cy double",
+    )
+    out = lead_segments(df, ["k"], "seq", ["cx", "cy"]).collect()
+    assert len(out) == 2  # 3 points -> 2 segments, NULL cx notwithstanding
+    by_seq = {r["seq"]: (r["cx_next"], r["cy_next"]) for r in out}
+    assert by_seq[1] == (None, 2.0)
+    assert by_seq[2] == (30.0, 3.0)

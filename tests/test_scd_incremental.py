@@ -142,3 +142,44 @@ def test_snapshot_diff_ops(spark):
     feed = {(r["op"], r["k"], r["v"]) for r in
             snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert feed == {("delete", 1, None), ("update", 3, "X"), ("insert", 4, "D")}
+
+
+def test_scd2_null_key_rows_survive(spark):
+    """r9 review: an open history row whose key is NULL joined nothing
+    under `=` keys and fell through all three branch filters — silently
+    vanishing from the returned history. NULL keys now join null-safely
+    and row presence is tracked by markers, not key nullness."""
+    hist = _hist(spark, [
+        (None, "A", D(1995, 1, 1), None),
+        (1, "A", D(1995, 1, 1), None),
+    ])
+    snap = spark.createDataFrame([(None, "A"), (1, "A")], "k long, seg string")
+    out = scd2_apply(hist, snap, ["k"], ["seg"], "1996-01-01")
+    rows = sorted(
+        ((r["k"], r["seg"], r["valid_to"]) for r in out.collect()),
+        key=str,
+    )
+    # both keys unchanged: both stay open, nothing closed, nothing lost
+    assert rows == [(1, "A", None), (None, "A", None)]
+
+    # and a CHANGED null-key row closes + reopens like any other key
+    snap2 = spark.createDataFrame([(None, "B"), (1, "A")], "k long, seg string")
+    out2 = scd2_apply(hist, snap2, ["k"], ["seg"], "1996-01-01").collect()
+    nulls = sorted(
+        ((r["seg"], r["valid_to"]) for r in out2 if r["k"] is None), key=str
+    )
+    assert nulls == [("A", D(1996, 1, 1)), ("B", None)]
+
+
+def test_snapshot_diff_null_key_not_misread_as_insert(spark):
+    """r9 review sibling defect: an old-side row with a NULL key was
+    labeled 'insert' (presence tested via key nullness). With markers +
+    null-safe keys, an unchanged NULL-key row emits nothing and a
+    changed one emits 'update'."""
+    from aos_spark.ops.scd import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x"), (1, "x")], "k long, v string")
+    new = spark.createDataFrame([(None, "x"), (1, "y")], "k long, v string")
+    got = {(r["k"], r["op"]) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {(1, "update")}

@@ -168,3 +168,54 @@ def test_quantile_sketch_empty_input(spark):
     assert sk.count() == 0
     est = sketches.quantile_estimate(sk, [0.5], 0.0, 10.0).collect()
     assert len(est) == 1 and est[0]["value_at_q"] is None
+
+
+def test_hll_large_range_correction(spark):
+    """r9 review: the 32-bit large-range correction was missing, biasing
+    estimates low once raw approaches the hash space. Above 2^32/30 the
+    estimate must be -2^32 * ln(1 - raw/2^32) (> raw); at raw >= 2^32
+    (saturated sketch) the formula is undefined and the raw estimate is
+    kept instead of emitting NaN."""
+    import math
+
+    from aos_spark.ops.sketches import HLL_P, hll_estimate_from_registers
+
+    m = 1 << HLL_P
+    # all registers at rho=24: raw ≈ 7.7e8 — inside the correction band
+    regs = spark.createDataFrame(
+        [(r, 24) for r in range(m)], "register int, max_rho int"
+    )
+    row = hll_estimate_from_registers(regs, []).collect()[0]
+    raw = row["raw_estimate"]
+    assert (1 << 32) / 30.0 < raw < float(1 << 32)
+    expected = -float(1 << 32) * math.log(1.0 - raw / float(1 << 32))
+    assert row["estimate"] > raw
+    assert abs(row["estimate"] - expected) / expected < 1e-6
+
+    # saturated: rho = q+1 = 27 pushes raw past 2^32 — clamp to raw
+    regs_sat = spark.createDataFrame(
+        [(r, 27) for r in range(m)], "register int, max_rho int"
+    )
+    row_s = hll_estimate_from_registers(regs_sat, []).collect()[0]
+    assert row_s["raw_estimate"] >= float(1 << 32)
+    assert row_s["estimate"] == row_s["raw_estimate"]
+    assert not math.isnan(row_s["estimate"])
+
+
+def test_hot_keys_pigeonhole_candidates_cannot_miss(spark):
+    """r9 review: candidates now come from a map-side local-count pass
+    instead of an exact distinct over the key domain. Pigeonhole
+    guarantee: a key over threshold globally must clear the local bar in
+    some partition — verified here with the hot key's rows deliberately
+    SPREAD thin across many partitions (the worst case for a local
+    filter), plus the explicit-candidates escape hatch."""
+    rows = [("hot",)] * 400 + [(f"cold{i}",) for i in range(50)]
+    # 32 partitions, hot rows interleaved so every partition sees ~12-13
+    df = spark.createDataFrame(rows, ["k"]).repartition(32)
+    hot = sketches.hot_keys(df, "k", threshold=300)
+    assert [r["k"] for r in hot.collect()] == ["hot"]
+
+    # explicit candidates: partitioning-invariant probe set
+    cand = spark.createDataFrame([("hot",), ("cold1",)], ["k"])
+    hot2 = sketches.hot_keys(df, "k", threshold=300, candidates=cand)
+    assert [r["k"] for r in hot2.collect()] == ["hot"]
