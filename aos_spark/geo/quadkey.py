@@ -159,6 +159,18 @@ def split_antimeridian(rings) -> list:
     return out or [rings]
 
 
+def split_polygons(polys) -> list:
+    """Antimeridian-normalize a POLYGON SET (list of ring-sets, the
+    ``wkt.polygons_of`` shape): each dateline-crossing polygon splits into
+    its ≤2 non-crossing parts, others pass through. Every consumer of the
+    planar point/segment/clip kernels in ``geo.wkt`` must parse WKT
+    through this (r9 review: the boundary-verify UDF ray-cast a raw
+    unsplit dateline envelope and classified its INTERIOR as outside —
+    polygon_cover split covers while the verifier didn't, so every
+    boundary-leaf point of a dateline storm was dropped)."""
+    return [part for rings in polys for part in split_antimeridian(rings)]
+
+
 def polygon_cover(
     polygon_rings: Iterable,
     zoom: int,

@@ -107,6 +107,28 @@ def envelope_cover_df(
     return spark.createDataFrame(rows, COVER_SCHEMA)
 
 
+def _cover_candidates(
+    df: DataFrame, cover: DataFrame, qk_col: str, cover_cols: list[str]
+) -> DataFrame | None:
+    """Shared candidate generation for the two cover joins below: one
+    broadcast equi-join per distinct prefix length, unioned. Returns None
+    for an empty cover (caller supplies its own empty-schema frame).
+    Factored out in r9 — the two consumers carried verbatim copies of
+    this loop, and a fix to one had to be remembered in the other."""
+    lens = [r["prefix_len"] for r in cover.select("prefix_len").distinct().collect()]
+    parts = []
+    for ln in sorted(lens):
+        c = cover.filter(F.col("prefix_len") == ln).select("prefix", *cover_cols)
+        p = df.withColumn("prefix", F.substring(F.col(qk_col), 1, ln))
+        parts.append(p.join(F.broadcast(c), "prefix").drop("prefix"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def tiles_hit_by_envelopes(
     tiles: DataFrame,
     cover: DataFrame,
@@ -121,31 +143,28 @@ def tiles_hit_by_envelopes(
     A tile can match several cover rows of one member only via distinct
     prefixes of different length — dropDuplicates keeps the hit set exact.
     """
-    lens = [r["prefix_len"] for r in cover.select("prefix_len").distinct().collect()]
-    parts = []
-    for ln in sorted(lens):
-        c = cover.filter(F.col("prefix_len") == ln).select(
-            "prefix", "ensemble_member", "wind_threshold"
-        )
-        t = tiles.withColumn("prefix", F.substring(F.col(tile_col), 1, ln))
-        parts.append(
-            t.join(F.broadcast(c), "prefix").drop("prefix")
-        )
-    if not parts:
+    cand = _cover_candidates(
+        tiles, cover, tile_col, ["ensemble_member", "wind_threshold"]
+    )
+    if cand is None:
         return tiles.limit(0).withColumn("ensemble_member", F.lit(0)).withColumn(
             "wind_threshold", F.lit(0)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.dropDuplicates([tile_col, "ensemble_member", "wind_threshold"])
+    return cand.dropDuplicates([tile_col, "ensemble_member", "wind_threshold"])
 
 
 def _point_in_wkt_verify_udf(wkt_by_key: dict):
     """Pandas UDF factory: verify (key, lon, lat) membership against the
     polygon WKT for that key. The dict is closure-captured and shipped once
     per executor (broadcast-sized: ≤408 envelopes)."""
-    parsed = {k: wktlib.polygons_of(w) for k, w in wkt_by_key.items()}
+    # antimeridian-split BEFORE the planar ray-cast (r9 review): the cover
+    # splits dateline polygons, so the verifier must test the same split
+    # parts — on the raw rings the planar test reads the interior as the
+    # complement and rejects every inside point
+    parsed = {
+        k: qklib.split_polygons(wktlib.polygons_of(w))
+        for k, w in wkt_by_key.items()
+    }
 
     @F.pandas_udf(T.BooleanType())
     def verify(keys: pd.Series, lons: pd.Series, lats: pd.Series) -> pd.Series:
@@ -175,23 +194,22 @@ def points_hit_by_envelopes(
     boundary leaves run the exact kernel. Python cost is proportional to
     the boundary sliver only.
     """
+    from aos_spark.cache import persist_tracked
+
     pts = with_quadkey(points, zoom, lat_col, lon_col, "__qk")
-    lens = [r["prefix_len"] for r in cover.select("prefix_len").distinct().collect()]
-    parts = []
-    for ln in sorted(lens):
-        c = cover.filter(F.col("prefix_len") == ln).select(
-            "prefix", "ensemble_member", "wind_threshold", "full"
-        )
-        p = pts.withColumn("prefix", F.substring(F.col("__qk"), 1, ln))
-        parts.append(p.join(F.broadcast(c), "prefix").drop("prefix"))
-    if not parts:
+    cand = _cover_candidates(
+        pts, cover, "__qk", ["ensemble_member", "wind_threshold", "full"]
+    )
+    if cand is None:
         return points.limit(0).withColumn("ensemble_member", F.lit(0)).withColumn(
             "wind_threshold", F.lit(0)
         )
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.dropDuplicates([id_col, "ensemble_member", "wind_threshold", "full"])
+    # persist: the candidate frame feeds THREE consumers (the isEmpty
+    # probe, the inside filter, the boundary verify) — unpersisted, each
+    # re-ran the whole multi-join pipeline over the fact side (r9 review)
+    cand = persist_tracked(
+        cand.dropDuplicates([id_col, "ensemble_member", "wind_threshold", "full"])
+    )
 
     inside = cand.filter(F.col("full")).drop("full", "__qk")
     boundary = cand.filter(~F.col("full"))

@@ -253,14 +253,15 @@ def common_neighbor_scores(
     since sharing a celebrity neighbor is weak evidence); the Jaccard
     denominator still uses FULL degrees, so admitted scores are never
     inflated. None disables (exact)."""
-    e = (
+    from aos_spark.cache import persist_tracked
+
+    e = persist_tracked(
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
     # materialize + right-size (same rationale as triangle_count: the
     # cached edge list is often tiny relative to the pair pipeline's

@@ -38,19 +38,21 @@ def count_points_in_zones(
     zones: (zone_id, xmin, xmax, ymin, ymax) — broadcast side.
     """
     px, py = F.col(x_col), F.col(y_col)
-    pred = (
-        (px + buffer >= F.col("xmin"))
-        & (px - buffer <= F.col("xmax"))
-        & (py + buffer >= F.col("ymin"))
-        & (py - buffer <= F.col("ymax"))
-    )
+    # CIRCULAR buffer (r9 review): the reference's gpd .buffer(150) is a
+    # disc, but the previous per-axis expansion tested the Chebyshev
+    # square — points in the corner lune (box distance in (r, r·√2]) were
+    # false positives. Exact Euclidean point-to-box distance, squared on
+    # both sides so no sqrt enters the cross-engine-exact predicate.
+    dx = F.greatest(F.col("xmin") - px, px - F.col("xmax"), F.lit(0.0))
+    dy = F.greatest(F.col("ymin") - py, py - F.col("ymax"), F.lit(0.0))
+    pred = dx * dx + dy * dy <= F.lit(float(buffer) * float(buffer))
     joined = points.join(F.broadcast(zones), pred, "left")
     return joined.groupBy(*point_keys).agg(
         F.count(F.col("zone_id")).alias("n_zones")
     )
 
 
-def _overlap_area(prefix: str = "") -> F.Column:
+def _overlap_area() -> F.Column:
     """Axis-aligned intersection area between item box and zone box."""
     ix = F.greatest(
         F.least(F.col("bxmax"), F.col("xmax")) - F.greatest(F.col("bxmin"), F.col("xmin")),
@@ -170,19 +172,30 @@ def zones_in_range_exact(
     bbox survivors, never the full dim."""
     from aos_spark.geo import wkt as wktlib
 
+    from aos_spark.geo import quadkey as qklib
+
     survivors = zones_in_range(zones, envelopes, buffer_m, geodesic=True)
-    env_polys = [
-        p
-        for r in envelopes.select(env_wkt).collect()
-        for p in wktlib.polygons_of(r[env_wkt])
-    ]
+    # antimeridian-split BOTH sides before the planar segment/ray kernels
+    # (r9 review): a dateline-crossing ring read planar stretches across
+    # the whole map at its latitude, so an unsplit zone (Fiji-style) kept
+    # ~0 distance to every envelope and survived this tier for storms an
+    # ocean away — the over-selection the tier exists to remove.
+    env_polys = qklib.split_polygons(
+        [
+            p
+            for r in envelopes.select(env_wkt).collect()
+            for p in wktlib.polygons_of(r[env_wkt])
+        ]
+    )
     bc = zones.sparkSession.sparkContext.broadcast(env_polys)
 
     @F.pandas_udf("double")
     def _min_d(wkts: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                wktlib.polygon_set_distance_m(wktlib.polygons_of(w), bc.value)
+                wktlib.polygon_set_distance_m(
+                    qklib.split_polygons(wktlib.polygons_of(w)), bc.value
+                )
                 for w in wkts
             ]
         )
@@ -212,9 +225,15 @@ def _exact_geom_udfs(zone_wkt: dict):
     bboxes overlap — the boundary sliver, not the full cross product."""
     from pyspark.sql import types as T
 
+    from aos_spark.geo import quadkey as qklib
     from aos_spark.geo import wkt as wktlib
 
-    parsed = {int(z): wktlib.polygons_of(w) for z, w in zone_wkt.items()}
+    # antimeridian-split: both kernels below are planar (ray-cast /
+    # rect-clip); parts partition the polygon, so clip areas stay additive
+    parsed = {
+        int(z): qklib.split_polygons(wktlib.polygons_of(w))
+        for z, w in zone_wkt.items()
+    }
 
     @F.pandas_udf(T.DoubleType())
     def exact_area(

@@ -50,8 +50,19 @@ def moment_aggs(x: str, y: str, scale: int = 6) -> list[Column]:
     differently ulp-wise across engines (observed Spark vs DuckDB). The
     rounding perturbs the moments by ≤0.5 unit — relative 1e-14 here —
     and identically in both engines, preserving bit-exactness."""
-    xd = F.col(x).cast(f"decimal(18,{scale})")
-    yd = F.col(y).cast(f"decimal(18,{scale})")
+    xd0 = F.col(x).cast(f"decimal(18,{scale})")
+    yd0 = F.col(y).cast(f"decimal(18,{scale})")
+    # PAIRWISE-complete moments (r9 review): n previously counted every
+    # row while the sums skipped NULLs, so one NULL x corrupted every
+    # derived statistic (variance computed against the wrong n, covariance
+    # against inconsistent moments). A pair contributes to all six
+    # aggregates or to none — the pairwise-deletion semantics of
+    # engine-native corr/covar_samp. Gating on the POST-cast values also
+    # keeps n consistent when a value overflows the decimal cast to NULL
+    # under non-ANSI sessions (ANSI sessions raise instead, both engines).
+    both = xd0.isNotNull() & yd0.isNotNull()
+    xd = F.when(both, xd0)
+    yd = F.when(both, yd0)
 
     def lin(c: Column) -> Column:
         return F.round(F.sum(c), 2).cast("double")
@@ -60,7 +71,7 @@ def moment_aggs(x: str, y: str, scale: int = 6) -> list[Column]:
         return F.round(F.sum(c.cast(f"decimal(38,{2 * scale})")), 0).cast("double")
 
     return [
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(both, F.lit(1))).alias("n"),
         lin(xd).alias("sum_x"),
         lin(yd).alias("sum_y"),
         prod(xd * yd).alias("sum_xy"),
@@ -76,12 +87,26 @@ def derive_stats(df: DataFrame, round_to: int = 6) -> DataFrame:
     cov = (F.col("sum_xy") - F.col("sum_x") * F.col("sum_y") / n) / (n - 1)
     var_x = (F.col("sum_xx") - F.col("sum_x") * F.col("sum_x") / n) / (n - 1)
     var_y = (F.col("sum_yy") - F.col("sum_y") * F.col("sum_y") / n) / (n - 1)
-    corr = cov / F.sqrt(var_x * var_y)
+    # NULL, never NaN/Infinity (r9 review): engine-native corr/covar_samp
+    # return NULL for n<2 and for zero-variance groups; the unguarded
+    # moment form emitted 0/0=NaN and cov/0=Inf there, values the
+    # null-contract rollups downstream were never designed for. (A
+    # constant group's variance can also land a hair NEGATIVE from the
+    # unit-rounding of the moment sums — the same guard routes that to
+    # NULL instead of sqrt(NaN).) The guarded expressions keep the fixed
+    # op order on every group the guards don't fire for.
+    valid = F.col("n") >= 2
+    cov_g = F.when(valid, cov)
+    sd_x = F.when(valid & (var_x >= 0), F.sqrt(var_x))
+    sd_y = F.when(valid & (var_y >= 0), F.sqrt(var_y))
+    corr = F.when(
+        valid & (var_x > 0) & (var_y > 0), cov / F.sqrt(var_x * var_y)
+    )
     return df.select(
         *df.columns,
-        F.round(cov, round_to).alias("covar_xy"),
-        F.round(F.sqrt(var_x), round_to).alias("stddev_x"),
-        F.round(F.sqrt(var_y), round_to).alias("stddev_y"),
+        F.round(cov_g, round_to).alias("covar_xy"),
+        F.round(sd_x, round_to).alias("stddev_x"),
+        F.round(sd_y, round_to).alias("stddev_y"),
         F.round(corr, round_to).alias("corr_xy"),
     )
 
@@ -224,14 +249,19 @@ def grouped_linregress(
     var_x = (F.col("sum_xx") - F.col("sum_x") * F.col("sum_x") / n) / (n - 1)
     var_y = (F.col("sum_yy") - F.col("sum_y") * F.col("sum_y") / n) / (n - 1)
     slope = cov / var_x
+    # NULL for degenerate groups (n<2, constant x) — same rationale as
+    # derive_stats (r9 review): the unguarded form emitted NaN/Infinity
+    valid = (F.col("n") >= 2) & (var_x > 0)
     return m.select(
         *group_cols,
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sum_y") - slope * F.col("sum_x")) / n, 6).alias(
-            "intercept"
-        ),
-        F.round(cov / F.sqrt(var_x * var_y), 6).alias("r"),
+        F.round(F.when(valid, slope), 6).alias("slope"),
+        F.round(
+            F.when(valid, (F.col("sum_y") - slope * F.col("sum_x")) / n), 6
+        ).alias("intercept"),
+        F.round(
+            F.when(valid & (var_y > 0), cov / F.sqrt(var_x * var_y)), 6
+        ).alias("r"),
     )
 
 

@@ -1398,7 +1398,12 @@ pts AS (SELECT c_custkey AS item_id, c_acctbal AS x, (c_custkey % 97) * 10.0 AS 
         FROM customer)
 SELECT item_id, COUNT(zone_id) AS n_zones
 FROM pts LEFT JOIN zones
-  ON x + 50.0 >= xmin AND x - 50.0 <= xmax AND y + 50.0 >= ymin AND y - 50.0 <= ymax
+  -- circular buffer (r9): exact Euclidean point-to-box distance, squared
+  -- on both sides — mirrors count_points_in_zones; the reference's
+  -- gpd .buffer() is a disc, not the Chebyshev square
+  ON GREATEST(xmin - x, x - xmax, 0.0) * GREATEST(xmin - x, x - xmax, 0.0)
+     + GREATEST(ymin - y, y - ymax, 0.0) * GREATEST(ymin - y, y - ymax, 0.0)
+     <= 2500.0
 GROUP BY item_id
 """
 
@@ -1497,12 +1502,12 @@ def q_facility_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 131) % 6000).alias("fx"),
         ((F.col("c_custkey") * 17) % 970).alias("fy"),
     )
-    in_env = (
-        (F.col("fx") + 2 >= F.col("xmin"))
-        & (F.col("fx") - 2 <= F.col("xmax"))
-        & (F.col("fy") + 2 >= F.col("ymin"))
-        & (F.col("fy") - 2 <= F.col("ymax"))
-    )
+    # circular 2-unit facility buffer (r9): Euclidean point-to-box
+    # distance, squared — integer-exact in both engines; the reference's
+    # gpd .buffer() is a disc, not the Chebyshev square
+    fdx = F.greatest(F.col("xmin") - F.col("fx"), F.col("fx") - F.col("xmax"), F.lit(0))
+    fdy = F.greatest(F.col("ymin") - F.col("fy"), F.col("fy") - F.col("ymax"), F.lit(0))
+    in_env = fdx * fdx + fdy * fdy <= F.lit(4)
     nhit = (
         fac.join(F.broadcast(env), in_env)
         .groupBy("facility_id", "wind_threshold")
@@ -1544,7 +1549,9 @@ fac AS (
 nhit AS (
   SELECT facility_id, wind_threshold, COUNT(DISTINCT member) AS n_members
   FROM fac JOIN env
-    ON fx + 2 >= xmin AND fx - 2 <= xmax AND fy + 2 >= ymin AND fy - 2 <= ymax
+    -- circular buffer (r9), mirrored from the Spark side: integer-exact
+    ON GREATEST(xmin - fx, fx - xmax, 0) * GREATEST(xmin - fx, fx - xmax, 0)
+       + GREATEST(ymin - fy, fy - ymax, 0) * GREATEST(ymin - fy, fy - ymax, 0) <= 4
   GROUP BY 1, 2
 )
 SELECT f.facility_id, f.kind, t.wind_threshold,
@@ -2984,14 +2991,23 @@ WITH m AS (
          CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xy,
          CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_xx,
          CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))), 0) AS DOUBLE) AS sum_yy
-  FROM lineitem GROUP BY l_returnflag)
+  FROM lineitem
+  -- pairwise deletion, mirroring moment_aggs (r9): a pair contributes to
+  -- all six aggregates or to none
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag)
 SELECT l_returnflag, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
-       ROUND((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS covar_xy,
-       ROUND(SQRT((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_x,
-       ROUND(SQRT((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_y,
+       CASE WHEN n >= 2 THEN
+       ROUND((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) END AS covar_xy,
+       CASE WHEN n >= 2 AND (sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) >= 0 THEN
+       ROUND(SQRT((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) END AS stddev_x,
+       CASE WHEN n >= 2 AND (sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) >= 0 THEN
+       ROUND(SQRT((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) END AS stddev_y,
+       CASE WHEN n >= 2 AND (sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+                        AND (sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0 THEN
        ROUND(((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
              / SQRT(((sum_xx - sum_x * sum_x / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
-                    * ((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))), 6) AS corr_xy
+                    * ((sum_yy - sum_y * sum_y / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))), 6) END AS corr_xy
 FROM m
 """
 

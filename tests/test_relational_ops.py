@@ -286,3 +286,43 @@ def test_lead_segments_null_point_value_keeps_segment(spark):
     by_seq = {r["seq"]: (r["cx_next"], r["cy_next"]) for r in out}
     assert by_seq[1] == (None, 2.0)
     assert by_seq[2] == (30.0, 3.0)
+
+
+def test_moment_stats_pairwise_nulls_and_degenerate_groups(spark):
+    """r9 review: moment_aggs counted NULL rows in n while the sums
+    skipped them (corrupting every derived statistic), and derive_stats /
+    grouped_linregress emitted NaN/Infinity for n<2 or constant groups
+    where engine-native corr/covar return NULL."""
+    import math
+
+    from aos_spark.ops.stats import grouped_correlation, grouped_linregress
+
+    df = spark.createDataFrame(
+        [
+            # group a: 3 clean pairs + one NULL-x row that must not count
+            ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 7.0),
+            ("a", None, 100.0),
+            # group b: single pair -> all derived stats NULL
+            ("b", 1.0, 1.0),
+            # group c: constant x -> corr/slope NULL, stddev_x 0
+            ("c", 5.0, 1.0), ("c", 5.0, 2.0), ("c", 5.0, 3.0),
+        ],
+        "g string, x double, y double",
+    )
+    corr = {r["g"]: r for r in grouped_correlation(df, ["g"], "x", "y").collect()}
+    assert corr["a"]["n"] == 3  # NULL-x row excluded from n, not just sums
+    # clean 3-pair group: corr is finite and sane
+    assert 0.9 < corr["a"]["corr_xy"] <= 1.0
+    for col in ("covar_xy", "stddev_x", "stddev_y", "corr_xy"):
+        assert corr["b"][col] is None, (col, corr["b"][col])
+    assert corr["c"]["corr_xy"] is None
+    assert corr["c"]["stddev_x"] == 0.0
+    for row in corr.values():
+        for col in ("covar_xy", "stddev_x", "stddev_y", "corr_xy"):
+            v = row[col]
+            assert v is None or math.isfinite(v), (row["g"], col, v)
+
+    lin = {r["g"]: r for r in grouped_linregress(df, ["g"], "x", "y").collect()}
+    assert lin["a"]["slope"] is not None and math.isfinite(lin["a"]["slope"])
+    assert lin["b"]["slope"] is None and lin["b"]["r"] is None
+    assert lin["c"]["slope"] is None and lin["c"]["intercept"] is None

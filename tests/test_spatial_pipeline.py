@@ -72,3 +72,54 @@ def test_point_to_tile_equijoin(spark):
     out = {r["id"]: r["tile_id"] for r in with_quadkey(pts, ZOOM).collect()}
     assert out["s1"] == qk.point_to_quadkey(10.2, 10.3, ZOOM)
     assert out["s2"] == qk.point_to_quadkey(55.0, -120.0, ZOOM)
+
+
+def test_dateline_envelope_boundary_points_verified_inside(spark):
+    """r9 review (empirically confirmed): the boundary-verify UDF
+    ray-cast the RAW unsplit WKT, so a dateline-crossing envelope's
+    planar interior read as the complement and every inside point on a
+    boundary leaf was dropped. The verifier now tests the same
+    antimeridian-split parts the cover is built from."""
+    from aos_spark.geo.sjoin import points_hit_by_envelopes
+
+    wkt = "POLYGON ((170 10, -170 10, -170 20, 170 20, 170 10))"
+    env = spark.createDataFrame(
+        [(1, 34, wkt)],
+        "ensemble_member int, wind_threshold int, envelope_wkt string",
+    )
+    cover = envelope_cover_df(spark, env, zoom=ZOOM)
+    pts = spark.createDataFrame(
+        [
+            (1, 15.0, 175.0),    # inside, east of the seam
+            (2, 15.0, -175.0),   # inside, west of the seam
+            (3, 15.0, 0.0),      # far outside (the planar complement!)
+            (4, 40.0, 175.0),    # outside in latitude
+        ],
+        "id long, latitude double, longitude double",
+    )
+    hits = points_hit_by_envelopes(pts, cover, {(1, 34): wkt}, zoom=ZOOM)
+    got = sorted(r["id"] for r in hits.collect())
+    assert got == [1, 2], got
+
+
+def test_point_zone_circular_buffer_excludes_corner_lune(spark):
+    """r9 review: the buffered point-in-zone test was a Chebyshev square;
+    the reference buffers with a DISC. A point diagonally 140,140 from
+    the corner (Euclidean ~198 > 150) must not count; axis-aligned 140
+    must."""
+    from aos_spark.ops.spatial_assign import count_points_in_zones
+
+    zones = spark.createDataFrame(
+        [(1, 0.0, 100.0, 0.0, 100.0)], "zone_id long, xmin double, xmax double, ymin double, ymax double"
+    )
+    pts = spark.createDataFrame(
+        [(1, 240.0, 240.0), (2, 240.0, 50.0), (3, 50.0, 50.0)],
+        "pid long, x double, y double",
+    )
+    out = {
+        r["pid"]: r["n_zones"]
+        for r in count_points_in_zones(
+            pts, zones, ["pid"], "x", "y", buffer=150.0
+        ).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 1}, out
