@@ -171,7 +171,17 @@ def hyperplane_bucket(
             "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
         )
         terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << i} ELSE 0 END)")
-    return F.expr(" + ".join(terms))
+    # fail LOUD on a dim mismatch (r9 review): zip_with pads the shorter
+    # array with NULLs, the dot goes NULL, and every CASE takes ELSE 0 —
+    # silently putting the whole corpus in bucket 0 and collapsing the
+    # LSH self-join into the full O(N²) cross product (results stay
+    # correct through the exact verify, which is exactly why nobody
+    # would notice until the 100 TB run never finishes)
+    return F.expr(
+        f"CASE WHEN size(`{vec_col}`) = {dim} THEN {' + '.join(terms)} "
+        f"ELSE CAST(raise_error(concat('hyperplane_bucket: embedding dim ', "
+        f"CAST(size(`{vec_col}`) AS STRING), ' != configured dim {dim}')) AS INT) END"
+    )
 
 
 def ivf_assign(
@@ -220,7 +230,7 @@ def deterministic_centroids(
         corpus.orderBy(id_col)
         .limit(k)
         .select(
-            F.col(id_col).cast("int").alias("centroid_id"),
+            F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("cvec"),
         )
     )
@@ -246,7 +256,7 @@ def ivf_topk(
     """
     if centroids is not None:
         cents = centroids.select(
-            F.col(id_col).cast("int").alias("centroid_id"),
+            F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("cvec"),
         )
     else:

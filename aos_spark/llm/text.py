@@ -42,8 +42,13 @@ def marker_hits(lang: str, text_col: str = "text") -> Column:
     pattern = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
     lowered = F.lower(F.col(text_col))
     # count = (len(text) - len(text with matches removed)) impossible for
-    # words; use size(split) - 1 on the match pattern instead
-    return F.size(F.split(lowered, pattern)) - F.lit(1)
+    # words; use size(split) - 1 on the match pattern instead. greatest(0)
+    # guards NULL text (r9 review): size(split(NULL)) is -1 under the
+    # engine's legacy sizeOfNull, which made this -2 — a NEGATIVE hit
+    # count that propagated a negative stopword_ratio into quality_score
+    # and violated round_ratio6's num >= 0 contract. Non-null text always
+    # yields size >= 1, so the guard is a no-op off the NULL path.
+    return F.greatest(F.size(F.split(lowered, pattern)) - F.lit(1), F.lit(0))
 
 
 def detect_language(text_col: str = "text") -> Column:
@@ -79,8 +84,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             round_ratio6(stop_hits, F.greatest(n_tokens, F.lit(1))),
         )
         .withColumn(
+            # exact mean: non-whitespace chars / tokens (r9 review — the
+            # old (n_chars - n_tokens + 1)/n_tokens shortcut assumed
+            # single-space separators and no padding, overstating the
+            # mean without bound on whitespace-heavy docs, and reported
+            # 1.0 for EMPTY docs); 0.0 when there are no tokens
             "mean_token_len",
-            round_ratio6(n_chars - n_tokens + 1, F.greatest(n_tokens, F.lit(1))),
+            F.when(
+                n_tokens > 0,
+                round_ratio6(
+                    F.length(F.regexp_replace(t, r"\s", "")), n_tokens
+                ),
+            ).otherwise(F.lit(0.0)),
         )
     )
 
@@ -466,17 +481,27 @@ def top_terms_tfidf(
     # .count(): the whole query stays one lazy plan instead of paying an
     # extra full corpus pass before the main job (VERDICT r3 #6).
     n_docs = df.agg(
-        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+        F.count_distinct(F.col(id_col)).alias("__n_docs")  # bigint: feeds exact idf
     )
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = terms.select("id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    idf = (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    # tfidf = tf·(N − df + 0.5)/(df + 0.5) as the EXACT rational
+    # tf·(2(N−df)+1) / (2df+1): round_ratio6 rounds the true rational
+    # identically in both engines, where the old F.round on the compound
+    # double was the knife-edge cross-engine hazard class round 9 retired
+    # (a diverging last digit flips tfidf TIES and hence rank order).
+    # Numerator in decimal(38,0) so the product can't overflow int64 at
+    # corpus scale.
+    num = F.col("tf").cast("decimal(38,0)") * (
+        F.lit(2) * (F.col("__n_docs") - F.col("df")) + F.lit(1)
+    ).cast("decimal(38,0)")
+    den = F.lit(2) * F.col("df") + F.lit(1)
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        .withColumn("tfidf", round_ratio6(num, den))
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (

@@ -828,7 +828,9 @@ WITH feats AS (
          length(regexp_replace(text, '[^.,;:!?''"()\[\]]', '', 'g')) AS n_punct,
          CAST(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
                    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
-         len(string_split_regex(lower(text), '\b(and|is|of|the|to)\b')) - 1 AS stop_hits
+         -- greatest/coalesce: NULL text must read 0 hits, mirroring
+         -- marker_hits' r9 guard (non-null text always yields len >= 1)
+         GREATEST(COALESCE(len(string_split_regex(lower(text), '\b(and|is|of|the|to)\b')) - 1, 0), 0) AS stop_hits
   FROM documents
 ),
 ratios AS (
@@ -1319,7 +1321,7 @@ WITH vecs AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings),
 cents AS (
-  SELECT CAST(vec_id AS INT) AS centroid_id, v AS cvec, vnorm AS cnorm
+  SELECT vec_id AS centroid_id, v AS cvec, vnorm AS cnorm
   FROM vecs ORDER BY vec_id LIMIT 8),
 assign AS (
   SELECT vec_id, v, vnorm, centroid_id FROM (
@@ -2021,7 +2023,9 @@ WITH feats AS (
          length(regexp_replace(text, '[^.,;:!?''"()\[\]]', '', 'g')) AS n_punct,
          CAST(CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
                    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
-         len(string_split_regex(lower(text), '\b(and|is|of|the|to)\b')) - 1 AS stop_hits,
+         -- greatest/coalesce: NULL text must read 0 hits, mirroring
+         -- marker_hits' r9 guard (non-null text always yields len >= 1)
+         GREATEST(COALESCE(len(string_split_regex(lower(text), '\b(and|is|of|the|to)\b')) - 1, 0), 0) AS stop_hits,
          COALESCE(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')), 0) AS bpe
   FROM documents
 ),
@@ -2109,7 +2113,10 @@ dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term,
-         ROUND(tf * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)), 6) AS tfidf
+         -- exact rational tf*(2(N-df)+1)/(2df+1), integral-division
+         -- rounded — mirrors top_terms_tfidf (r9: the compound-double
+         -- ROUND here was a knife-edge cross-engine hazard residue)
+         CAST((CAST(tf AS HUGEINT) * (2 * CAST(n_docs - df AS HUGEINT) + 1) * 1000000 * 2 + CAST(2 * df + 1 AS HUGEINT)) // (CAST(2 * df + 1 AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS tfidf
   FROM tf JOIN dfreq USING (term) CROSS JOIN n),
 ranked AS (
   SELECT doc_id, term, tfidf,

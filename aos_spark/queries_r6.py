@@ -774,7 +774,7 @@ WITH vecs AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings),
 cents AS (
-  SELECT CAST(vec_id AS INT) AS centroid_id, v AS cvec, vnorm AS cnorm
+  SELECT vec_id AS centroid_id, v AS cvec, vnorm AS cnorm
   FROM vecs ORDER BY vec_id LIMIT 8),
 assign AS (
   SELECT vec_id, centroid_id FROM (

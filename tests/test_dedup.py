@@ -279,3 +279,66 @@ def test_lsh_recall_eval_invariants_and_identical_docs(spark):
     assert r["recall"] == 1.0
     assert 0.0 <= r["precision"] <= 1.0
     assert r["n_hit_pairs"] <= r["n_candidate_pairs"]
+
+
+def test_hyperplane_bucket_dim_mismatch_fails_loud(spark):
+    """r9 review: a dim mismatch NULLed every plane dot (zip_with pads
+    with NULLs) and put the whole corpus in bucket 0 — collapsing LSH
+    into the O(N²) cross product with correct-looking results. Now it
+    raises."""
+    import pytest
+    from aos_spark.llm.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame([(1, [0.1] * 32)], "id long, embedding array<double>")
+    with pytest.raises(Exception, match="embedding dim 32"):
+        df.select(hyperplane_bucket("embedding")).collect()
+
+
+def test_ivf_and_semantic_dedup_work_with_string_ids(spark):
+    """r9 review: centroid ids were cast to int, so string (or >2^31)
+    vec_ids became NULL centroid keys — NULL never equi-joins, making
+    ivf_topk return zero neighbors and semantic_dedup a silent no-op."""
+    from aos_spark.llm.dedup import semantic_dedup
+    from aos_spark.llm.similarity import ivf_topk
+
+    rows = [(f"v_{i:03d}", [float(i % 4 == j) + 0.01 * i for j in range(4)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = ivf_topk(df, df.limit(3).withColumnRenamed("vec_id", "query_id"),
+                   k=2, n_centroids=4, nprobe=4)
+    assert out.count() > 0  # pre-fix: zero rows
+
+    sd = semantic_dedup(df, threshold=0.95, n_clusters=4)
+    assert sd.filter("NOT keep").count() > 0  # pre-fix: all keep=true
+
+
+def test_banded_minhash_rejects_indivisible_bands(spark):
+    import pytest
+    from aos_spark.llm.dedup import banded_minhash_frame
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        banded_minhash_frame(df, num_hashes=20, bands=6)
+
+
+def test_span_dedup_keeper_semantics_and_skew_free_plan(spark):
+    """r9 review: the keeper pick moved from a span_hash-partitioned
+    window (unsalted hot-key funnel for boilerplate spans) to a
+    map-side-combined struct-min — keeper choice must stay the
+    lexicographic min (doc_id, span_idx), and no Window node may remain
+    in the plan."""
+    from aos_spark.llm.dedup import span_dedup_retention
+
+    df = spark.createDataFrame(
+        [(2, "x y z " * 8), (1, "x y z " * 8), (3, "unique words only here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_retention(df, span=8).collect()}
+    # doc 1 (lowest id) keeps the shared spans; doc 2 keeps none of them
+    assert out[1]["n_kept"] == out[1]["n_spans"]
+    assert out[2]["n_kept"] == 0 and out[2]["kept_tokens"] == 0
+    assert out[3]["n_kept"] == out[3]["n_spans"]
+    assert out[2]["retained_frac"] == 0.0
+    plan = span_dedup_retention(df, span=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan

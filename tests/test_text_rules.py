@@ -152,3 +152,22 @@ def test_bpe_merge_candidates_counts(spark, tmp_path):
     assert out["ab"]["merge_count"] == 8
     assert out["ba"]["merge_count"] == 3
     assert out["ab"]["rank_in_group"] == 1
+
+
+def test_quality_features_null_text_and_whitespace_mean(spark):
+    """r9 review: NULL text made marker_hits -2 (size(split(NULL)) = -1
+    under legacy sizeOfNull), driving a NEGATIVE stopword_ratio and a
+    quality score around -3; and mean_token_len's (chars - tokens + 1)
+    shortcut overstated the mean on padded text and reported 1.0 for
+    empty docs."""
+    from aos_spark.llm.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, None), (2, " a  b "), (3, ""), (4, "the cat and the dog")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert out[1]["stopword_ratio"] == 0.0   # pre-fix: -2.0
+    assert out[2]["mean_token_len"] == 1.0   # ' a  b ': 2 chars / 2 tokens
+    assert out[3]["mean_token_len"] == 0.0   # empty doc: no tokens
+    assert out[4]["mean_token_len"] == 3.0   # 15 non-space chars / 5 tokens
