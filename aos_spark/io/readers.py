@@ -11,15 +11,31 @@ timestamps, which is exactly how DuckDB/pandas present the same files).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-@lru_cache(maxsize=256)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
-    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``."""
+    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``.
+    Cached by (path, mtime) — a pure path cache went stale when a dataset
+    was REWRITTEN at the same path for the process lifetime (r9 review:
+    a nano rewrite under a cached non-nano detection either crashes the
+    read or returns raw longs). Spark overwrites replace the dataset
+    directory's entries, so the directory mtime moves; single-file
+    rewrites move the file mtime."""
+    p = path.removeprefix("file://")
+    try:
+        mtime_ns = os.stat(p).st_mtime_ns
+    except OSError:
+        mtime_ns = -1
+    return _nano_ts_columns_at(path, mtime_ns)
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns_at(path: str, mtime_ns: int) -> tuple[str, ...]:
     try:
         import pyarrow.dataset as ds
         import pyarrow as pa
@@ -127,12 +143,17 @@ def read_first_available(spark: SparkSession, sources: list, reader=None):
 
     ``sources`` items are either path strings (read with ``reader`` or
     read_table) or zero-arg callables returning a DataFrame (the API tier).
+    A callable tier that RAISES is skipped like a missing path (r9
+    review: the cascade exists precisely so a flaky API tier falls
+    through to the cache tier — aborting on the first tier's
+    ConnectionError defeated it); exhausting every tier returns None.
     """
-    import os
-
     for src in sources:
         if callable(src):
-            out = src()
+            try:
+                out = src()
+            except Exception:
+                continue  # tier failed — cascade to the next (S14)
             if out is not None:
                 return out
             continue
@@ -189,7 +210,13 @@ def sequential_ids(
     off = F.element_at(
         F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    # full-row tiebreak (r9 review): row_number over a TIED order assigns
+    # ids to duplicate-key rows by physical row order, which varies with
+    # parallelism — the remaining columns break ties deterministically
+    # (the range partitioner keeps equal order_cols keys in one
+    # partition, so a within-partition total order suffices)
+    tiebreak = [c for c in ranged.columns if c not in (*order_cols, "__pid")]
+    w = Window.partitionBy("__pid").orderBy(*order_cols, *tiebreak)
     return (
         ranged.withColumn(
             "__seq_id",

@@ -118,6 +118,26 @@ def compact_dataset(
     fs_files = [
         f for f in os.listdir(path) if f.startswith("part-") or f.endswith(".parquet")
     ]
+    if not fs_files:
+        # Hive-partitioned layouts (write_view output: country=XX/part-*)
+        # have no top-level data files — total would read 0, the rewrite
+        # would funnel the whole dataset through ONE task, and the
+        # partition directory layout (and its pruning) would silently
+        # flatten away (r9 review). Loud, like the URI guard above.
+        subdirs = [
+            d for d in os.listdir(path)
+            if os.path.isdir(os.path.join(path, d)) and "=" in d
+        ]
+        raise ValueError(
+            f"compact_dataset: no top-level data files at {path!r}"
+            + (
+                f" — dataset is Hive-partitioned ({subdirs[:3]}...); "
+                "compact each partition directory individually to keep "
+                "the layout (and its partition pruning) intact"
+                if subdirs
+                else " — nothing to compact"
+            )
+        )
     total = sum(os.path.getsize(os.path.join(path, f)) for f in fs_files)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
@@ -165,8 +185,6 @@ def export_geosight_rows(
     ``send_batch(rows: list[dict]) -> None`` is the transport callback (the
     HTTP client in production, a recorder in tests).
     """
-    from pyspark.sql import functions as F2
-
     keep = GEOSIGHT_DEDUP_KEY + [
         c for c in GEOSIGHT_ALLOWED_METRICS if c in df.columns
     ]
@@ -192,28 +210,50 @@ def export_filename_compat(
     *,
     fmt: str = "csv",
 ) -> list[str]:
-    """One single file per composite key, named ``{key1}_{key2}_....{ext}``
-    (FILE_STRUCTURE.md naming parity). Keys are collected on the driver —
-    the key space is small by construction (countries × storms × thresholds),
-    the per-key data is written by executors via coalesced single-partition
-    writes. Only for the export boundary; engine-internal data stays
-    partitioned."""
+    """One single-part dataset DIRECTORY per composite key, named
+    ``{key1}_{key2}_...`` and containing exactly one ``part-*.{ext}``
+    data file (FILE_STRUCTURE.md naming parity at the part-file level —
+    consumers that need a bare ``name.ext`` file rename that single part;
+    a directory write keeps the executor-side single-partition write
+    atomic-per-key). Keys are collected on the driver — the key space is
+    small by construction (countries × storms × thresholds); the per-key
+    data is written by executors via coalesced single-partition writes.
+    Only for the export boundary; engine-internal data stays partitioned.
+    Key VALUES containing the separator can collide (('a_b','c') and
+    ('a','b_c') both name 'a_b_c'): the reference's key domains (ISO
+    codes, storm ids, integer thresholds) cannot contain '_', so a
+    collision means non-reference keys — guarded loud below."""
     os.makedirs(out_dir, exist_ok=True)
-    keys = [tuple(r) for r in df.select(*key_cols).distinct().collect()]
-    written = []
-    for key in keys:
-        sub = df
-        for col, val in zip(key_cols, key):
-            sub = sub.filter(sub[col] == val)
-        name = "_".join(str(v) for v in key)
-        target = os.path.join(out_dir, name)
-        sub = sub.drop(*key_cols).coalesce(1)
-        if fmt == "csv":
-            sub.write.mode("overwrite").option("header", "true").csv(target)
-        else:
-            sub.write.mode("overwrite").parquet(target)
-        written.append(target)
-    return written
+    # persist: the loop filters the SAME input once per key (plus the
+    # distinct) — unpersisted, each iteration re-ran the full lineage
+    # (201 source scans for 200 keys — r9 review). Self-managed (not
+    # persist_tracked): every consumer completes inside this function,
+    # so the cache is released before returning.
+    df = df.persist()
+    try:
+        keys = [tuple(r) for r in df.select(*key_cols).distinct().collect()]
+        names = ["_".join(str(v) for v in key) for key in keys]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                "export_filename_compat: key values collide under the '_' "
+                "separator; rename the offending keys or export them separately"
+            )
+        written = []
+        for key, name in zip(keys, names):
+            sub = df
+            for col, val in zip(key_cols, key):
+                # null-safe: a NULL key value must select ITS rows, not none
+                sub = sub.filter(sub[col].eqNullSafe(F.lit(val)))
+            target = os.path.join(out_dir, name)
+            sub = sub.drop(*key_cols).coalesce(1)
+            if fmt == "csv":
+                sub.write.mode("overwrite").option("header", "true").csv(target)
+            else:
+                sub.write.mode("overwrite").parquet(target)
+            written.append(target)
+        return written
+    finally:
+        df.unpersist()
 
 
 def write_training_shards(

@@ -30,12 +30,23 @@ def _run_log_path(warehouse: str) -> str:
     return os.path.join(warehouse, "control", "run_log")
 
 
+
+def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a control table, mapping ONLY a missing path to the empty
+    frame. A bare `except Exception` here converted transient read
+    errors (a corrupt footer from a killed writer, a rename race) into
+    an empty frame — which upsert_country then OVERWROTE the registry
+    with, and which made the F11 idempotency gate reprocess everything
+    (r9 review). Anything other than path-not-found must raise."""
+    import os as _os
+
+    if not _os.path.exists(path.removeprefix("file://")):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(path)
+
+
 def read_run_log(spark: SparkSession, warehouse: str) -> DataFrame:
-    path = _run_log_path(warehouse)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], RUN_LOG_SCHEMA)
+    return _read_or_empty(spark, _run_log_path(warehouse), RUN_LOG_SCHEMA)
 
 
 def log_run_start(
@@ -124,10 +135,7 @@ def _registry_path(warehouse: str) -> str:
 
 
 def read_countries(spark: SparkSession, warehouse: str) -> DataFrame:
-    try:
-        return spark.read.parquet(_registry_path(warehouse))
-    except Exception:
-        return spark.createDataFrame([], COUNTRY_SCHEMA)
+    return _read_or_empty(spark, _registry_path(warehouse), COUNTRY_SCHEMA)
 
 
 def upsert_country(

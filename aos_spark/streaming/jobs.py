@@ -190,8 +190,16 @@ def sessionize_stream(
     """Custom stateful operator via applyInPandasWithState: gap-based
     sessions per user. The open session lives in per-key state across
     micro-batches; a session is emitted when a later event arrives more
-    than ``gap_seconds`` after it (batch face with identical semantics:
-    ops/windows.sessionize).
+    than ``gap_seconds`` after it. Batch face: ops/windows.sessionize —
+    EMITTED sessions match it exactly on in-order data, with two
+    streaming-inherent deviations stated outright: (1) cross-batch LATE
+    events (timestamp before the open session's last event) are DROPPED,
+    like the burst/transition siblings — folding them in would move the
+    session's end backwards and emit end-before-start sessions (r9
+    review); (2) the FINAL open session per key stays in state (NoTimeout
+    → nothing fires without new data), so a drain over a finished event
+    set emits one fewer session per key than the batch face — close it
+    with a sentinel event or read the batch face for a complete set.
 
     This is the (b)-tier custom-operator pattern from the build brief —
     semantics Spark's built-ins can't express incrementally (session
@@ -215,6 +223,10 @@ def sessionize_stream(
 
         out_rows = []
         for e, v in zip(epochs, values):
+            if last_e is not None and e < last_e:
+                # cross-batch late event: drop (see docstring) — last_e
+                # must never regress
+                continue
             if last_e is not None and e - last_e > gap_seconds:
                 out_rows.append((key[0], start_e, last_e, n, tot))
                 start_e, n, tot = e, 0, 0.0

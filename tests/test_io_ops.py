@@ -378,3 +378,100 @@ def test_exact_prefilter_excludes_bbox_overselection(spark):
         ).collect()
     }
     assert exact_kept == {"NEAR"}  # exact geometry distance excludes it
+
+
+def test_compact_dataset_rejects_hive_partitioned_layout(spark, tmp_path):
+    """r9 review: on a partitioned layout compact_dataset saw zero
+    top-level data files, coalesced everything through ONE task, and
+    silently flattened the partition directories (killing pruning). Now
+    it fails loud."""
+    import pytest
+
+    from aos_spark.io.writers import compact_dataset
+
+    path = str(tmp_path / "parted")
+    spark.createDataFrame(
+        [("AA", 1), ("BB", 2)], "country string, v int"
+    ).write.partitionBy("country").parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_dataset(spark, path)
+
+
+def test_read_first_available_skips_failing_callable(spark, tmp_path):
+    """r9 review: a raising API tier aborted the whole cascade instead of
+    falling through to the cache tier."""
+    from aos_spark.io.readers import read_first_available
+
+    cached = str(tmp_path / "cache.parquet")
+    spark.createDataFrame([(1,)], "x int").write.parquet(cached)
+
+    def flaky_api():
+        raise ConnectionError("api down")
+
+    out = read_first_available(spark, [flaky_api, cached])
+    assert out is not None and out.count() == 1
+
+
+def test_control_reads_empty_on_missing_but_raise_on_corrupt(spark, tmp_path):
+    """r9 review: a bare except mapped ANY read error to an empty frame —
+    a corrupt registry then got overwritten with a single row (data
+    loss) and a corrupt run log made the idempotency gate reprocess
+    everything. Missing -> empty; corrupt -> raise."""
+    import os as _os
+
+    import pytest
+
+    from aos_spark.pipeline.control import read_countries, read_run_log
+
+    wh = str(tmp_path / "wh")
+    assert read_countries(spark, wh).count() == 0
+    assert read_run_log(spark, wh).count() == 0
+
+    reg = _os.path.join(wh, "control", "countries")
+    _os.makedirs(reg)
+    with open(_os.path.join(reg, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        read_countries(spark, wh).count()
+
+
+def test_export_filename_compat_null_keys_and_collisions(spark, tmp_path):
+    """r9 review: a NULL key value filtered to zero rows (col == NULL is
+    never true) and '_'-bearing key values silently collided under
+    mode=overwrite. NULL keys now export their rows; collisions raise."""
+    import pytest
+
+    from aos_spark.io.writers import export_filename_compat
+
+    df = spark.createDataFrame(
+        [("AA", 1, 1.0), (None, 1, 2.0)], "country string, t int, v double"
+    )
+    written = export_filename_compat(df, str(tmp_path / "exp"), ["country", "t"])
+    assert len(written) == 2
+    null_dir = [w for w in written if "None_1" in w][0]
+    assert spark.read.option("header", "true").csv(null_dir).count() == 1
+
+    bad = spark.createDataFrame(
+        [("a_b", "c", 1.0), ("a", "b_c", 2.0)], "k1 string, k2 string, v double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        export_filename_compat(bad, str(tmp_path / "exp2"), ["k1", "k2"])
+
+
+def test_sequential_ids_stable_across_parallelism_on_ties(spark):
+    """r9 review: tied order_cols left id assignment to physical row
+    order. With the full-row tiebreak, the same input row gets the same
+    id at any partitioning."""
+    from aos_spark.io.readers import sequential_ids
+
+    rows = [(1.0, 2.0, f"site_{i:02d}") for i in range(30)]
+    df = spark.createDataFrame(rows, "latitude double, longitude double, name string")
+    a = {
+        r["name"]: r["__seq_id"]
+        for r in sequential_ids(df, "p_", ["latitude", "longitude"], parts=2).collect()
+    }
+    b = {
+        r["name"]: r["__seq_id"]
+        for r in sequential_ids(df, "p_", ["latitude", "longitude"], parts=7).collect()
+    }
+    assert a == b and len(set(a.values())) == 30

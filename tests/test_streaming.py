@@ -416,3 +416,58 @@ def test_stateful_transition_stream_across_batches(spark, dirs, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert pairs == {("a", "b"), ("b", "c"), ("c", "a")}
+
+
+def test_stateful_sessionize_drops_cross_batch_late_events(spark, dirs, tmp_path):
+    """r9 review: a cross-batch LATE event used to fold into the open
+    session and move last_e BACKWARDS, so a later in-order event could
+    emit an end-before-start session and split spuriously. Late events
+    are now dropped (the burst/transition siblings' guard)."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "late_in")
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(in_dir)
+
+    def drop(tag, rows):
+        spark.createDataFrame(
+            [(i, ts, uid, "t", v, None) for i, (ts, uid, v) in enumerate(rows)],
+            sjobs.EVENTS_SCHEMA,
+        ).coalesce(1).write.parquet(os.path.join(in_dir, tag))
+
+    def run():
+        q = (
+            sjobs.sessionize_stream(
+                sjobs.read_event_stream(spark, in_dir + "/*"), gap_seconds=3600
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    drop("b1", [(t0, 1, 1.0)])
+    run()
+    # batch 2: a LATE event 2h BEFORE the open session — must be dropped,
+    # not fold last_e backwards
+    drop("b2", [(t0 - dt.timedelta(hours=2), 1, 9.0)])
+    run()
+    # batch 3: 30 min after t0 — same session as t0 (old bug: the
+    # regressed last_e made this a gap-breach, emitting end < start)
+    drop("b3", [(t0 + dt.timedelta(minutes=30), 1, 2.0)])
+    run()
+    # batch 4: 2h after batch 3 — closes the session
+    drop("b4", [(t0 + dt.timedelta(hours=3), 1, 5.0)])
+    run()
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + dt.timedelta(minutes=30)
+    assert r["session_end"] >= r["session_start"]
+    assert r["n_events"] == 2 and r["total_value"] == 3.0
