@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -120,9 +121,20 @@ def _decode_image_array(payload: bytes) -> np.ndarray | None:
             ).astype("float64")
         except Exception:
             pass  # undecodable by PIL — try the zero-dep parsers
-    arr = _parse_pnm(payload)
+    # truncated/garbled headers raise from the zero-dep parsers (int(b'')
+    # → ValueError in PNM, struct.error/ValueError in BMP): map them to
+    # the None-fallthrough so a corrupt payload surfaces as the
+    # documented NotImplementedError, not a raw parse crash that kills
+    # the whole Arrow batch (r9 review)
+    try:
+        arr = _parse_pnm(payload)
+    except (ValueError, IndexError, struct.error):
+        arr = None
     if arr is None:
-        arr = _parse_bmp(payload)
+        try:
+            arr = _parse_bmp(payload)
+        except (ValueError, IndexError, struct.error):
+            arr = None
     return arr
 
 
@@ -175,8 +187,11 @@ def extract_image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column.
 
     Batch-at-a-time: each Arrow batch is decoded in one Python call; only
-    the small feature frame crosses back to the JVM.
-    """
+    the small feature frame crosses back to the JVM. Rows are filtered to
+    ``kind = 'image'`` BEFORE the Python boundary when the column exists
+    (r9 review — the audio/video kernels already enforce their kind;
+    without the filter, non-image payloads crossed to Python to crash the
+    real decoder or silently got fake 'image' features)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -190,6 +205,8 @@ def extract_image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
                 }
             )
 
+    if "kind" in df.columns:
+        df = df.filter(F.col("kind") == "image")
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
     )
@@ -362,7 +379,9 @@ def decode_video_frames(
     fps, w, h, bits, frames = parsed
     out = []
     for ts in timestamps:
-        idx = min(int(round(ts * fps)), len(frames) - 1)
+        # clamp BOTH ends: a negative timestamp otherwise indexes from
+        # the END of the frame list via Python's negative indexing (r9)
+        idx = max(0, min(int(round(ts * fps)), len(frames) - 1))
         tag, buf = frames[idx]
         if tag == b"db":
             arr = _dib_frame_to_rgb(buf, w, h, bits)
@@ -418,7 +437,11 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, *, fake: bool = True) -> 
             rows = {"media_id": [], "frame_ts": [], "frame_phash": []}
             for _, r in pdf.iterrows():
                 if fake:
-                    dur = r["duration_s"] or 0.0
+                    # pd.isna, not `or`: a NULL duration arrives as NaN,
+                    # which is truthy — int(NaN / every_s) then raised
+                    # and killed the whole job (r9 review)
+                    dur = r["duration_s"]
+                    dur = 0.0 if pd.isna(dur) else float(dur)
                 else:
                     dur = video_duration_s(r["payload"]) or 0.0
                 n = int(dur / every_s)

@@ -33,13 +33,20 @@ def exceedance_bands(
     but NULL values stay NULL: no-data must not fabricate a 0 band)."""
     w = Window.partitionBy(*id_cols).orderBy(F.col(threshold_col).asc())
     out = long_df
+    # "no next ROW" (highest threshold → subtract 0) is not "next row's
+    # VALUE is no-data" (band unknowable → NULL): coalescing the lead
+    # blindly fabricated an inflated low band from a NULL higher band and
+    # broke the telescoping invariant Σbands = X(lowest) (r9 review) —
+    # the lead of a constant distinguishes the two cases
+    has_next = F.lead(F.lit(1), 1).over(w)
     for c in value_cols:
         nxt = F.lead(c, 1).over(w)
         out = out.withColumn(
             f"band_{c}",
-            F.when(F.col(c).isNull(), F.lit(None).cast("double")).otherwise(
-                F.col(c) - F.coalesce(nxt, F.lit(0.0))
-            ),
+            F.when(
+                F.col(c).isNull() | (has_next.isNotNull() & nxt.isNull()),
+                F.lit(None).cast("double"),
+            ).otherwise(F.col(c) - F.coalesce(nxt, F.lit(0.0))),
         )
     return out
 

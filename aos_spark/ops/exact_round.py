@@ -116,6 +116,18 @@ def round_ratio6_micro(num_micro: Column, den: Column) -> Column:
     return q.cast("double") / F.lit(1_000_000.0)
 
 
+def round_ratio6_micro_signed(num_micro: Column, den: Column) -> Column:
+    """Signed variant of :func:`round_ratio6_micro` (den > 0 still):
+    every idiom above requires num >= 0 — Spark's decimal ``%`` keeps the
+    dividend's sign, so feeding a negative numerator truncates toward
+    zero instead of rounding half-up and every negative mean comes out
+    one micro-unit high (r9 review, ops/incremental.finalize). Both
+    engines' ROUND round halves AWAY from zero, so the signed value is
+    the unsigned idiom on |num| with the sign restored."""
+    mag = round_ratio6_micro(F.abs(num_micro), den)
+    return F.when(num_micro < 0, -mag).otherwise(mag)
+
+
 def round_ratio6(num: Column, den: Column) -> Column:
     """Column form of :func:`sql_round_ratio6` for DataFrame-side call
     sites (e.g. the jaccard in llm/dedup). Uses the same decimal `div`

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aos_spark.ops.exact_round import round_ratio6_micro
+from aos_spark.ops.exact_round import round_ratio6_micro_signed
 
 
 def agg_state(
@@ -57,10 +57,13 @@ def finalize(state: DataFrame, key_cols: list[str]) -> DataFrame:
         F.col("__cnt").alias("n"),
         F.round(F.col("__sum").cast("double"), 4).alias("total"),
         # engine-exact mean (ops/exact_round): the double-quotient ROUND
-        # is cross-engine knife-edge unsafe for rationals on the micro grid
-        round_ratio6_micro(F.col("__sum") * 1_000_000, F.col("__cnt")).alias(
-            "avg"
-        ),
+        # is cross-engine knife-edge unsafe for rationals on the micro
+        # grid; SIGNED variant — sums of signed value columns (balances,
+        # deltas) go negative, where the unsigned idiom truncates toward
+        # zero instead of rounding half-away (r9 review)
+        round_ratio6_micro_signed(
+            F.col("__sum") * 1_000_000, F.col("__cnt")
+        ).alias("avg"),
         F.round(F.col("__min").cast("double"), 4).alias("min_value"),
         F.round(F.col("__max").cast("double"), 4).alias("max_value"),
     )

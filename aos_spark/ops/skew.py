@@ -31,7 +31,10 @@ def salted_distinct_count(
     single task: phase 1 dedups (key, salt, x) where salt = hash(x) % R —
     the hot key's distinct set is partitioned R ways — phase 2 sums the
     per-salt distinct counts (disjoint by construction, so the sum is
-    exact, not approximate)."""
+    exact, not approximate). NULLs are excluded first, matching
+    COUNT(DISTINCT x) (r9 review: the distinct-rows formulation counted
+    NULL as a value, silently disagreeing with the unsalted plan)."""
+    df = df.filter(F.col(distinct_col).isNotNull())
     salted = df.withColumn("__salt", F.pmod(F.hash(F.col(distinct_col)), F.lit(n_salts)))
     per_salt = (
         salted.select(*keys, "__salt", distinct_col)
@@ -54,7 +57,17 @@ def salted_join(
     id is nondeterministic across retries, so we hash the whole row), and
     ``small`` is exploded once per salt value. Each (key, salt) bucket is
     then uniform. Use when the small side is too big to broadcast outright
-    but cheap to replicate R times."""
+    but cheap to replicate R times.
+
+    ``how`` ∈ {inner, left}: these preserve the unsalted join's semantics
+    (unmatched BIG rows keep their single salt). right/full would emit an
+    unmatched small row once PER SALT — n_salts duplicates — so they are
+    rejected rather than silently wrong (r9 review)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' (got {how!r}): an "
+            "outer small side replicates unmatched rows once per salt"
+        )
     big_s = big.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -670,10 +670,15 @@ WITH long_df AS (
   FROM lineitem GROUP BY 1, 2
 ),
 banded AS (
+  -- mirrors ops/cci.exceedance_bands (r9): "no next ROW" subtracts 0,
+  -- but a next row whose VALUE is no-data makes the band unknowable
   SELECT zone_id, wind_threshold,
-         exposure - COALESCE(LEAD(exposure) OVER
-           (PARTITION BY zone_id ORDER BY wind_threshold ASC), 0.0) AS band
+         CASE WHEN exposure IS NULL
+                OR (LEAD(1) OVER w IS NOT NULL AND LEAD(exposure) OVER w IS NULL)
+              THEN NULL
+              ELSE exposure - COALESCE(LEAD(exposure) OVER w, 0.0) END AS band
   FROM long_df
+  WINDOW w AS (PARTITION BY zone_id ORDER BY wind_threshold ASC)
 )
 SELECT zone_id,
        ROUND(SUM(band * POW(CAST(wind_threshold AS DOUBLE), 2.0) * 1e-6), 6) AS cci_exposure
@@ -1651,10 +1656,15 @@ WITH long_df AS (
   FROM lineitem GROUP BY 1, 2
 ),
 banded AS (
+  -- mirrors ops/cci.exceedance_bands (r9): "no next ROW" subtracts 0,
+  -- but a next row whose VALUE is no-data makes the band unknowable
   SELECT zone_id, wind_threshold,
-         exposure - COALESCE(LEAD(exposure) OVER
-           (PARTITION BY zone_id ORDER BY wind_threshold ASC), 0.0) AS band
+         CASE WHEN exposure IS NULL
+                OR (LEAD(1) OVER w IS NOT NULL AND LEAD(exposure) OVER w IS NULL)
+              THEN NULL
+              ELSE exposure - COALESCE(LEAD(exposure) OVER w, 0.0) END AS band
   FROM long_df
+  WINDOW w AS (PARTITION BY zone_id ORDER BY wind_threshold ASC)
 ),
 per_zone AS (
   SELECT zone_id,

@@ -334,7 +334,13 @@ ORACLE_INCREMENTAL = """
 SELECT l_returnflag,
        COUNT(l_extendedprice) AS n,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS total,
-       CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(l_extendedprice) AS HUGEINT)) // (CAST(COUNT(l_extendedprice) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg,
+       -- signed mean, mirroring round_ratio6_micro_signed (r9): the
+       -- unsigned idiom on |sum| with the sign restored
+       CASE WHEN SUM(CAST(l_extendedprice AS DECIMAL(28,6))) >= 0 THEN
+       CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(l_extendedprice) AS HUGEINT)) // (CAST(COUNT(l_extendedprice) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
+       ELSE
+       -(CAST((CAST(-SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 1000000 AS HUGEINT) * 2 + CAST(COUNT(l_extendedprice) AS HUGEINT)) // (CAST(COUNT(l_extendedprice) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0)
+       END AS avg,
        ROUND(CAST(MIN(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS min_value,
        ROUND(CAST(MAX(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS max_value
 FROM lineitem GROUP BY l_returnflag

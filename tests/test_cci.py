@@ -39,3 +39,20 @@ def test_cci_weighted_sum(spark):
     assert math.isclose(rows["t1"], expected_t1, rel_tol=1e-12)
     # t2: null band at 34 skipped by sum; 20*50² at 50
     assert math.isclose(rows["t2"], 20.0 * 2500 * 1e-6, rel_tol=1e-12)
+
+
+def test_exceedance_band_null_next_value_does_not_fabricate(spark):
+    """r9 review: a NULL value at the next-higher threshold was coalesced
+    to 0, fabricating an inflated low band and breaking the telescoping
+    invariant; highest-threshold rows still subtract 0."""
+    from aos_spark.ops.cci import exceedance_bands
+
+    df = spark.createDataFrame(
+        [(1, 30, 100.0), (1, 40, None), (1, 50, 20.0)],
+        "zone long, th int, exposure double",
+    )
+    out = {r["th"]: r["band_exposure"]
+           for r in exceedance_bands(df, ["zone"], "th", ["exposure"]).collect()}
+    assert out[30] is None      # next value is no-data -> band unknowable
+    assert out[40] is None      # own value is no-data
+    assert out[50] == 20.0      # highest threshold: subtract 0 as before

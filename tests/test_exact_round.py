@@ -124,3 +124,56 @@ def test_round_ratio6_null_propagates(spark):
         f" FROM (VALUES (3)) t(x)"
     ).fetchone()
     assert drow == (None, None)
+
+
+def test_round_ratio6_micro_signed_matches_fraction_and_duckdb(spark):
+    """r9 review: the unsigned idiom fed a negative numerator truncates
+    toward zero (Spark decimal % keeps the dividend sign), so every
+    negative mean came out one micro-unit high. The signed variant must
+    round half-AWAY-from-zero (both engines' ROUND semantics) and match
+    the Fraction ground truth and DuckDB's mirrored CASE on both signs."""
+    from fractions import Fraction
+
+    from aos_spark.ops.exact_round import round_ratio6_micro_signed
+
+    cases = [  # (sum_micro, cnt) including exact half-boundary negatives
+        (-5_000_000, 4),     # -1.25  -> -1.25
+        (-4_999_998, 4),     # -1.2499995 -> half: away from zero
+        (5_000_000, 4),
+        (-1, 3), (1, 3), (-2, 4), (2, 4), (0, 7),
+        (-123_456_789, 97), (123_456_789, 97),
+        (-999_999, 2), (999_999, 2),
+    ]
+    df = spark.createDataFrame(cases, "num long, cnt long")
+    got = {
+        (r["num"], r["cnt"]): r["avg"]
+        for r in df.select(
+            "num", "cnt",
+            round_ratio6_micro_signed(F.col("num"), F.col("cnt")).alias("avg"),
+        ).collect()
+    }
+    for num, cnt in cases:
+        frac = Fraction(num, cnt * 1_000_000)
+        # ROUND half away from zero at 6 decimals of the true rational
+        scaled = Fraction(abs(num), cnt)  # |value| * 1e6
+        q, r = divmod(scaled.numerator, scaled.denominator)
+        half = 2 * r >= scaled.denominator
+        want = (q + (1 if half else 0)) / 1e6
+        if num < 0:
+            want = -want
+        assert got[(num, cnt)] == want, (num, cnt, got[(num, cnt)], want)
+
+    duck = duckdb.sql(
+        """
+        SELECT num, cnt,
+               CASE WHEN num >= 0 THEN
+               CAST((CAST(num AS HUGEINT) * 2 + CAST(cnt AS HUGEINT)) // (CAST(cnt AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
+               ELSE
+               -(CAST((CAST(-num AS HUGEINT) * 2 + CAST(cnt AS HUGEINT)) // (CAST(cnt AS HUGEINT) * 2) AS DOUBLE) / 1000000.0)
+               END AS avg
+        FROM (SELECT UNNEST($nums) AS num, UNNEST($cnts) AS cnt)
+        """,
+        params={"nums": [c[0] for c in cases], "cnts": [c[1] for c in cases]},
+    ).fetchall()
+    for num, cnt, avg in duck:
+        assert got[(num, cnt)] == avg, (num, cnt, got[(num, cnt)], avg)

@@ -23,7 +23,11 @@ def media(spark):
 def test_extract_image_features_deterministic(spark, media):
     feats = MM.extract_image_features(media, fake=True)
     rows = {r["media_id"]: r for r in feats.collect()}
-    assert set(rows) == {"img1", "img2", "imgnull", "vid1", "aud1"}
+    # image rows ONLY (r9 review: the kernel previously emitted bogus
+    # 'image' features for audio/video rows too — the kind filter now
+    # keeps non-image payloads off the Python boundary, like the
+    # audio/video siblings)
+    assert set(rows) == {"img1", "img2", "imgnull"}
     assert rows["img1"]["n_bytes"] == 17
     assert rows["imgnull"]["n_bytes"] is None
     assert 0.0 <= rows["img1"]["mean_luma"] <= 1.0
@@ -243,3 +247,28 @@ def test_compressed_avi_without_codec_is_explicit_stub():
 def test_non_avi_video_payload_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="video library"):
         MM.decode_video_frames(b"not-a-video", [0.0], fake=False)
+
+
+def test_sample_frames_null_duration_and_corrupt_payload_robustness(spark):
+    """r9 review: a NULL duration_s arrived as truthy NaN and crashed the
+    fake path (int(NaN)); truncated PNM/BMP headers raised raw parse
+    errors out of the decode tier instead of the documented
+    NotImplementedError fallthrough; negative timestamps indexed from
+    the END of the frame list."""
+    import pytest
+
+    rows = [("v1", "video", b"RIFFxxxxAVI ", "video/avi", None, None, None)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.sample_frames(media, every_s=1.0, fake=True).collect()
+    assert out == []  # NULL duration -> zero frames, no crash
+
+    from aos_spark.llm.multimodal import _decode_image_array, decode_video_frames
+
+    assert _decode_image_array(b"P6") is None          # truncated PNM header
+    assert _decode_image_array(b"BM\x01\x02") is None  # truncated BMP header
+
+    # negative timestamp clamps to frame 0, not frames[-k]
+    payload = _avi_bytes([0, 255], fps=1.0)
+    f_neg = MM.decode_video_frames(payload, [-5.0], fake=False)
+    f_zero = MM.decode_video_frames(payload, [0.0], fake=False)
+    assert f_neg[0]["phash"] == f_zero[0]["phash"]

@@ -183,3 +183,15 @@ def test_snapshot_diff_null_key_not_misread_as_insert(spark):
     got = {(r["k"], r["op"]) for r in
            snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert got == {(1, "update")}
+
+
+def test_incremental_finalize_negative_means_exact(spark):
+    """r9 review: negative sums hit the unsigned rounding idiom's
+    truncate-toward-zero path — avg(-5/4) read -1.249999."""
+    from aos_spark.ops.incremental import agg_state, finalize
+
+    df = spark.createDataFrame(
+        [("k", -1.0), ("k", -1.0), ("k", -1.0), ("k", -2.0)], "g string, v double"
+    )
+    row = finalize(agg_state(df, ["g"], "v"), ["g"]).collect()[0]
+    assert row["avg"] == -1.25, row["avg"]

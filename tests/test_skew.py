@@ -44,3 +44,23 @@ def test_salted_join_matches_plain(spark):
     a = {r["l_orderkey"]: (r["n"], r["q"]) for r in plain.collect()}
     b = {r["l_orderkey"]: (r["n"], r["q"]) for r in salted.collect()}
     assert a == b
+
+
+def test_salted_distinct_excludes_nulls_and_join_rejects_outer(spark):
+    """r9 review: NULL counted as a distinct value (COUNT(DISTINCT x)
+    excludes it); right/full salted joins replicate unmatched small rows
+    once per salt and are now rejected."""
+    import pytest
+
+    from aos_spark.ops.skew import salted_distinct_count, salted_join
+
+    df = spark.createDataFrame(
+        [("k1", None), ("k1", "a"), ("k1", "a")], "k string, v string"
+    )
+    got = salted_distinct_count(df, ["k"], "v").collect()[0]["n_distinct"]
+    assert got == 1  # pre-fix: 2
+
+    big = spark.createDataFrame([("k1", 1)], "k string, x int")
+    small = spark.createDataFrame([("k2", 9)], "k string, y int")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(big, small, "k", how="full")
