@@ -214,8 +214,30 @@ def sequential_ids(
     # ids to duplicate-key rows by physical row order, which varies with
     # parallelism — the remaining columns break ties deterministically
     # (the range partitioner keeps equal order_cols keys in one
-    # partition, so a within-partition total order suffices)
-    tiebreak = [c for c in ranged.columns if c not in (*order_cols, "__pid")]
+    # partition, so a within-partition total order suffices).
+    # The remaining columns are folded into ONE xxhash64 sort key
+    # (ADVICE r9): ordering by every column raw made a MapType column an
+    # AnalysisException (maps are unorderable) and charged wide frames a
+    # wide per-row sort key. Map-typed columns are excluded from the hash
+    # (unhashable too); rows identical across all hashed columns remain
+    # interchangeable — exactly the duplicate-full-row contract.
+    def _hashable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    rest = [
+        f.name
+        for f in ranged.schema.fields
+        if f.name not in (*order_cols, "__pid") and _hashable(f.dataType)
+    ]
+    tiebreak = [F.xxhash64(*rest)] if rest else []
     w = Window.partitionBy("__pid").orderBy(*order_cols, *tiebreak)
     return (
         ranged.withColumn(

@@ -176,9 +176,17 @@ def hyperplane_bucket(
     # silently putting the whole corpus in bucket 0 and collapsing the
     # LSH self-join into the full O(N²) cross product (results stay
     # correct through the exact verify, which is exactly why nobody
-    # would notice until the 100 TB run never finishes)
+    # would notice until the 100 TB run never finishes).
+    # A NULL embedding is a DIFFERENT defect class (corrupt row, not a
+    # misconfigured pipeline — ADVICE r9): without its own branch it fell
+    # into the dim guard with a nonsense message ('dim -1' under legacy
+    # sizeOfNull, a NULL message under ANSI). It propagates NULL instead —
+    # the bucket join then drops the row, matching how every other keyed
+    # operator here treats NULL keys, and callers that require fully
+    # non-NULL corpora can assert upstream.
     return F.expr(
-        f"CASE WHEN size(`{vec_col}`) = {dim} THEN {' + '.join(terms)} "
+        f"CASE WHEN `{vec_col}` IS NULL THEN NULL "
+        f"WHEN size(`{vec_col}`) = {dim} THEN {' + '.join(terms)} "
         f"ELSE CAST(raise_error(concat('hyperplane_bucket: embedding dim ', "
         f"CAST(size(`{vec_col}`) AS STRING), ' != configured dim {dim}')) AS INT) END"
     )

@@ -303,7 +303,17 @@ def hot_keys(
     with local count ≥ ceil((threshold+1)/P). Any key with global count >
     threshold must clear that bar in at least one of its P partitions, so
     a truly hot key cannot be missed; candidate volume is bounded by
-    N·P/threshold rows instead of |distinct keys|. Borderline
+    N·P/threshold rows instead of |distinct keys|.
+
+    P is an UPPER bound, enforced by construction (ADVICE r9): the probe
+    runs on ``coalesce(P_cap)`` of the projected frame, which guarantees
+    ≤ P_cap partitions WITHOUT a shuffle and without the
+    ``df.rdd.getNumPartitions()`` probe the previous version used — that
+    call finalizes the AQE plan (materializing shuffle stages for
+    shuffled inputs, i.e. it was NOT job-free) and measured a different
+    physical plan than the one the mapInPandas pass executes. Overstating
+    P only LOWERS the local bar (more candidates, never a miss), so the
+    guarantee is partitioning-independent. Borderline
     NON-hot keys' membership depends on how their rows spread across
     partitions — pass ``candidates`` explicitly when the false-positive
     set must be partitioning-invariant. NULL keys are never candidates
@@ -313,8 +323,11 @@ def hot_keys(
     if candidates is None:
         import pandas as pd  # noqa: PLC0415 - worker-side dependency
 
-        n_parts = max(1, df.rdd.getNumPartitions())  # plan-level, no job
-        thr_local = -(-(threshold + 1) // n_parts)  # ceil((T+1)/P)
+        sc = df.sparkSession.sparkContext
+        # partition-count cap the probe plan cannot exceed (coalesce below);
+        # generous so coalesce is a no-op for typical scan parallelism
+        p_cap = max(64, int(sc.defaultParallelism) * 4)
+        thr_local = -(-(threshold + 1) // p_cap)  # ceil((T+1)/P_cap)
 
         def _local_heavy(batches):
             from collections import Counter
@@ -328,6 +341,7 @@ def hot_keys(
 
         candidates = (
             df.select(key_col)
+            .coalesce(p_cap)
             .mapInPandas(_local_heavy, schema=df.select(key_col).schema)
             .distinct()
         )

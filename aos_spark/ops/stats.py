@@ -40,8 +40,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def complete_pairs(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Pairwise-deletion pre-filter for the moment machinery: keep only
+    rows where BOTH value columns are non-NULL (a pair contributes to all
+    six aggregates or to none — engine-native corr/covar_samp semantics).
+
+    This filters the RAW columns, exactly mirroring the oracles'
+    ``WHERE x IS NOT NULL AND y IS NOT NULL`` (ADVICE r9: the previous
+    per-aggregate post-cast CASE gating was a latent cross-engine
+    asymmetry under non-ANSI overflow AND ~2× the aggregate CPU — twelve
+    per-row branches across six sums). Under the gate's ANSI sessions an
+    overflowing decimal cast raises in both engines, so pre- and
+    post-cast gating are semantically identical there; under non-ANSI
+    Spark the caller owns the moment_aggs magnitude contract
+    (|value| < 10^(18-scale)) as before."""
+    return df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+
+
 def moment_aggs(x: str, y: str, scale: int = 6) -> list[Column]:
     """The five exact moment sums + count for (x, y), decimal-accumulated.
+
+    INPUT: a pairwise-complete frame — callers pre-filter NULLs with
+    :func:`complete_pairs` (the r9 per-aggregate CASE gating is retired;
+    see its docstring). ``n`` is therefore the complete-pair count.
 
     Each sum is ROUNDED (linear sums to 2 decimals, product sums to whole
     units) before the double cast: a decimal whose integer-unit magnitude
@@ -50,19 +71,8 @@ def moment_aggs(x: str, y: str, scale: int = 6) -> list[Column]:
     differently ulp-wise across engines (observed Spark vs DuckDB). The
     rounding perturbs the moments by ≤0.5 unit — relative 1e-14 here —
     and identically in both engines, preserving bit-exactness."""
-    xd0 = F.col(x).cast(f"decimal(18,{scale})")
-    yd0 = F.col(y).cast(f"decimal(18,{scale})")
-    # PAIRWISE-complete moments (r9 review): n previously counted every
-    # row while the sums skipped NULLs, so one NULL x corrupted every
-    # derived statistic (variance computed against the wrong n, covariance
-    # against inconsistent moments). A pair contributes to all six
-    # aggregates or to none — the pairwise-deletion semantics of
-    # engine-native corr/covar_samp. Gating on the POST-cast values also
-    # keeps n consistent when a value overflows the decimal cast to NULL
-    # under non-ANSI sessions (ANSI sessions raise instead, both engines).
-    both = xd0.isNotNull() & yd0.isNotNull()
-    xd = F.when(both, xd0)
-    yd = F.when(both, yd0)
+    xd = F.col(x).cast(f"decimal(18,{scale})")
+    yd = F.col(y).cast(f"decimal(18,{scale})")
 
     def lin(c: Column) -> Column:
         return F.round(F.sum(c), 2).cast("double")
@@ -71,7 +81,7 @@ def moment_aggs(x: str, y: str, scale: int = 6) -> list[Column]:
         return F.round(F.sum(c.cast(f"decimal(38,{2 * scale})")), 0).cast("double")
 
     return [
-        F.count(F.when(both, F.lit(1))).alias("n"),
+        F.count(F.lit(1)).alias("n"),
         lin(xd).alias("sum_x"),
         lin(yd).alias("sum_y"),
         prod(xd * yd).alias("sum_xy"),
@@ -116,8 +126,11 @@ def grouped_correlation(
 ) -> DataFrame:
     """Per-group exact-moment correlation: one map-side-combined shuffle on
     the group keys; every downstream value is a deterministic function of
-    the exact moments."""
-    moments = df.groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
+    the exact moments. NULL pairs are pairwise-deleted up front
+    (:func:`complete_pairs`)."""
+    moments = (
+        complete_pairs(df, x, y).groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
+    )
     return derive_stats(moments)
 
 
@@ -242,8 +255,9 @@ def grouped_linregress(
     cov/var_x and intercept = (Σy − slope·Σx)/n are fixed IEEE sequences
     over the order-independent moment sums, so the fit is bit-identical
     on any partitioning and engine. One map-combined shuffle, same
-    magnitude caveats as moment_aggs."""
-    m = df.groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
+    magnitude caveats as moment_aggs; NULL pairs pairwise-deleted up
+    front (:func:`complete_pairs`)."""
+    m = complete_pairs(df, x, y).groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
     n = F.col("n").cast("double")
     cov = (F.col("sum_xy") - F.col("sum_x") * F.col("sum_y") / n) / (n - 1)
     var_x = (F.col("sum_xx") - F.col("sum_x") * F.col("sum_x") / n) / (n - 1)

@@ -2123,10 +2123,11 @@ dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term,
-         -- exact rational tf*(2(N-df)+1)/(2df+1), integral-division
-         -- rounded — mirrors top_terms_tfidf (r9: the compound-double
-         -- ROUND here was a knife-edge cross-engine hazard residue)
-         CAST((CAST(tf AS HUGEINT) * (2 * CAST(n_docs - df AS HUGEINT) + 1) * 1000000 * 2 + CAST(2 * df + 1 AS HUGEINT)) // (CAST(2 * df + 1 AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS tfidf
+         -- tf·((N−df+0.5)/(df+0.5)) as the IDENTICAL fixed double
+         -- sequence top_terms_tfidf runs, then the certified
+         -- scaled-round (r10: replaces the r9 integral-division form —
+         -- same cross-engine guarantee, double-speed per corpus row)
+         ROUND((CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))) * 1000000.0, 0) / 1000000.0 AS tfidf
   FROM tf JOIN dfreq USING (term) CROSS JOIN n),
 ranked AS (
   SELECT doc_id, term, tfidf,
@@ -3309,38 +3310,39 @@ QUERIES.update(R6_QUERIES)
 # driver-green row, so from round 8 the window's marginal value is
 # refreshing the STALEST evidence: reds first (none), then never-sampled
 # (none), then oldest-green-first — `scripts/rotation_status.py`'s
-# suggested order, verbatim (stalest in this window: r4-era rows like
-# stats_correlation, q10_returned_item_customers, plus the r5 TPC-H wave
-# and dedup_resolution). Queries and oracles are unchanged — only dict
-# iteration order moves. Rotation history: r8 refreshed the 50 stalest
+# suggested order, verbatim. Queries and oracles are unchanged — only
+# dict iteration order moves. Rotation history: r9 refreshed the r8
+# mismatch suspect + 49 stalest r4-era greens; r8 the 50 stalest
 # r3-era greens; r7 front-loaded the last 24 never-sampled (closing
 # lifetime coverage at 203/203); r6 the bloom red + 59 never-sampled; r5
 # the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
 # declaration order. tests/test_rotation.py locks this structurally via
 # the stable _GATE_FRONT alias.
-_R9_FRONT = [
-    "order_autocorrelation",  # mismatch-log suspect (r8 flake) — priority 2
-    "stats_correlation", "q10_returned_item_customers",
-    "chunk_sliding_window", "decontamination_13gram", "pack_context_chunks",
-    "embedding_quantize", "dedup_storage_savings", "array_agg_sorted",
-    "profile_columns", "cumulative_distinct_users", "q12_shipmode_priority",
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    "q9_profit_by_nation", "q11_important_parts", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
-    "q19_disjunctive_revenue", "q20_promotion_suppliers",
-    "q21_sole_blocker_suppliers", "q22_idle_customers",
-    "corpus_quality_filter", "vocab_min_df", "kmeans_lloyd_step",
-    "funnel_conversion", "cohort_retention", "sketch_hll_grouped",
-    "scd2_dimension_history", "incremental_agg_merge", "vocab_encode_tokens",
-    "validation_suite", "zscore_outliers", "graph_triangle_count",
-    "weighted_sample_stats", "dedup_resolution", "kfold_assignment",
-    "q6_discount_revenue", "json_props_stats", "rollup_time_hierarchy",
-    "bag_difference_except_all", "reconcile_tables", "sequence_gap_detection",
-    "sketch_quantile_histogram", "range_frame_window_spend",
-    "cdc_snapshot_diff", "overlapping_order_windows",
+_R10_FRONT = [
+    # r10: nothing red, nothing unsampled, no uncleared mismatch suspects —
+    # the window is pure oldest-green-first (stalest = round-5 rows),
+    # scripts/rotation_status.py's suggested order verbatim.
+    "span_dedup_retention", "lm_bigram_rarity", "embedding_random_projection",
+    "domain_mixture_plan", "bloom_semijoin_prune", "per_source_cap",
+    "token_budget_selection", "quality_decile_shards", "embedding_pq_encode",
+    "sim_pq_topk", "semantic_dedup", "event_transition_matrix",
+    "user_burst_hours", "term_postings_index", "mad_outlier_bounds",
+    "session_path_topk", "key_skew_profile", "incremental_dedup_status",
+    "lsh_recall_eval", "cross_source_dup_matrix", "graph_pagerank_step",
+    "interval_union_coverage", "gini_revenue_by_nation",
+    "simpson_diversity_by_source", "assoc_rules_brands",
+    "stratified_allocation_sample", "ks_length_drift", "seasonal_dow_anomaly",
+    "winsorized_mean_prices", "rrf_fusion_topk", "bm25_lite_scores",
+    "feature_hash_vectorizer", "welch_ttest_priorities",
+    "multimodal_audio_features", "cusum_change_point", "vocab_jaccard_matrix",
+    "priority_mix_residuals", "multimodal_video_features", "rfm_segmentation",
+    "graph_link_prediction", "embedding_gram_matrix", "ngram_novelty_rate",
+    "markov_two_step", "source_minhash_similarity", "benford_first_digit",
+    "ewma_monthly_revenue", "type_token_ratio", "above_nation_avg_customers",
+    "sketch_hll_merge_weekly", "customer_skyline_frontier",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
-_GATE_FRONT = _R9_FRONT
+_GATE_FRONT = _R10_FRONT
 assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)
