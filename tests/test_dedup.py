@@ -342,3 +342,24 @@ def test_span_dedup_keeper_semantics_and_skew_free_plan(spark):
     plan = span_dedup_retention(df, span=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_hyperplane_bucket_null_embedding_propagates_null(spark):
+    """ADVICE r9: a NULL embedding is a corrupt-row defect, not a dim
+    mismatch — it must not raise through the dim guard with a nonsense
+    'dim -1' message. The bucket is NULL (the bucket join then drops the
+    row, the same treatment every keyed operator gives NULL keys) and
+    non-NULL rows keep bucketing normally."""
+    from aos_spark.llm.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, None)], "id long, embedding array<double>"
+    )
+    rows = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", hyperplane_bucket("embedding").alias("b")
+        ).collect()
+    }
+    assert rows[2] is None
+    assert rows[1] is not None and 0 <= rows[1] < 256

@@ -475,3 +475,17 @@ def test_sequential_ids_stable_across_parallelism_on_ties(spark):
         for r in sequential_ids(df, "p_", ["latitude", "longitude"], parts=7).collect()
     }
     assert a == b and len(set(a.values())) == 30
+
+
+def test_sequential_ids_tolerates_map_columns(spark):
+    """ADVICE r9: the full-row tiebreak ordered by every remaining column,
+    so a MapType column (unorderable) turned a working call into an
+    AnalysisException. The tiebreak now hashes the orderable remainder —
+    map columns are skipped, ids still equal the rank by the order cols."""
+    df = spark.createDataFrame(
+        [(2.0, {"a": 1}), (1.0, {"b": 2}), (3.0, {})],
+        "latitude double, props map<string,int>",
+    )
+    out = readers.sequential_ids(df, "m_", ["latitude"], parts=2)
+    got = {r["latitude"]: r["__seq_id"] for r in out.collect()}
+    assert got == {1.0: "m_0", 2.0: "m_1", 3.0: "m_2"}

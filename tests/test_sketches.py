@@ -219,3 +219,18 @@ def test_hot_keys_pigeonhole_candidates_cannot_miss(spark):
     cand = spark.createDataFrame([("hot",), ("cold1",)], ["k"])
     hot2 = sketches.hot_keys(df, "k", threshold=300, candidates=cand)
     assert [r["k"] for r in hot2.collect()] == ["hot"]
+
+
+def test_hot_keys_pigeonhole_holds_on_shuffled_input(spark):
+    """ADVICE r9: the pigeonhole bar used df.rdd.getNumPartitions(),
+    which (a) finalizes the AQE plan — a job for shuffled inputs — and
+    (b) measured a different physical plan than the probe executes. The
+    bar now comes from a coalesce() cap enforced on the probe plan
+    itself, so the no-missed-hot-key guarantee must hold even when the
+    input is a fresh shuffle whose final partition count AQE may change."""
+    df = _skewed(spark)
+    # a shuffle boundary upstream of the probe (the case the old code
+    # measured wrong): group-and-explode back to rows
+    shuffled = df.repartition(17, "k")
+    hot = sketches.hot_keys(shuffled, "k", threshold=300)
+    assert [r["k"] for r in hot.collect()] == ["hot"]
