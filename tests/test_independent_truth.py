@@ -1,0 +1,223 @@
+"""Independent-truth checks: numpy/pandas replicas vs the Spark queries.
+
+The DuckDB oracle gate proves Spark and the hand-written SQL agree — but
+both sides were written together, so a SEMANTIC bug present in both
+(a wrong formula, an off-by-one trim bound, a flipped convention) passes
+the gate silently. This layer closes that blind spot for the statistics
+family: each test recomputes the query's documented definition from
+FIRST PRINCIPLES in numpy/pandas — different algorithms where the
+definition allows one (Gini via the mean-absolute-difference identity
+instead of the rank formula; correlation via numpy's centered two-pass
+instead of raw moment sums; KS via vectorized CDF difference) — and
+compares against the collected Spark output at sf0.001.
+
+Tolerances: Spark outputs are rounded to 6 dp and computed through
+exact-decimal paths; the replicas run float64 with different op orders,
+so comparisons use isclose(rel 1e-6, abs 2e-6) — far above both paths'
+error, far below any semantic difference these formulas can produce.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from aos_spark.queries import QUERIES
+
+
+def _close(a, b, rel=1e-6, abs_=2e-6):
+    assert math.isclose(a, b, rel_tol=rel, abs_tol=abs_), (a, b)
+
+
+@pytest.fixture(scope="module")
+def pdt(sf_dir):
+    """sf0.001 tables as pandas frames (tiny: lineitem ~6k rows)."""
+    tables = {}
+    for t in ("lineitem", "orders", "customer", "nation", "documents",
+              "events"):
+        tables[t] = pd.read_parquet(f"{sf_dir}/{t}.parquet")
+    return tables
+
+
+def _rows(spark, sf_dir, name):
+    return {  # keyed by first column
+        r[0]: r.asDict() for r in QUERIES[name](spark, sf_dir).collect()
+    }
+
+
+def test_stats_correlation_matches_numpy(spark, sf_dir, pdt):
+    """pandas corr/cov/std (centered two-pass, ddof=1) vs the raw decimal
+    moment path — completely different algorithms for the same
+    definition."""
+    got = _rows(spark, sf_dir, "stats_correlation")
+    for flag, g in pdt["lineitem"].groupby("l_returnflag"):
+        x, y = g["l_quantity"].astype(float), g["l_extendedprice"].astype(float)
+        r = got[flag]
+        assert r["n"] == len(g)
+        _close(r["covar_xy"], x.cov(y), rel=1e-6)
+        _close(r["stddev_x"], x.std(ddof=1), rel=1e-6)
+        _close(r["stddev_y"], y.std(ddof=1), rel=1e-6)
+        _close(r["corr_xy"], x.corr(y), rel=1e-6)
+
+
+def test_percentile_cont_matches_numpy_linear(spark, sf_dir, pdt):
+    """np.percentile(method='linear') IS the PERCENTILE_CONT definition
+    the query documents."""
+    import numpy as np
+
+    got = _rows(spark, sf_dir, "percentile_cont_interp")
+    for flag, g in pdt["lineitem"].groupby("l_returnflag"):
+        v = np.sort(g["l_quantity"].astype(float).to_numpy())
+        r = got[flag]
+        assert r["n_items"] == len(v)
+        _close(r["p50"], float(np.percentile(v, 50)), rel=1e-9)
+        _close(r["p90"], float(np.percentile(v, 90)), rel=1e-9)
+
+
+def test_gini_matches_mean_absolute_difference(spark, sf_dir, pdt):
+    """Gini via the MAD identity G = Σᵢⱼ|xᵢ−xⱼ| / (2n²µ) — an O(n²)
+    formula sharing NOTHING with the rank-moment implementation."""
+    import numpy as np
+
+    got = _rows(spark, sf_dir, "gini_revenue_by_nation")
+    rev = (
+        pdt["orders"].groupby("o_custkey")["o_totalprice"].sum().round(2)
+    ).rename("rev").reset_index()
+    cust = pdt["customer"].merge(
+        pdt["nation"], left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    rev = rev.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    for nation, g in rev.groupby("n_name"):
+        x = g["rev"].astype(float).to_numpy()
+        n, mu = len(x), x.mean()
+        gini = float(np.abs(x[:, None] - x[None, :]).sum()) / (2 * n * n * mu)
+        r = got[nation]
+        assert r["n_customers"] == n
+        _close(r["total_rev"], float(x.sum()), rel=1e-9)
+        _close(r["gini"], gini, rel=1e-5)
+
+
+def test_simpson_diversity_matches_definition(spark, sf_dir, pdt):
+    got = _rows(spark, sf_dir, "simpson_diversity_by_source")
+    for source, g in pdt["documents"].groupby("source"):
+        p = g["lang"].value_counts(normalize=True).to_numpy()
+        r = got[source]
+        assert r["n_docs"] == len(g)
+        assert r["n_langs"] == g["lang"].nunique()
+        _close(r["simpson_diversity"], 1.0 - float((p * p).sum()), rel=1e-6)
+
+
+def test_zscore_outliers_matches_numpy(spark, sf_dir, pdt):
+    """Population σ from numpy's centered pass vs the query's raw-moment
+    σ; outlier rule |x−µ| > 3σ recounted directly."""
+    import numpy as np
+
+    got = _rows(spark, sf_dir, "zscore_outliers")
+    ev = pdt["events"][pdt["events"]["value"].notna()]
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].astype(float).to_numpy()
+        mu, sigma = v.mean(), v.std(ddof=0)
+        r = got[et]
+        assert r["n"] == len(v)
+        _close(r["mean_value"], mu, rel=1e-6)
+        _close(r["stddev_value"], sigma, rel=1e-6)
+        assert r["n_outliers"] == int((np.abs(v - mu) > 3.0 * sigma).sum())
+
+
+def test_trimmed_mean_matches_replica(spark, sf_dir, pdt):
+    """Documented convention: drop floor(0.05·n) from each end of the
+    (value, orderkey) order, average the rest."""
+    got = _rows(spark, sf_dir, "trimmed_mean_prices")
+    o = pdt["orders"]
+    for pri, g in o.groupby("o_orderpriority"):
+        s = g.sort_values(["o_totalprice", "o_orderkey"])
+        cut = int(len(s) * 0.05)
+        kept = s["o_totalprice"].astype(float).to_numpy()[cut: len(s) - cut]
+        r = got[pri]
+        assert r["n_rows"] == len(s) and r["n_kept"] == len(kept)
+        _close(r["trimmed_mean"], round(float(kept.sum()), 2) / len(kept),
+               rel=1e-9)
+
+
+def test_winsorized_mean_matches_replica(spark, sf_dir, pdt):
+    """Documented convention: clamp at the values ranked
+    max(ceil(n·5/100), 1) from each end, then average."""
+    import numpy as np
+
+    got = _rows(spark, sf_dir, "winsorized_mean_prices")
+    li = pdt["lineitem"]
+    for flag, g in li.groupby("l_returnflag"):
+        s = g.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"])
+        v = s["l_extendedprice"].astype(float).round(2).to_numpy()
+        n = len(v)
+        lo_rk = max(math.ceil(n * 5 / 100), 1)
+        p_lo, p_hi = v[lo_rk - 1], v[n - lo_rk]
+        w = np.clip(v, p_lo, p_hi)
+        r = got[flag]
+        assert r["n"] == n
+        _close(r["lo_bound"], p_lo, rel=1e-9)
+        _close(r["hi_bound"], p_hi, rel=1e-9)
+        _close(r["winsorized_mean"], round(float(w.sum()), 2) / n, rel=1e-8)
+
+
+def test_mad_outliers_matches_numpy(spark, sf_dir, pdt):
+    """Median and MAD via np.median (interpolated, the documented
+    convention); the outlier rule dev > 1.5·MAD recounted directly."""
+    import numpy as np
+
+    got = _rows(spark, sf_dir, "mad_outlier_bounds")
+    for pri, g in pdt["orders"].groupby("o_orderpriority"):
+        v = g["o_totalprice"].astype(float).to_numpy()
+        med = float(np.median(v))
+        dev = np.abs(v - med)
+        mad = float(np.median(dev))
+        r = got[pri]
+        assert r["n_rows"] == len(v)
+        _close(r["median"], med, rel=1e-9)
+        _close(r["mad"], mad, rel=1e-9)
+        assert r["n_outliers"] == int((dev > 1.5 * mad).sum())
+
+
+def test_ks_length_drift_matches_direct_cdf(spark, sf_dir, pdt):
+    """Two-sample KS via vectorized empirical CDFs over the union of
+    observed values — the textbook definition, no histogram reuse."""
+    import numpy as np
+
+    row = QUERIES["ks_length_drift"](spark, sf_dir).collect()[0].asDict()
+    d = pdt["documents"]
+    a = np.sort(d.loc[d["lang"] == "en", "n_chars"].to_numpy())
+    b = np.sort(d.loc[d["lang"] == "zh", "n_chars"].to_numpy())
+    grid = np.union1d(a, b)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    dgap = np.abs(fa - fb)
+    ks = float(dgap.max())
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    _close(row["ks_stat"], ks, rel=1e-9)
+    # argmax value, smallest on ties — the documented tie rule
+    assert row["ks_at"] == int(grid[int(np.argmax(dgap))])
+
+
+def test_q1_pricing_matches_pandas(spark, sf_dir, pdt):
+    """TPC-H Q1 recomputed with pandas groupby — sums, averages, counts."""
+    got = {}
+    for r in QUERIES["q1_pricing_summary"](spark, sf_dir).collect():
+        got[(r["l_returnflag"], r["l_linestatus"])] = r.asDict()
+    li = pdt["lineitem"]
+    li = li[li["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+    for key, g in li.groupby(["l_returnflag", "l_linestatus"]):
+        r = got[key]
+        q = g["l_quantity"].astype(float)
+        p = g["l_extendedprice"].astype(float)
+        disc = g["l_discount"].astype(float)
+        tax = g["l_tax"].astype(float)
+        assert r["count_order"] == len(g)
+        _close(r["sum_qty"], float(q.sum()), rel=1e-9)
+        _close(r["sum_base_price"], round(float(p.sum()), 2), rel=1e-9)
+        _close(r["sum_disc_price"], float((p * (1 - disc)).sum()), rel=1e-6)
+        _close(r["sum_charge"], float((p * (1 - disc) * (1 + tax)).sum()),
+               rel=1e-6)
+        _close(r["avg_qty"], float(q.mean()), rel=1e-5)
+        _close(r["avg_price"], float(p.mean()), rel=1e-5)
