@@ -221,3 +221,112 @@ def test_q1_pricing_matches_pandas(spark, sf_dir, pdt):
                rel=1e-6)
         _close(r["avg_qty"], float(q.mean()), rel=1e-5)
         _close(r["avg_price"], float(p.mean()), rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: dedup and similarity families
+
+
+def _py_shingles(text: str, n: int = 3) -> frozenset:
+    """The documented shingle definition, reimplemented from scratch:
+    lowercase, split on non-alnum runs, distinct word n-grams; short docs
+    collapse to one whole-token-list shingle."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+    if len(toks) >= n:
+        return frozenset(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    return frozenset([" ".join(toks)])
+
+
+def _round_half_up_micro(num: int, den: int) -> int:
+    """round-half-up(num/den · 10^6) in pure Python ints — the engine-exact
+    rounding convention the jaccard output documents."""
+    return (2 * num * 1_000_000 + den) // (2 * den)
+
+
+@pytest.fixture(scope="module")
+def py_jaccard_pairs(pdt):
+    """Brute-force all-pairs 3-gram Jaccard over the sf0.001 corpus."""
+    docs = pdt["documents"][["doc_id", "text"]].values.tolist()
+    sh = {i: _py_shingles(t) for i, t in docs}
+    ids = sorted(sh)
+    pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            union = len(sh[a] | sh[b])
+            micro = _round_half_up_micro(inter, union)
+            if micro >= 350_000:  # rounded jaccard >= 0.35, the query's filter
+                pairs[(a, b)] = micro / 1e6
+    return pairs
+
+
+def test_ngram_jaccard_pairs_match_bruteforce(spark, sf_dir, py_jaccard_pairs):
+    """The capped candidate-generated pair set must equal the O(N²)
+    brute-force set (the df cap is inactive at this corpus size), with
+    identical rounded jaccard values."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert got == py_jaccard_pairs
+
+
+def test_dup_clusters_match_union_find(spark, sf_dir, py_jaccard_pairs):
+    """Connected components via a from-scratch union-find over the
+    brute-force pairs; cluster id = smallest member id."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in py_jaccard_pairs:
+        parent[find(a)] = find(b)
+    comp: dict = {}
+    for node in list(parent):
+        comp.setdefault(find(node), []).append(node)
+    expect = {}
+    for members in comp.values():
+        lo = min(members)
+        for m in members:
+            expect[m] = lo
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_sim_bruteforce_topk_matches_numpy(spark, sf_dir, pdt):
+    """Exact cosine top-10 recomputed with numpy: every returned
+    neighbor's cosine must match numpy's for that pair, and no better
+    neighbor may be missing (rank-flip tolerance only inside float
+    tie bands)."""
+    import numpy as np
+
+    emb = pdt["embeddings"] if "embeddings" in pdt else pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    by_query: dict = {}
+    for r in QUERIES["sim_bruteforce_topk"](spark, sf_dir).collect():
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_query) == [i for i in sorted(ids) if i < 5]
+    idx_of = {v: i for i, v in enumerate(ids)}
+    for qid, rows in by_query.items():
+        cos = m_n @ m_n[idx_of[qid]]
+        cos[idx_of[qid]] = -np.inf  # self-match excluded
+        assert len(rows) == 10
+        for r in rows:
+            _close(r["cosine"], float(cos[idx_of[r["neighbor_id"]]]),
+                   rel=1e-6, abs_=1e-6)
+        kth = np.sort(cos)[-10]
+        assert min(r["cosine"] for r in rows) >= kth - 1e-6
