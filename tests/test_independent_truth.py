@@ -330,3 +330,132 @@ def test_sim_bruteforce_topk_matches_numpy(spark, sf_dir, pdt):
                    rel=1e-6, abs_=1e-6)
         kth = np.sort(cos)[-10]
         assert min(r["cosine"] for r in rows) >= kth - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: window recurrences and graph algorithms
+
+
+def test_rolling_spend_matches_pandas(spark, sf_dir, pdt):
+    """ROWS BETWEEN 3 PRECEDING AND CURRENT ROW vs pandas rolling(4,
+    min_periods=1) over the same (date, orderkey) order."""
+    got = {
+        r["o_orderkey"]: r.asDict()
+        for r in QUERIES["rolling_customer_spend"](spark, sf_dir).collect()
+    }
+    o = pdt["orders"].sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    for _, g in o.groupby("o_custkey"):
+        spend = g["o_totalprice"].astype(float).round(2)
+        roll = spend.rolling(4, min_periods=1).sum().to_numpy()
+        cnt = spend.rolling(4, min_periods=1).count().to_numpy()
+        for seq, (okey, rs, n) in enumerate(
+            zip(g["o_orderkey"], roll, cnt), start=1
+        ):
+            r = got[okey]
+            assert r["order_seq"] == seq
+            assert r["window_n"] == int(n)
+            _close(r["rolling_spend_4"], float(rs), rel=1e-9)
+
+
+def test_cumulative_distinct_users_matches_pandas(spark, sf_dir, pdt):
+    """Running count of first-seen users per type/day vs a direct pandas
+    cumulative nunique."""
+    got = {
+        (r["event_type"], str(r["day"])): r.asDict()
+        for r in QUERIES["cumulative_distinct_users"](spark, sf_dir).collect()
+    }
+    ev = pdt["events"].assign(day=pd.to_datetime(pdt["events"]["ts"]).dt.date)
+    for et, g in ev.groupby("event_type"):
+        first = g.groupby("user_id")["day"].min()
+        per_day = first.value_counts().sort_index()
+        cum = per_day.cumsum()
+        assert len(per_day) == sum(1 for k in got if k[0] == et)
+        for day, new in per_day.items():
+            r = got[(et, str(day))]
+            assert r["new_users"] == int(new)
+            assert r["cum_users"] == int(cum[day])
+
+
+def test_ewma_monthly_revenue_matches_pandas(spark, sf_dir, pdt):
+    """Truncated binary-weight EWMA over the last five observed months,
+    recomputed from a pandas monthly rollup."""
+    got = _rows(spark, sf_dir, "ewma_monthly_revenue")
+    o = pdt["orders"].merge(
+        pdt["customer"], left_on="o_custkey", right_on="c_custkey"
+    ).merge(pdt["nation"], left_on="c_nationkey", right_on="n_nationkey")
+    o = o.assign(month=pd.to_datetime(o["o_orderdate"]).dt.to_period("M"))
+    monthly = (
+        o.groupby(["n_name", "month"])["o_totalprice"]
+        .apply(lambda s: float(s.astype(float).round(2).sum()))
+        .reset_index(name="rev")
+    )
+    for nation, g in monthly.groupby("n_name"):
+        g = g.sort_values("month")
+        if len(g) < 5:
+            assert nation not in got
+            continue
+        last5 = g["rev"].to_numpy()[-5:]
+        ewma = (
+            last5[4] * 16 + last5[3] * 8 + last5[2] * 4 + last5[1] * 2 + last5[0]
+        ) / 31
+        r = got[nation]
+        assert str(r["latest_month"])[:7] == str(g["month"].iloc[-1])
+        _close(r["latest_revenue"], last5[4], rel=1e-9)
+        _close(r["ewma_revenue"], ewma, rel=1e-7)
+
+
+def test_triangle_count_matches_adjacency_sets(spark, sf_dir):
+    """The wedge-join triangle counter vs a from-scratch adjacency-set
+    count over the SAME edge list (the edge generator is verified
+    elsewhere; this isolates the counting algorithm)."""
+    from aos_spark.llm import dedup as D
+    from aos_spark.queries import _t
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dups(e, threshold=0.2, n_planes=4).collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # count each triangle once: for every edge (a, b), common neighbors
+    # ABOVE b in sort order close a triangle exactly once
+    tri = 0
+    for a, b in pairs:
+        lo, hi = (a, b) if a < b else (b, a)
+        tri += sum(1 for c in adj[lo] & adj[hi] if c > hi)
+    got = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    assert got["n_triangles"] == tri
+
+
+def test_pagerank_step_matches_python(spark, sf_dir, pdt):
+    """One power iteration recomputed with dicts and exact integer
+    micro-units over the same bidirectional buyer-supplier graph."""
+    o = pdt["orders"][["o_orderkey", "o_custkey"]]
+    li = pdt["lineitem"][["l_orderkey", "l_suppkey"]]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    cs = {
+        ("c" + str(c), "s" + str(s))
+        for c, s in zip(j["o_custkey"], j["l_suppkey"])
+    }
+    edges = list(cs) + [(b, a) for a, b in cs]
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    import math as _m
+
+    contrib = {s: int(_m.floor(1e12 / d + 0.5)) for s, d in outdeg.items()}
+    in_edges: dict = {}
+    acc: dict = {}
+    for s, d in edges:
+        in_edges[d] = in_edges.get(d, 0) + 1
+        acc[d] = acc.get(d, 0) + contrib[s]
+    got = _rows(spark, sf_dir, "graph_pagerank_step")
+    assert set(got) == set(outdeg)
+    for node, r in got.items():
+        assert r["out_degree"] == outdeg[node]
+        assert r["in_edges"] == in_edges.get(node, 0)
+        rank = (1.0 - 0.85) + 0.85 * (acc.get(node, 0) / 1e12)
+        _close(r["rank"], rank, rel=1e-6)
