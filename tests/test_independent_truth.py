@@ -459,3 +459,90 @@ def test_pagerank_step_matches_python(spark, sf_dir, pdt):
         assert r["in_edges"] == in_edges.get(node, 0)
         rank = (1.0 - 0.85) + 0.85 * (acc.get(node, 0) / 1e12)
         _close(r["rank"], rank, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: the storm-domain tier (probability, CCI, the flagship)
+
+
+def _py_cci_per_zone(pdt):
+    """W3+W4 from first principles: per (zone, threshold) max exposure,
+    bands by differencing against the next-higher threshold (highest band
+    = the value itself), CCI = Σ band · threshold² · 1e-6."""
+    li = pdt["lineitem"]
+    long_df = (
+        li.groupby(["l_orderkey", "l_linenumber"])["l_quantity"]
+        .max()
+        .reset_index()
+    )
+    cci = {}
+    for zone, g in long_df.groupby("l_orderkey"):
+        g = g.sort_values("l_linenumber")
+        x = g["l_quantity"].astype(float).to_numpy()
+        th = g["l_linenumber"].astype(float).to_numpy()
+        total = 0.0
+        for i in range(len(x)):
+            band = x[i] - (x[i + 1] if i + 1 < len(x) else 0.0)
+            total += band * th[i] * th[i] * 1e-6
+        cci[zone] = total
+    return cci
+
+
+def test_cci_bands_match_replica(spark, sf_dir, pdt):
+    got = _rows(spark, sf_dir, "w3_w4_cci")
+    expect = _py_cci_per_zone(pdt)
+    assert set(got) == set(expect)
+    for zone, r in got.items():
+        _close(r["cci_exposure"], expect[zone], rel=1e-6, abs_=1e-5)
+
+
+def test_cci_admin_rollup_matches_replica(spark, sf_dir, pdt):
+    got = _rows(spark, sf_dir, "a13_cci_admin_rollup")
+    per_zone = _py_cci_per_zone(pdt)
+    admin: dict = {}
+    for zone, v in per_zone.items():
+        admin[zone % 10] = admin.get(zone % 10, 0.0) + round(v, 6)
+    assert set(got) == set(admin)
+    for a, r in got.items():
+        _close(r["admin_cci"], admin[a], rel=1e-6, abs_=1e-5)
+
+
+def test_probability_expected_matches_replica(spark, sf_dir, pdt):
+    """A1+A2: probability = |distinct member types| / ensemble(8);
+    expected impact = total value · probability."""
+    got = _rows(spark, sf_dir, "a1_a2_probability_expected")
+    ev = pdt["events"]
+    types = ev.groupby("user_id")["event_type"].nunique()
+    totals = ev.groupby("user_id")["value"].apply(
+        lambda s: float(s.dropna().astype(float).round(2).sum())
+    )
+    assert set(got) == set(totals.index)
+    for uid, r in got.items():
+        p = types.get(uid, 0) / 8.0
+        _close(r["probability"], p, rel=1e-12)
+        _close(r["E_total_value"], totals[uid] * p, rel=1e-6, abs_=1e-5)
+
+
+def test_flagship_matches_replica(spark, sf_dir, pdt):
+    """The flagship end-to-end: 40-day recency filter → per-user ensemble
+    probability × exposure → admin rollup → top-5."""
+    import datetime
+
+    rows = QUERIES["flagship_storm_impact"](spark, sf_dir).collect()
+    ev = pdt["events"]
+    cutoff = datetime.date(2024, 2, 15)
+    days = (cutoff - pd.to_datetime(ev["ts"]).dt.date).map(lambda d: d.days)
+    ev = ev[days < 40]
+    types = ev.groupby("user_id")["event_type"].nunique()
+    totals = ev.groupby("user_id")["value"].apply(
+        lambda s: float(s.dropna().astype(float).round(2).sum())
+    )
+    admin: dict = {}
+    for uid, total in totals.items():
+        e = round(total * (types[uid] / 8.0), 6)
+        admin[uid % 10] = admin.get(uid % 10, 0.0) + e
+    top = sorted(admin.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:5]
+    assert len(rows) == 5
+    for r, (aid, e) in zip(sorted(rows, key=lambda r: r["rank_in_group"]), top):
+        assert r["admin_id"] == aid
+        _close(r["E_exposure"], round(e, 4), rel=1e-6, abs_=1e-3)
