@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from aos_spark.session import get_spark
@@ -15,4 +17,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    # AOS_TEST_SF_DIR is a DIAGNOSTIC override (e.g. point the
+    # independent-truth replicas at sf0.01 to exercise tie-richer data);
+    # some fixture-count assertions only hold at the sf0.001 default.
+    return os.environ.get("AOS_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -249,6 +249,8 @@ def _round_half_up_micro(num: int, den: int) -> int:
 def py_jaccard_pairs(pdt):
     """Brute-force all-pairs 3-gram Jaccard over the sf0.001 corpus."""
     docs = pdt["documents"][["doc_id", "text"]].values.tolist()
+    if len(docs) > 1500:  # O(N²) replica — skip under AOS_TEST_SF_DIR overrides
+        pytest.skip(f"brute-force pair replica is quadratic; corpus {len(docs)}")
     sh = {i: _py_shingles(t) for i, t in docs}
     ids = sorted(sh)
     pairs = {}
