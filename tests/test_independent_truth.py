@@ -548,3 +548,120 @@ def test_flagship_matches_replica(spark, sf_dir, pdt):
     for r, (aid, e) in zip(sorted(rows, key=lambda r: r["rank_in_group"]), top):
         assert r["admin_id"] == aid
         _close(r["E_exposure"], round(e, 4), rel=1e-6, abs_=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: interval algebra, funnels, cohorts, association rules
+
+
+def test_interval_union_coverage_matches_sweep_line(spark, sf_dir, pdt):
+    """Merge-overlapping-intervals recomputed with a classic sweep line
+    over sorted (start, end) pairs."""
+    got = _rows(spark, sf_dir, "interval_union_coverage")
+    # .timestamp() is unit-independent — astype(int64) is NOT (parquet
+    # loads as datetime64[us] here, which made //1e9 a 1000x error)
+    ev = pdt["events"].assign(
+        s=pd.to_datetime(pdt["events"]["ts"]).map(
+            lambda t: int(t.replace(tzinfo=None).timestamp())
+            if t.tzinfo is None
+            else int(t.timestamp())
+        )
+    )
+    for uid, g in ev.groupby("user_id"):
+        ivs = sorted((int(s), int(s) + 3600) for s in g["s"])
+        islands = []  # [start, end, n]
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:  # touching unions too
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        r = got[uid]
+        assert r["n_islands"] == len(islands)
+        assert r["covered_seconds"] == sum(e - s for s, e, _ in islands)
+        assert r["max_island_events"] == max(n for _, _, n in islands)
+
+
+def test_funnel_conversion_matches_sequential_scan(spark, sf_dir, pdt):
+    """Ordered view→click→purchase funnel replayed as a per-user
+    sequential flag scan."""
+    row = QUERIES["funnel_conversion"](spark, sf_dir).collect()[0]
+    ev = pdt["events"].sort_values(["user_id", "ts", "event_id"])
+    u1 = u2 = u3 = 0
+    for _, g in ev.groupby("user_id"):
+        v = c = p = False
+        for et in g["event_type"]:
+            if et == "view":
+                v = True
+            elif et == "click" and v:
+                c = True
+            elif et == "purchase" and c:
+                p = True
+        u1 += v
+        u2 += c
+        u3 += p
+    assert (row["users_view"], row["users_click_after_view"],
+            row["users_purchase_after_click"]) == (u1, u2, u3)
+
+
+def test_cohort_retention_matches_pandas(spark, sf_dir, pdt):
+    got = {
+        (str(r["cohort_day"]), r["days_since"]): r["n_users"]
+        for r in QUERIES["cohort_retention"](spark, sf_dir).collect()
+    }
+    ev = pdt["events"].assign(day=pd.to_datetime(pdt["events"]["ts"]).dt.date)
+    ev = ev[["user_id", "day"]].drop_duplicates()
+    first = ev.groupby("user_id")["day"].min().rename("cohort")
+    j = ev.merge(first, on="user_id")
+    expect: dict = {}
+    for _, r in j.iterrows():
+        key = (str(r["cohort"]), (r["day"] - r["cohort"]).days)
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+
+
+def test_assoc_rules_match_dict_counting(spark, sf_dir, pdt):
+    """Support/confidence/lift recomputed by plain dict counting over
+    distinct (basket, brand) pairs, with the documented integer
+    support cut and half-up micro rounding."""
+    import itertools
+
+    got = {
+        (r["antecedent"], r["consequent"]): r.asDict()
+        for r in QUERIES["assoc_rules_brands"](spark, sf_dir).collect()
+    }
+    li = pdt["lineitem"][["l_orderkey", "l_partkey"]]
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")[["p_partkey", "p_brand"]]
+    ob = (
+        li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "p_brand"]
+        ].drop_duplicates()
+    )
+    n_baskets = ob["l_orderkey"].nunique()
+    item_n = ob["p_brand"].value_counts().to_dict()
+    pair_n: dict = {}
+    for _, basket in ob.groupby("l_orderkey")["p_brand"]:
+        for a, b in itertools.combinations(sorted(basket), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    expect = {}
+    for (a, b), pn in pair_n.items():
+        if pn * 100 < n_baskets:  # min support 1%
+            continue
+        for ant, con in ((a, b), (b, a)):
+            expect[(ant, con)] = {
+                "pair_n": pn,
+                "ant_n": item_n[ant],
+                "con_n": item_n[con],
+                "support": _round_half_up_micro(pn, n_baskets) / 1e6,
+                "confidence": _round_half_up_micro(pn, item_n[ant]) / 1e6,
+                "lift": _round_half_up_micro(
+                    pn * n_baskets, item_n[ant] * item_n[con]
+                ) / 1e6,
+            }
+    assert set(got) == set(expect)
+    for key, e in expect.items():
+        r = got[key]
+        for f, v in e.items():
+            assert r[f] == v or math.isclose(r[f], v, rel_tol=0, abs_tol=0), (
+                key, f, r[f], v
+            )
