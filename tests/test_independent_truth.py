@@ -665,3 +665,87 @@ def test_assoc_rules_match_dict_counting(spark, sf_dir, pdt):
             assert r[f] == v or math.isclose(r[f], v, rel_tol=0, abs_tol=0), (
                 key, f, r[f], v
             )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: slowly-changing dimensions, CDC, incremental maintenance
+
+
+def test_scd2_history_matches_dict_replica(spark, sf_dir, pdt):
+    """SCD2 apply recomputed with plain dicts: unchanged rows stay open,
+    changed rows close + reopen at the effective date, missing rows close."""
+    import datetime
+
+    got = {}
+    for r in QUERIES["scd2_dimension_history"](spark, sf_dir).collect():
+        got.setdefault(r["c_custkey"], []).append(
+            (r["c_mktsegment"], str(r["valid_from"]), str(r["valid_to"]))
+        )
+    c = pdt["customer"][["c_custkey", "c_mktsegment"]]
+    snap = {
+        k: ("MOVED" if k % 7 == 0 else seg)
+        for k, seg in zip(c["c_custkey"], c["c_mktsegment"])
+        if k % 13 != 0
+    }
+    eff = "2000-01-01"
+    expect: dict = {}
+    for k, seg in zip(c["c_custkey"], c["c_mktsegment"]):
+        rows = expect.setdefault(k, [])
+        if k not in snap:  # deleted → close
+            rows.append((seg, "1995-01-01", eff))
+        elif snap[k] == seg:  # unchanged → stays open
+            rows.append((seg, "1995-01-01", "None"))
+        else:  # changed → close + reopen
+            rows.append((seg, "1995-01-01", eff))
+            rows.append((snap[k], eff, "None"))
+    assert set(got) == set(expect)
+    for k in expect:
+        assert sorted(got[k]) == sorted(expect[k]), k
+
+
+def test_cdc_snapshot_diff_matches_dict_replica(spark, sf_dir, pdt):
+    """Insert/update/delete feed recounted from two dict snapshots."""
+    got = _rows(spark, sf_dir, "cdc_snapshot_diff")
+    o = pdt["orders"][["o_orderkey", "o_custkey", "o_totalprice"]]
+    old = {
+        k: (c, float(p))
+        for k, c, p in zip(o["o_orderkey"], o["o_custkey"], o["o_totalprice"])
+    }
+    new = {
+        k: (c, float(p) + 1.0 if c % 101 == 0 else float(p))
+        for k, (c, p) in old.items()
+        if k % 997 != 0
+    }
+    counts = {"update": [0, 0], "delete": [0, 0], "insert": [0, 0]}
+    for k, v in old.items():
+        if k not in new:
+            counts["delete"][0] += 1
+            counts["delete"][1] += k
+        elif new[k] != v:
+            counts["update"][0] += 1
+            counts["update"][1] += k
+    for k in new:
+        if k not in old:
+            counts["insert"][0] += 1
+            counts["insert"][1] += k
+    expect = {op: c for op, c in counts.items() if c[0]}
+    assert set(got) == set(expect)
+    for op, (n, ck) in expect.items():
+        assert got[op]["n_rows"] == n and got[op]["key_checksum"] == ck
+
+
+def test_incremental_agg_equals_single_pass(spark, sf_dir, pdt):
+    """Two-batch state merge + finalize vs a plain single-pass pandas
+    aggregate — the incremental-maintenance identity from first
+    principles (count / sum / mean per return flag)."""
+    out = {r[0]: r.asDict() for r in
+           QUERIES["incremental_agg_merge"](spark, sf_dir).collect()}
+    li = pdt["lineitem"]
+    for flag, g in li.groupby("l_returnflag"):
+        v = g["l_extendedprice"].astype(float).round(2)
+        r = out[flag]
+        assert r["n"] == len(v)
+        _close(r["total"], round(float(v.sum()), 4), rel=1e-9)
+        _close(r["avg"], float(v.sum()) / len(v), rel=1e-6)
+        _close(r["min_value"], float(v.min()), rel=1e-9)
+        _close(r["max_value"], float(v.max()), rel=1e-9)
