@@ -749,3 +749,70 @@ def test_incremental_agg_equals_single_pass(spark, sf_dir, pdt):
         _close(r["avg"], float(v.sum()) / len(v), rel=1e-6)
         _close(r["min_value"], float(v.min()), rel=1e-9)
         _close(r["max_value"], float(v.max()), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: sequence semantics (lag direction and gap islands)
+
+
+def _user_ordered_types(pdt):
+    ev = pdt["events"].sort_values(["user_id", "ts", "event_id"])
+    return {uid: list(g["event_type"]) for uid, g in ev.groupby("user_id")}
+
+
+def test_transition_matrix_matches_sequential_count(spark, sf_dir, pdt):
+    """First-order transitions recounted by walking each user's ordered
+    event list — catches any lag-direction or cross-user-pair bug."""
+    counts: dict = {}
+    for seq in _user_ordered_types(pdt).values():
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    from_totals: dict = {}
+    for (a, _), n in counts.items():
+        from_totals[a] = from_totals.get(a, 0) + n
+    got = {
+        (r["prev_state"], r["next_state"]): r.asDict()
+        for r in QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for key, r in got.items():
+        assert r["n_transitions"] == counts[key]
+        _close(r["prob"], counts[key] / from_totals[key[0]], rel=1e-9)
+
+
+def test_markov_two_step_matches_sequential_count(spark, sf_dir, pdt):
+    """Two-step (lead-2) paths recounted the same way."""
+    counts: dict = {}
+    for seq in _user_ordered_types(pdt).values():
+        for a, c in zip(seq, seq[2:]):
+            counts[(a, c)] = counts.get((a, c), 0) + 1
+    from_totals: dict = {}
+    for (a, _), n in counts.items():
+        from_totals[a] = from_totals.get(a, 0) + n
+    got = {
+        (r["from_type"], r["to_type"]): r.asDict()
+        for r in QUERIES["markov_two_step"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for key, r in got.items():
+        assert r["n_paths"] == counts[key]
+        assert r["prob"] == _round_half_up_micro(
+            counts[key], from_totals[key[0]]
+        ) / 1e6
+
+
+def test_sequence_gaps_match_sorted_scan(spark, sf_dir, pdt):
+    """Gap islands recomputed from one sorted pass over the distinct ids
+    (vs the engine's two-level bucketed reduction)."""
+    ev = pdt["events"]
+    ids = sorted(set(ev.loc[ev["event_type"] != "error", "event_id"]))
+    expect = [
+        (prev + 1, cur - 1, cur - prev - 1)
+        for prev, cur in zip(ids, ids[1:])
+        if cur - prev > 1
+    ]
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in QUERIES["sequence_gap_detection"](spark, sf_dir).collect()
+    )
+    assert got == expect
