@@ -816,3 +816,134 @@ def test_sequence_gaps_match_sorted_scan(spark, sf_dir, pdt):
         for r in QUERIES["sequence_gap_detection"](spark, sf_dir).collect()
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: the text-quality tier (regex conventions reimplemented with re)
+
+
+def _py_quality(text: str):
+    """quality_features + quality_score reimplemented with Python re:
+    returns (n_tokens, quality) under the documented conventions."""
+    import re
+
+    t = text or ""
+    n_chars = len(t)
+    n_alpha = len(re.sub(r"[^A-Za-z]", "", t))
+    n_punct = len(re.sub(r"[^.,;:!?'\"()\[\]]", "", t))
+    stripped = t.strip()
+    n_tokens = 0 if not stripped else len(re.split(r"\s+", stripped))
+    stop_hits = max(
+        len(re.findall(r"\b(the|and|of|to|is)\b", t.lower())), 0
+    )
+    alpha_ratio = _round_half_up_micro(n_alpha, max(n_chars, 1)) / 1e6
+    punct_ratio = _round_half_up_micro(n_punct, max(n_chars, 1)) / 1e6
+    stop_ratio = _round_half_up_micro(stop_hits, max(n_tokens, 1)) / 1e6
+    score = (
+        0.4 * min(stop_ratio * 4, 1.0)
+        + 0.4 * alpha_ratio
+        + 0.2 * min(n_tokens / 100.0, 1.0)
+    )
+    if punct_ratio > 0.3:
+        score *= 0.5
+    quality = math.floor(score * 1e6 + 0.5) / 1e6  # scaled_round6
+    return n_tokens, quality
+
+
+def test_corpus_quality_filter_matches_rule_replay(spark, sf_dir, pdt):
+    """First-failing-rule verdicts replayed with Python re over the
+    documented thresholds."""
+    import re
+
+    got = _rows(spark, sf_dir, "corpus_quality_filter")
+    for doc_id, text in zip(pdt["documents"]["doc_id"],
+                            pdt["documents"]["text"]):
+        t = (text or "").strip()
+        n_chars = len(t)
+        n_alpha = len(re.sub(r"[^A-Za-z]", "", t))
+        n_punct = len(re.sub(r"[^.,;:!?'\"()\[\]]", "", t))
+        toks = re.split(r"\s+", t.lower()) if t else []
+        n_tokens = len(toks) if t else 0
+        ttr = len(set(toks)) / max(len(toks), 1)
+        if not t:
+            reason = "empty"
+        elif n_tokens < 10:
+            reason = "too_short"
+        elif n_tokens > 5000:
+            reason = "too_long"
+        elif n_alpha / max(n_chars, 1) < 0.5:
+            reason = "low_alpha"
+        elif n_punct / max(n_chars, 1) > 0.3:
+            reason = "high_punct"
+        elif ttr < 0.3:
+            reason = "repetitive"
+        else:
+            reason = None
+        r = got[doc_id]
+        assert (r["keep"], r["reject_reason"]) == (reason is None, reason), doc_id
+
+
+def test_benford_matches_digit_count(spark, sf_dir, pdt):
+    got = _rows(spark, sf_dir, "benford_first_digit")
+    digits = (
+        pdt["orders"]["o_totalprice"]
+        .astype(float)
+        .map(lambda p: str(int(math.floor(p)))[0])
+    )
+    counts = digits.value_counts().to_dict()
+    total = sum(counts.values())
+    assert set(got) == set(counts)
+    for d, n in counts.items():
+        r = got[d]
+        assert r["n_orders"] == n
+        assert r["share"] == _round_half_up_micro(n, total) / 1e6
+
+
+def test_type_token_ratio_matches_re_tokens(spark, sf_dir, pdt):
+    import re
+
+    got = _rows(spark, sf_dir, "type_token_ratio")
+    agg: dict = {}
+    for src, text in zip(pdt["documents"]["source"],
+                         pdt["documents"]["text"]):
+        toks = [x for x in re.split(r"[^a-z0-9]+", (text or "").lower()) if x]
+        n, d = agg.get(src, (0, 0))
+        agg[src] = (n + len(toks), d + len(set(toks)))
+    assert set(got) == set(agg)
+    for src, (n_tok, n_dist) in agg.items():
+        r = got[src]
+        assert (r["n_tokens"], r["n_distinct_tokens"]) == (n_tok, n_dist)
+        _close(r["type_token_ratio"], n_dist / n_tok, rel=1e-6)
+
+
+def test_corpus_language_stats_matches_re_replica(spark, sf_dir, pdt):
+    """The per-language corpus report recomputed with the Python-re
+    quality replica and a re-based BPE-ish token count — locks the
+    whole quality_features chain (incl. the round-10 translate() and
+    marker-guard changes) against an independent implementation."""
+    import re
+
+    bpe = re.compile(r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+")
+    got = _rows(spark, sf_dir, "corpus_language_stats")
+    agg: dict = {}
+    for lang, text in zip(pdt["documents"]["lang"], pdt["documents"]["text"]):
+        n_tokens, quality = _py_quality(text)
+        n_bpe = len(bpe.findall(text or ""))
+        n, tt, tb, qsum, hi = agg.get(lang, (0, 0, 0, 0, 0))
+        agg[lang] = (
+            n + 1,
+            tt + n_tokens,
+            tb + n_bpe,
+            qsum + int(quality * 1e6 + 0.5),  # decimal(18,6) micro-units
+            hi + (quality >= 0.5),
+        )
+    assert set(got) == set(agg)
+    for lang, (n, tt, tb, qsum, hi) in agg.items():
+        r = got[lang]
+        assert r["n_docs"] == n
+        assert r["total_tokens"] == tt
+        assert r["total_bpe_tokens"] == tb
+        assert r["n_high_quality"] == hi
+        # qsum is ALREADY micro-scaled → plain half-up integer division
+        _close(r["mean_quality"], ((2 * qsum + n) // (2 * n)) / 1e6,
+               rel=0, abs_=2e-6)
