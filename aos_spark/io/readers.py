@@ -218,26 +218,38 @@ def sequential_ids(
     # The remaining columns are folded into ONE xxhash64 sort key
     # (ADVICE r9): ordering by every column raw made a MapType column an
     # AnalysisException (maps are unorderable) and charged wide frames a
-    # wide per-row sort key. Map-typed columns are excluded from the hash
-    # (unhashable too); rows identical across all hashed columns remain
-    # interchangeable — exactly the duplicate-full-row contract.
-    def _hashable(dt) -> bool:
-        from pyspark.sql import types as T
+    # wide per-row sort key. Top-level map columns are CANONICALIZED into
+    # the hash as ``array_sort(map_entries(col))`` (ADVICE r10: excluding
+    # them made the id assignment of rows differing only in a map column
+    # partitioning-dependent) — sorted entry arrays are orderable and
+    # hashable whenever key+value types are map-free. Only maps NESTED
+    # inside the key/value (or inside arrays/structs) remain excluded;
+    # rows identical across all hashed expressions stay interchangeable —
+    # the duplicate-full-row contract. The guarantee is probabilistic at
+    # 64 bits: two rows colliding within one partition needs an xxhash64
+    # collision (~n²/2⁶⁵ for an n-row partition — ≪1e-9 at n=10⁷), and a
+    # collision only risks swapping the ids of the two colliding rows.
+    from pyspark.sql import types as T
 
+    def _map_free(dt) -> bool:
         if isinstance(dt, T.MapType):
             return False
         if isinstance(dt, T.ArrayType):
-            return _hashable(dt.elementType)
+            return _map_free(dt.elementType)
         if isinstance(dt, T.StructType):
-            return all(_hashable(f.dataType) for f in dt.fields)
+            return all(_map_free(f.dataType) for f in dt.fields)
         return True
 
-    rest = [
-        f.name
-        for f in ranged.schema.fields
-        if f.name not in (*order_cols, "__pid") and _hashable(f.dataType)
-    ]
-    tiebreak = [F.xxhash64(*rest)] if rest else []
+    hash_exprs = []
+    for fld in ranged.schema.fields:
+        if fld.name in (*order_cols, "__pid"):
+            continue
+        if isinstance(fld.dataType, T.MapType):
+            if _map_free(fld.dataType.keyType) and _map_free(fld.dataType.valueType):
+                hash_exprs.append(F.array_sort(F.map_entries(F.col(fld.name))))
+        elif _map_free(fld.dataType):
+            hash_exprs.append(F.col(fld.name))
+    tiebreak = [F.xxhash64(*hash_exprs)] if hash_exprs else []
     w = Window.partitionBy("__pid").orderBy(*order_cols, *tiebreak)
     return (
         ranged.withColumn(

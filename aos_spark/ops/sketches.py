@@ -303,7 +303,10 @@ def hot_keys(
     with local count ≥ ceil((threshold+1)/P). Any key with global count >
     threshold must clear that bar in at least one of its P partitions, so
     a truly hot key cannot be missed; candidate volume is bounded by
-    N·P/threshold rows instead of |distinct keys|.
+    N·P/threshold rows instead of |distinct keys|. When threshold+1 ≤
+    P_cap that bar would degenerate to 1 (every key a candidate), so the
+    probe switches to an exact groupBy count instead (ADVICE r10) —
+    same shuffle volume as the degenerate pre-filter, exact result.
 
     P is an UPPER bound, enforced by construction (ADVICE r9): the probe
     runs on ``coalesce(P_cap)`` of the projected frame, which guarantees
@@ -319,7 +322,6 @@ def hot_keys(
     set must be partitioning-invariant. NULL keys are never candidates
     (the md5 bucket of NULL is NULL; a NULL-heavy key calls for a
     dedicated null-route, not salting)."""
-    sketch = cms_build(df, key_col, depth, width)
     if candidates is None:
         import pandas as pd  # noqa: PLC0415 - worker-side dependency
 
@@ -327,6 +329,21 @@ def hot_keys(
         # partition-count cap the probe plan cannot exceed (coalesce below);
         # generous so coalesce is a no-op for typical scan parallelism
         p_cap = max(64, int(sc.defaultParallelism) * 4)
+        if threshold + 1 <= p_cap:
+            # ADVICE r10: here ceil((T+1)/P_cap) = 1, so the pigeonhole
+            # pre-filter keeps EVERY distinct key — a full distinct in
+            # disguise, with a CMS probe bolted on. The candidate bound
+            # buys nothing at thresholds this small; an exact map-side-
+            # combined groupBy count is the same shuffle volume and is
+            # strictly stronger (exact counts, zero false positives).
+            # Output schema/name match the sketch path; NULL keys are
+            # excluded there too (NULL md5 bucket), so the contract holds.
+            return (
+                df.filter(F.col(key_col).isNotNull())
+                .groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("est_count"))
+                .filter(F.col("est_count") > threshold)
+            )
         thr_local = -(-(threshold + 1) // p_cap)  # ceil((T+1)/P_cap)
 
         def _local_heavy(batches):
@@ -345,5 +362,6 @@ def hot_keys(
             .mapInPandas(_local_heavy, schema=df.select(key_col).schema)
             .distinct()
         )
+    sketch = cms_build(df, key_col, depth, width)
     est = cms_estimate(sketch, candidates, key_col, depth, width)
     return est.filter(F.col("est_count") > threshold)

@@ -40,21 +40,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def complete_pairs(df: DataFrame, x: str, y: str) -> DataFrame:
+def complete_pairs(df: DataFrame, x: str, y: str, scale: int = 6) -> DataFrame:
     """Pairwise-deletion pre-filter for the moment machinery: keep only
     rows where BOTH value columns are non-NULL (a pair contributes to all
     six aggregates or to none — engine-native corr/covar_samp semantics).
 
-    This filters the RAW columns, exactly mirroring the oracles'
-    ``WHERE x IS NOT NULL AND y IS NOT NULL`` (ADVICE r9: the previous
-    per-aggregate post-cast CASE gating was a latent cross-engine
-    asymmetry under non-ANSI overflow AND ~2× the aggregate CPU — twelve
-    per-row branches across six sums). Under the gate's ANSI sessions an
-    overflowing decimal cast raises in both engines, so pre- and
-    post-cast gating are semantically identical there; under non-ANSI
-    Spark the caller owns the moment_aggs magnitude contract
-    (|value| < 10^(18-scale)) as before."""
-    return df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+    Two layers (ADVICE r9 + r10): the RAW isNotNull conjuncts mirror the
+    oracles' ``WHERE x IS NOT NULL AND y IS NOT NULL`` and push down to
+    the scan; the POST-CAST conjuncts close the non-ANSI overflow hole —
+    under non-ANSI Spark a decimal(18,scale) overflow casts to NULL, so
+    without them the sums would skip the row while n (and the partner
+    column's sums) kept it, the exact r9 wrong-n-vs-sums corruption
+    class. Filtering ONCE here keeps all six aggregates consistent by
+    construction with zero per-aggregate branches (the r10 perf fix that
+    retired the twelve when-gated sums stands). Under the gate's ANSI
+    sessions the cast raises here exactly as it previously raised inside
+    the aggregate, and with in-contract magnitudes (|value| <
+    10^(18-scale)) the cast conjuncts are vacuously true — no result
+    change in either certified configuration."""
+    dec = f"decimal(18,{scale})"
+    return df.filter(
+        F.col(x).isNotNull()
+        & F.col(y).isNotNull()
+        & F.col(x).cast(dec).isNotNull()
+        & F.col(y).cast(dec).isNotNull()
+    )
 
 
 def moment_aggs(x: str, y: str, scale: int = 6) -> list[Column]:
@@ -129,7 +139,9 @@ def grouped_correlation(
     the exact moments. NULL pairs are pairwise-deleted up front
     (:func:`complete_pairs`)."""
     moments = (
-        complete_pairs(df, x, y).groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
+        complete_pairs(df, x, y, scale)
+        .groupBy(*group_cols)
+        .agg(*moment_aggs(x, y, scale))
     )
     return derive_stats(moments)
 
@@ -257,7 +269,7 @@ def grouped_linregress(
     on any partitioning and engine. One map-combined shuffle, same
     magnitude caveats as moment_aggs; NULL pairs pairwise-deleted up
     front (:func:`complete_pairs`)."""
-    m = complete_pairs(df, x, y).groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
+    m = complete_pairs(df, x, y, scale).groupBy(*group_cols).agg(*moment_aggs(x, y, scale))
     n = F.col("n").cast("double")
     cov = (F.col("sum_xy") - F.col("sum_x") * F.col("sum_y") / n) / (n - 1)
     var_x = (F.col("sum_xx") - F.col("sum_x") * F.col("sum_x") / n) / (n - 1)

@@ -76,8 +76,15 @@ def main() -> int:
 
     qa, qb = a["queries"], b["queries"]
     common = [k for k in qb if k in qa and qa[k] > 0 and qb[k] > 0]
-    med = statistics.median(qb[k] / qa[k] for k in common if qa[k] > 0.2)
-    print(f"\nmedian per-query ratio (HEAD/base, q>0.2s): {med:.3f}")
+    # materialize first (ADVICE r10): statistics.median raises on an empty
+    # generator, killing the script AFTER both sweeps already ran
+    ratios = [qb[k] / qa[k] for k in common if qa[k] > 0.2]
+    if ratios:
+        print(f"\nmedian per-query ratio (HEAD/base, q>0.2s): "
+              f"{statistics.median(ratios):.3f}")
+    else:
+        print("\nmedian per-query ratio (HEAD/base, q>0.2s): n/a "
+              "(no common query exceeded 0.2 s)")
     deltas = sorted(((qb[k] - qa[k], qa[k], qb[k], k) for k in common),
                     reverse=True)
     print("top regressions (delta, base, head) — <0.5 s is sweep noise:")

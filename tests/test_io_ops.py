@@ -480,8 +480,9 @@ def test_sequential_ids_stable_across_parallelism_on_ties(spark):
 def test_sequential_ids_tolerates_map_columns(spark):
     """ADVICE r9: the full-row tiebreak ordered by every remaining column,
     so a MapType column (unorderable) turned a working call into an
-    AnalysisException. The tiebreak now hashes the orderable remainder —
-    map columns are skipped, ids still equal the rank by the order cols."""
+    AnalysisException. The tiebreak now hashes the canonicalized
+    (array_sort(map_entries)) map alongside the other columns — ids still
+    equal the rank by the order cols."""
     df = spark.createDataFrame(
         [(2.0, {"a": 1}), (1.0, {"b": 2}), (3.0, {})],
         "latitude double, props map<string,int>",
@@ -489,3 +490,26 @@ def test_sequential_ids_tolerates_map_columns(spark):
     out = readers.sequential_ids(df, "m_", ["latitude"], parts=2)
     got = {r["latitude"]: r["__seq_id"] for r in out.collect()}
     assert got == {1.0: "m_0", 2.0: "m_1", 3.0: "m_2"}
+
+
+def test_sequential_ids_stable_on_map_only_diff_rows(spark):
+    """ADVICE r10: rows differing ONLY in a map-typed column were excluded
+    from the xxhash64 tiebreak, so their relative id order depended on
+    physical row order — partitioning-dependent. With maps canonicalized
+    into the hash as array_sort(map_entries(col)), the same row gets the
+    same id at any parallelism."""
+    from aos_spark.io.readers import sequential_ids
+
+    rows = [(1.0, 2.0, {"k": i, "tag": i * 7}) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "latitude double, longitude double, props map<string,int>"
+    )
+    a = {
+        tuple(sorted(r["props"].items())): r["__seq_id"]
+        for r in sequential_ids(df, "p_", ["latitude", "longitude"], parts=2).collect()
+    }
+    b = {
+        tuple(sorted(r["props"].items())): r["__seq_id"]
+        for r in sequential_ids(df, "p_", ["latitude", "longitude"], parts=7).collect()
+    }
+    assert a == b and len(set(a.values())) == 24

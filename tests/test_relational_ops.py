@@ -326,3 +326,29 @@ def test_moment_stats_pairwise_nulls_and_degenerate_groups(spark):
     assert lin["a"]["slope"] is not None and math.isfinite(lin["a"]["slope"])
     assert lin["b"]["slope"] is None and lin["b"]["r"] is None
     assert lin["c"]["slope"] is None and lin["c"]["intercept"] is None
+
+
+def test_moment_aggs_n_consistent_under_non_ansi_overflow(spark):
+    """ADVICE r10: under non-ANSI Spark a decimal(18,scale) overflow casts
+    to NULL, so the sums skipped the row while count(1) — and the partner
+    column's sums — kept it: the r9 wrong-n-vs-sums corruption class
+    re-entering via the overflow path. complete_pairs now also filters on
+    post-cast nullity, so an out-of-contract row degrades to pairwise
+    deletion (all six aggregates consistent) instead of corrupting the
+    derived statistics. (Gate sessions run ANSI where the cast raises
+    instead; this exercises the engine's own ANSI-off sessions.)"""
+    from aos_spark.ops.stats import grouped_correlation
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 7.0),
+            # |x| >= 10^12 overflows decimal(18,6): cast NULLs under
+            # non-ANSI, so every sum skips the row — n must too
+            ("a", 1.0e13, 5.0),
+        ],
+        "g string, x double, y double",
+    )
+    row = grouped_correlation(df, ["g"], "x", "y").collect()[0]
+    assert row["n"] == 3  # overflow row pairwise-deleted, not half-counted
+    assert 0.9 < row["corr_xy"] <= 1.0  # stats derived from the 3 clean pairs

@@ -234,3 +234,22 @@ def test_hot_keys_pigeonhole_holds_on_shuffled_input(spark):
     shuffled = df.repartition(17, "k")
     hot = sketches.hot_keys(shuffled, "k", threshold=300)
     assert [r["k"] for r in hot.collect()] == ["hot"]
+
+
+def test_hot_keys_small_threshold_exact_fallback(spark):
+    """ADVICE r10: for threshold+1 <= P_cap the pigeonhole bar was
+    ceil((T+1)/P_cap) = 1, degenerating the candidate pre-filter to a
+    full distinct. The probe now answers small thresholds with an exact
+    groupBy count — same schema (key, est_count), exact values, no
+    false positives, NULLs still excluded."""
+    rows = (
+        [("hot",)] * 40
+        + [("warm",)] * 11
+        + [(f"cold{i}",) for i in range(20)]
+        + [(None,)] * 60
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    hot = sketches.hot_keys(df, "k", threshold=10)
+    got = {r["k"]: r["est_count"] for r in hot.collect()}
+    # exact counts, not CMS estimates; NULL (60 rows > threshold) excluded
+    assert got == {"hot": 40, "warm": 11}
