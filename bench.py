@@ -29,6 +29,27 @@ from aos_spark.queries import QUERIES
 from aos_spark.session import get_spark
 
 
+def _calibrate(spark) -> float:
+    """Fixed calibration probe (VERDICT r10 "Next round" #6): a pinned,
+    plan-stable 10⁷-row hash-aggregate timed at sweep start and end. The
+    box's throughput ERA drifts ±30% between rounds on unchanged code
+    (PLANS.md round-10 addendum), so round-over-round comparisons divide
+    by this probe to turn era drift into a measured divisor instead of a
+    narrative. Fixed partition count so the plan never varies with
+    SPARK_GRAFT_CPUS."""
+    t0 = time.time()
+    (
+        spark.range(10_000_000, numPartitions=32)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -37,12 +58,20 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # start-of-sweep load BEFORE any work (VERDICT r10 "Next round" #3):
+    # the env block's loadavg is captured at the END, where the sweep's
+    # own load dominates — "exclusive idle run" claims need the START
+    # reading in the artifact, not in a narrative.
+    load_at_start = list(os.getloadavg()) if hasattr(os, "getloadavg") else None
+    t_sweep0 = time.time()
+
     spark = get_spark("aos-bench", master=f"local[{cpus}]")
     # warmup: JVM + parquet footer reads + Python/Arrow UDF worker pool
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    calibration_start = _calibrate(spark)
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -90,8 +119,17 @@ def main() -> None:
 
     # Version/config forensics (VERDICT r8 #2) — same block the
     # correctness artifact carries, so timing swings between rounds can be
-    # attributed to environment vs code.
-    full["env"] = env_fingerprint(spark)
+    # attributed to environment vs code. env_fingerprint's own loadavg is
+    # the END-of-sweep reading; loadavg_at_start + wall duration +
+    # calibration probes make load/era claims provable from the artifact
+    # alone (VERDICT r10 #3/#6).
+    full["env"] = dict(
+        env_fingerprint(spark),
+        loadavg_at_start=load_at_start,
+        wall_seconds_total=round(time.time() - t_sweep0, 3),
+        calibration_start_sec=calibration_start,
+        calibration_end_sec=_calibrate(spark),
+    )
     out = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
     # Carry the fresh-JVM tail numbers (scripts/bench_tail.py's "isolated"
     # key) across sweep refreshes so the artifact never loses its

@@ -29,7 +29,12 @@ def test_bench_artifact_carries_env_block():
     assert env, "BENCH_LOCAL.json lost its 'env' block"
     for key in ("pyspark", "duckdb", "python",
                 "spark.sql.shuffle.partitions", "spark.driver.memory",
-                "loadavg_1_5_15"):
+                "loadavg_1_5_15",
+                # VERDICT r10 #3/#6: start AND end load, wall duration,
+                # and the era-drift calibration probes must be provable
+                # from the artifact alone
+                "loadavg_at_start", "wall_seconds_total",
+                "calibration_start_sec", "calibration_end_sec"):
         assert key in env, f"env block lost its '{key}' field"
 
 
