@@ -48,12 +48,25 @@ def _run_sweep(ref: str, tag: str) -> dict:
         )
         head_line = json.loads(out.stdout.strip().splitlines()[-1])
         full = json.loads((wt / "BENCH_LOCAL.json").read_text())
+        # r11: surface the leg's own instrumentation (present when the ref
+        # carries the round-10 instrumented bench.py; absent for older
+        # tags) so leg-order bias and mid-A/B era drift are readable from
+        # the A/B output itself, not just the committed artifact
+        env = full.get("env", {})
         return {
             "ref": ref,
             "loadavg_at_start": load0,
             "value": head_line["value"],
             "cold_value": head_line["cold_value"],
             "queries": full["queries"],
+            "calibration": (
+                env.get("calibration_start_sec"),
+                env.get("calibration_end_sec"),
+            ),
+            "load_start_end": (
+                env.get("loadavg_at_start"),
+                env.get("loadavg_1_5_15"),
+            ),
         }
     finally:
         subprocess.run(
@@ -73,6 +86,11 @@ def main() -> int:
     b = _run_sweep("HEAD", "head")
     print(f"HEAD: {b['value']} steady / {b['cold_value']} cold "
           f"(loadavg {b['loadavg_at_start']} at start)", flush=True)
+    for leg in (a, b):
+        c0, c1 = leg["calibration"]
+        if c0 is not None:
+            print(f"  {leg['ref']}: calibration {c0}s start / {c1}s end, "
+                  f"load {leg['load_start_end'][0]} -> {leg['load_start_end'][1]}")
 
     qa, qb = a["queries"], b["queries"]
     common = [k for k in qb if k in qa and qa[k] > 0 and qb[k] > 0]
