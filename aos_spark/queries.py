@@ -3311,7 +3311,8 @@ QUERIES.update(R6_QUERIES)
 # refreshing the STALEST evidence: reds first (none), then never-sampled
 # (none), then oldest-green-first — `scripts/rotation_status.py`'s
 # suggested order, verbatim. Queries and oracles are unchanged — only
-# dict iteration order moves. Rotation history: r10 refreshed the 50
+# dict iteration order moves. Rotation history: r11 refreshed the 50
+# stalest r6-era greens; r10 the 50
 # stalest r5-era greens; r9 the r8
 # mismatch suspect + 49 stalest r4-era greens; r8 the 50 stalest
 # r3-era greens; r7 front-loaded the last 24 never-sampled (closing
@@ -3319,32 +3320,32 @@ QUERIES.update(R6_QUERIES)
 # the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
 # declaration order. tests/test_rotation.py locks this structurally via
 # the stable _GATE_FRONT alias.
-_R11_FRONT = [
-    # r11: nothing red, nothing unsampled, no uncleared mismatch suspects —
-    # the window is pure oldest-green-first (stalest = round-6 rows, then
-    # the remaining r6/r7-era greens), scripts/rotation_status.py's
-    # suggested order verbatim. (r10 consumed the r5-era block.)
-    "containment_near_dup", "lsh_band_collision_stats", "dau_moving_average",
-    "flagship_storm_impact", "q1_pricing_summary", "s1_catalog_scan",
-    "f4_recency_filter", "f5_isin_or_filter", "f11_antijoin_new_work",
-    "j1_cover_equi_join", "j9_preserve_empty_regions",
-    "a1_a2_probability_expected", "a6_report_totals", "a7_vulnerability_bands",
-    "a8_topk_per_group", "a9_max_active_threshold", "a10_first_match_stats",
-    "w1_track_segments", "w3_w4_cci", "w5_dedup_keep_first",
-    "w6_argmax_per_group", "a5_member_severity", "scalar_functions",
-    "smod_recode_map", "text_token_count", "text_quality_score",
-    "text_language_id", "text_fingerprint", "dedup_exact",
-    "mixture_apply_stats", "monthly_growth_by_nation", "ann_recall_eval",
-    "term_cooccurrence_lift", "language_confusion_matrix",
-    "label_centroid_similarity", "bpe_merge_candidates", "trimmed_mean_prices",
-    "revenue_pareto_by_nation", "revenue_trend_by_nation", "ppjoin_exact_pairs",
-    "zorder_skipping_census", "hard_negative_mining", "language_kappa",
-    "winnowing_fingerprints", "matryoshka_recall_eval", "dedup_threshold_curve",
-    "split_leakage_check", "cms_error_eval", "hll_error_eval",
-    "quantile_error_eval",
+_R12_FRONT = [
+    # r12: nothing red, nothing unsampled, no uncleared mismatch suspects —
+    # pure oldest-green-first again (stalest = round-7 rows: the r6-era
+    # sim/dedup block, then the r7-era greens),
+    # scripts/rotation_status.py's suggested order verbatim.
+    # (r11 consumed the r6-era text/sketch-eval block.)
+    "sim_ivfpq_topk", "shard_rebalance_churn", "winnow_overlap_sources",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_bruteforce_topk",
+    "sim_lsh_topk", "dedup_embedding_cosine", "j2_point_zone_count",
+    "j3_j5_zone_assignment", "j10_lookup_join", "j13_prev_forecast_delta",
+    "a13_cci_admin_rollup", "a14_value_counts", "w2_first_landfall",
+    "s6_distinct_ordered", "dedup_simhash", "multimodal_image_features",
+    "sessionize_events", "sim_ivf_topk", "text_bpe_tokens",
+    "text_rolling_fingerprint", "s17_raster_zonal", "asof_join_events",
+    "range_join_events", "dedup_clusters", "decontamination_pairs",
+    "sample_split_stats", "q4_priority_semijoin", "q18_large_volume_orders",
+    "corpus_language_stats", "sketch_cms_estimate", "text_pii_scrub",
+    "text_repetition_stats", "sketch_hll_distinct", "tfidf_top_terms",
+    "q3_shipping_priority", "q5_regional_revenue", "q17_small_quantity_revenue",
+    "j2_facility_probability", "cube_order_stats", "pivot_status_revenue",
+    "unpivot_metrics", "rolling_customer_spend", "rank_distribution",
+    "histogram_quantity", "tumbling_event_windows", "set_ops_segments",
+    "corpus_length_percentiles", "gapfill_hourly_events",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
-_GATE_FRONT = _R11_FRONT
+_GATE_FRONT = _R12_FRONT
 assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)

@@ -130,7 +130,18 @@ def main() -> None:
         calibration_start_sec=calibration_start,
         calibration_end_sec=_calibrate(spark),
     )
-    out = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    # VERDICT r11 "Next round" #6: driver sweeps were clobbering the
+    # committed BENCH_LOCAL.json in the working tree (its carried-forward
+    # isolated_meta then contradicted PLANS.md). The output path is now
+    # overridable so automated runs can write elsewhere; the builder's
+    # deliberate close-out commit is the only thing that touches the
+    # default committed artifact.
+    out = Path(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            str(Path(__file__).resolve().parent / "BENCH_LOCAL.json"),
+        )
+    )
     # Carry the fresh-JVM tail numbers (scripts/bench_tail.py's "isolated"
     # key) across sweep refreshes so the artifact never loses its
     # noise-free figures; bench_tail overwrites them when re-run.

@@ -10,6 +10,7 @@ an author-independent check).
 
 from __future__ import annotations
 
+import ast
 import glob
 import math
 import os
@@ -130,18 +131,99 @@ def test_vocab_jaccard_matrix(spark, sf_dir, docs):
         _close(got[k][2], jac)
 
 
+def _invoked_queries(tree: "ast.Module") -> set[str]:
+    """Query names actually INVOKED inside an asserting test function.
+
+    ADVICE r11 / VERDICT r11 "Next round" #2: the old regex matcher counted
+    any string mention (comments, docstrings, parametrize lists) as
+    coverage. This walks the AST instead and counts a name only when, inside
+    a ``test_*`` function that contains at least one ``assert`` statement,
+    one of the engine-invocation forms appears:
+
+    - ``QUERIES["name"](...)`` — the registry callable is *called*;
+    - ``_rows(..., "name")`` / ``_spark_topk(..., "name")`` — the shared
+      collect helpers (which call ``QUERIES[name]`` internally).
+
+    A name in a comment or docstring can never match (AST drops comments;
+    docstrings are bare Constant Exprs, not Call nodes), and deleting a
+    test's assertions un-covers every name it invoked.
+    """
+    covered: set[str] = set()
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.FunctionDef) and node.name.startswith("test_")):
+            continue
+        # "asserting" = a bare assert statement OR a call to the
+        # per-module _close helper (which asserts math.isclose internally).
+        def _asserts(n: "ast.AST") -> bool:
+            return isinstance(n, ast.Assert) or (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Name)
+                and n.func.id == "_close"
+            )
+
+        if not any(_asserts(n) for n in ast.walk(node)):
+            continue
+        for call in ast.walk(node):
+            if not isinstance(call, ast.Call):
+                continue
+            f = call.func
+            # QUERIES["name"](spark, sf_dir)
+            if (
+                isinstance(f, ast.Subscript)
+                and isinstance(f.value, ast.Name)
+                and f.value.id == "QUERIES"
+                and isinstance(f.slice, ast.Constant)
+                and isinstance(f.slice.value, str)
+            ):
+                covered.add(f.slice.value)
+            # _rows(spark, sf_dir, "name") / _spark_topk(spark, sf_dir, "name")
+            elif isinstance(f, ast.Name) and f.id in ("_rows", "_spark_topk"):
+                for a in call.args:
+                    if isinstance(a, ast.Constant) and isinstance(a.value, str):
+                        covered.add(a.value)
+    return covered
+
+
 def test_truth_registry_complete():
     """CAPSTONE: every registry query has an independent-truth replica.
     A new queries() entry fails here until someone writes one — the
-    coverage can no longer silently regress."""
+    coverage can no longer silently regress. Coverage is counted from
+    AST invocation sites inside asserting tests (see _invoked_queries),
+    so a name surviving only as a string literal no longer passes."""
     here = os.path.dirname(__file__)
     covered: set[str] = set()
     for f in glob.glob(os.path.join(here, "test_independent_truth*.py")):
-        src = open(f).read()
-        covered |= set(re.findall(r'QUERIES\["([a-z0-9_]+)"\]', src))
-        covered |= set(re.findall(r'_rows\(spark, sf_dir, "([a-z0-9_]+)"\)', src))
-        covered |= set(re.findall(r'_spark_topk\(spark, sf_dir, "([a-z0-9_]+)"\)', src))
-        # parametrized loops reference names as plain string literals
-        covered |= set(re.findall(r'"(sim_[a-z0-9_]+|ann_recall_eval|matryoshka_recall_eval)"', src))
+        covered |= _invoked_queries(ast.parse(open(f).read(), filename=f))
     missing = sorted(set(QUERIES) - covered)
     assert not missing, f"queries without an independent-truth replica: {missing}"
+    # The invocation set should also stay inside the registry — a replica
+    # pinned to a renamed/removed query is stale evidence.
+    stale = sorted(covered - set(QUERIES))
+    assert not stale, f"replicas invoking unregistered queries: {stale}"
+
+
+def test_truth_matcher_semantics():
+    """The coverage matcher itself is locked: mentions don't count,
+    invocations without assertions don't count, real replicas do."""
+    src = '''
+def test_real(spark, sf_dir):
+    """docstring mentions "doc_mentioned" only."""
+    # comment mentions "comment_mentioned" only
+    got = QUERIES["invoked_asserted"](spark, sf_dir).collect()
+    assert got
+
+def test_helper(spark, sf_dir):
+    got = _rows(spark, sf_dir, "helper_asserted")
+    _close(got, 1.0)
+
+def test_no_assert(spark, sf_dir):
+    QUERIES["invoked_unasserted"](spark, sf_dir).collect()
+
+def not_a_test(spark, sf_dir):
+    got = QUERIES["outside_test"](spark, sf_dir).collect()
+    assert got
+
+PARAM = ["parametrize_mentioned"]
+'''
+    got = _invoked_queries(ast.parse(src))
+    assert got == {"invoked_asserted", "helper_asserted"}, got
