@@ -454,7 +454,7 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return D.lsh_recall_eval(
         _t(spark, sf_dir, "documents"),
-        sample_buckets=20,
+        sample_docs=1000,
         threshold=0.3,
     )
 
@@ -463,7 +463,8 @@ def _lsh_recall_oracle(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.3,
-    sample_buckets: int = 20,
+    sample_buckets: int | None = None,
+    sample_docs: int | None = 1000,
 ) -> str:
     from aos_spark.llm import dedup as D
     from aos_spark.queries import _SHINGLES_SQL
@@ -484,11 +485,20 @@ def _lsh_recall_oracle(
         " + CAST((len(x.shingles) + len(y.shingles) - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))) AS HUGEINT))"
         " // (CAST((len(x.shingles) + len(y.shingles) - len(list_filter(x.shingles, s -> list_contains(y.shingles, s)))) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0"
     )
-    return f"""
-WITH sample_ids AS (
+    if sample_docs is not None:
+        # absolute deterministic cap — mirrors the engine's
+        # TakeOrdered(md5('lsh_eval'||id), id, sample_docs) sample
+        sample_sql = f"""
+  SELECT doc_id FROM documents
+  ORDER BY md5('lsh_eval' || CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {sample_docs}"""
+    else:
+        sample_sql = f"""
   SELECT doc_id FROM documents
   WHERE CAST('0x' || substring(md5('lsh_eval' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-        % 100 < {sample_buckets}
+        % 100 < {sample_buckets}"""
+    return f"""
+WITH sample_ids AS ({sample_sql}
 ),
 sh AS (
   SELECT * FROM ({_SHINGLES_SQL}) s WHERE s.doc_id IN (SELECT doc_id FROM sample_ids)

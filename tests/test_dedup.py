@@ -281,6 +281,43 @@ def test_lsh_recall_eval_invariants_and_identical_docs(spark):
     assert r["n_hit_pairs"] <= r["n_candidate_pairs"]
 
 
+def test_lsh_recall_eval_absolute_cap(spark):
+    """r12 scaling fix: sample_docs bounds the quadratic truth stage by
+    an ABSOLUTE doc count (TakeOrdered over the md5 hash), independent
+    of corpus size — the property that killed the 59.8x sf0.1->sf1
+    ratio. Checks: (a) the cap binds exactly; (b) a cap >= corpus
+    equals the full-corpus fraction sample; (c) the sampled id set is
+    the md5-order prefix, so it is deterministic and engine-portable."""
+    import hashlib
+
+    from aos_spark.llm.dedup import lsh_recall_eval
+
+    rows = [(i, f"word{i} text{i % 3} about{i % 5} things{i % 7} "
+                f"and{i % 2} more{i % 11} filler{i} tokens{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = lsh_recall_eval(df, threshold=0.3, sample_docs=15).collect()[0]
+    assert capped["n_sample_docs"] == 15
+    full_cap = lsh_recall_eval(df, threshold=0.3, sample_docs=40).collect()[0]
+    full_frac = lsh_recall_eval(
+        df, threshold=0.3, sample_buckets=100
+    ).collect()[0]
+    assert full_cap == full_frac  # both = whole corpus
+    # the capped sample is the md5-order prefix
+    prefix = sorted(
+        range(40),
+        key=lambda d: (hashlib.md5(f"lsh_eval{d}".encode()).hexdigest(), d),
+    )[:15]
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.lit("lsh_eval"), F.col("doc_id").cast("string")))
+    got = [
+        r["doc_id"]
+        for r in df.orderBy(h.asc(), F.col("doc_id").asc()).limit(15).collect()
+    ]
+    assert sorted(got) == sorted(prefix)
+
+
 def test_hyperplane_bucket_dim_mismatch_fails_loud(spark):
     """r9 review: a dim mismatch NULLed every plane dot (zip_with pads
     with NULLs) and put the whole corpus in bucket 0 — collapsing LSH

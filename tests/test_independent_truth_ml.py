@@ -139,12 +139,17 @@ def test_dedup_minhash_lsh_matches_set_replica(spark, sf_dir, py_shingles):
 def test_lsh_recall_eval_matches_python(spark, sf_dir, py_shingles):
     """The banding-quality eval end-to-end: md5-deterministic sample,
     O(n²) Python ground truth, banded candidates, exact integer counts
-    and rational recall/precision."""
-    sample = {
-        d: sh
-        for d, sh in py_shingles.items()
-        if md5_32("lsh_eval" + str(d)) % 100 < 20
-    }
+    and rational recall/precision. The sample is the registry's r12
+    absolute cap: first 1000 docs in (md5('lsh_eval'||id), id) order —
+    recomputed here with hashlib, independently of the engine."""
+    ordered = sorted(
+        py_shingles,
+        key=lambda d: (
+            hashlib.md5(("lsh_eval" + str(d)).encode()).hexdigest(),
+            d,
+        ),
+    )
+    sample = {d: py_shingles[d] for d in ordered[:1000]}
     truth = set()
     ids = sorted(sample)
     for i, a in enumerate(ids):
