@@ -116,6 +116,33 @@ def round_ratio6_micro(num_micro: Column, den: Column) -> Column:
     return q.cast("double") / F.lit(1_000_000.0)
 
 
+def round_micro_cents(num_micro: Column) -> Column:
+    """Engine-exact ROUND(v, 2) -> double for a money total v supplied
+    in exact MICRO-units (num_micro = v·10^6, an integer-valued decimal,
+    v >= 0): half-up integer division to cents — floor((2m + 10^4) /
+    (2·10^4)), the same integral-division idiom as the ratio helpers —
+    then ONE exact double division by 100.
+
+    Why not publish the scale-6 decimal total directly as double: by
+    sf0.1 those totals pass 16 significant digits, and DuckDB's
+    decimal->double cast double-rounds (int128 -> double, then /10^6) —
+    measured 1 ulp off Spark's correctly-rounded cast at sf1
+    (BENCH_SF1_DIAG r12, q1 investigation). And not via a decimal(x,2)
+    CAST on both sides: the engines disagree on sub-cent residue (Spark
+    rounds HALF_UP, DuckDB's decimal downcast TRUNCATES — 1.015 -> 1.01),
+    which scale-4 money products hit routinely. The cents integer is < 2^53 for totals below ~9e13,
+    so its double conversion is exact and the /100 is the only (shared,
+    correctly-rounded) rounding step. DuckDB mirror:
+    ``CAST((m*2 + 10000) // 20000 AS DOUBLE) / 100.0`` over a HUGEINT
+    micro sum."""
+    a = num_micro.cast("decimal(38,0)") * 2 + F.lit(10_000).cast(
+        "decimal(38,0)"
+    )
+    b = F.lit(20_000).cast("decimal(38,0)")
+    q = (a - (a % b)) / b
+    return q.cast("double") / F.lit(100.0)
+
+
 def round_ratio6_micro_signed(num_micro: Column, den: Column) -> Column:
     """Signed variant of :func:`round_ratio6_micro` (den > 0 still):
     every idiom above requires num >= 0 — Spark's decimal ``%`` keeps the

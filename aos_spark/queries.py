@@ -26,7 +26,7 @@ from aos_spark.cache import persist_tracked
 from aos_spark.llm import dedup as D
 from aos_spark.llm import similarity as SIM
 from aos_spark.llm import text as TX
-from aos_spark.ops.exact_round import round_ratio6_micro
+from aos_spark.ops.exact_round import round_micro_cents, round_ratio6_micro
 from aos_spark.ops import (
     cci,
     filters,
@@ -154,15 +154,29 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__sp"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # money sums publish at CENTS via exact micro-unit integer
+            # sums + the integral-division half-up idiom
+            # (exact_round.round_micro_cents): a scale-6 decimal total
+            # passes 16 significant digits by sf0.1 and DuckDB's
+            # decimal->double cast double-rounds (1 ulp off Spark's
+            # correctly rounded cast at sf1 — BENCH_SF1_DIAG r12), while
+            # a decimal(x,2) downcast truncates in DuckDB vs HALF_UP in
+            # Spark. Micro sums keep every step exact-integer on both
+            # engines; the only rounding is the shared /100 on a < 2^53
+            # cents value.
+            F.sum((disc_price * micro).cast("decimal(28,0)"))
+            .alias("__sdm"),
+            F.sum((charge * micro).cast("decimal(28,0)"))
+            .alias("__scm"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
             "l_returnflag", "l_linestatus",
             F.col("__sq").cast("double").alias("sum_qty"),
             F.col("__sp").cast("double").alias("sum_base_price"),
-            "sum_disc_price", "sum_charge", "count_order",
+            round_micro_cents(F.col("__sdm")).alias("sum_disc_price"),
+            round_micro_cents(F.col("__scm")).alias("sum_charge"),
+            "count_order",
             round_ratio6_micro(
                 F.col("__sq") * micro, F.col("count_order")
             ).alias("avg_qty"),
@@ -178,18 +192,22 @@ ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(__sq AS DOUBLE) AS sum_qty,
        CAST(__sp AS DOUBLE) AS sum_base_price,
-       sum_disc_price, sum_charge, count_order,
+       CAST((__sdm * 2 + 10000) // 20000 AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST((__scm * 2 + 10000) // 20000 AS DOUBLE) / 100.0 AS sum_charge,
+       count_order,
        CAST((CAST(__sq * 1000000 AS HUGEINT) * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
        CAST((CAST(__sp * 1000000 AS HUGEINT) * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_price
 FROM (
   SELECT l_returnflag, l_linestatus,
          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS __sq,
          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS __sp,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                  * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
                   * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-                  * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+                  * 1000000 AS HUGEINT)) AS __sdm,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                  * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                  * 1000000 AS HUGEINT)) AS __scm,
          COUNT(*) AS count_order
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
   GROUP BY l_returnflag, l_linestatus)
@@ -3321,11 +3339,15 @@ QUERIES.update(R6_QUERIES)
 # declaration order. tests/test_rotation.py locks this structurally via
 # the stable _GATE_FRONT alias.
 _R12_FRONT = [
-    # r12: nothing red, nothing unsampled, no uncleared mismatch suspects —
-    # pure oldest-green-first again (stalest = round-7 rows: the r6-era
+    # r12: q1_pricing_summary leads as this round's mismatch-log suspect —
+    # its money sums changed publication (exact micro-cent rounding, see
+    # q_pricing_summary) after the sf1 diagnostic exposed DuckDB's
+    # decimal->double double-rounding, so it needs a fresh driver row.
+    # Then pure oldest-green-first (stalest = round-7 rows: the r6-era
     # sim/dedup block, then the r7-era greens),
     # scripts/rotation_status.py's suggested order verbatim.
     # (r11 consumed the r6-era text/sketch-eval block.)
+    "q1_pricing_summary",
     "sim_ivfpq_topk", "shard_rebalance_churn", "winnow_overlap_sources",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_bruteforce_topk",
     "sim_lsh_topk", "dedup_embedding_cosine", "j2_point_zone_count",
@@ -3342,7 +3364,7 @@ _R12_FRONT = [
     "j2_facility_probability", "cube_order_stats", "pivot_status_revenue",
     "unpivot_metrics", "rolling_customer_spend", "rank_distribution",
     "histogram_quantity", "tumbling_event_windows", "set_ops_segments",
-    "corpus_length_percentiles", "gapfill_hourly_events",
+    "corpus_length_percentiles",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
 _GATE_FRONT = _R12_FRONT

@@ -209,6 +209,15 @@ def test_oracle_inline_rounding_idioms_are_structurally_certified():
         r"CAST\(\((?P<left>.+?) \* 2 \+ (?P<bias>.+?)\) "
         r"// \((?P<div>.+?) \* 2\) AS DOUBLE\) / 1000000\.0"
     )
+    # the money-cents variant (exact_round.round_micro_cents): micro-unit
+    # HUGEINT sum -> half-up cents -> /100. Fixed constants 10000/20000
+    # are the s and 2s of floor((2m + s)/(2s)) at micro->cents scale; the
+    # alias must be defined as a micro-scaled HUGEINT sum in the same
+    # oracle, so the numerator contract travels with the idiom.
+    cents_idiom = re.compile(
+        r"CAST\(\((?P<num>__\w+) \* 2 \+ 10000\) // 20000 AS DOUBLE\)"
+        r" / 100\.0"
+    )
     # reviewed non-rounding integral divisions (each exact and
     # engine-identical on its non-negative operands):
     allowed_other = [
@@ -237,6 +246,18 @@ def test_oracle_inline_rounding_idioms_are_structurally_certified():
                 or re.search(r"\* 1000000 AS HUGEINT\)$", left)
             ):
                 bad.append((name, f"numerator not micro-scaled: {left!r}"))
+            stripped = stripped.replace(m.group(0), "")
+        for m in cents_idiom.finditer(sql):
+            num = m.group("num")
+            if not re.search(
+                rf"SUM\(CAST\(.*?\* 1000000 AS HUGEINT\)\) AS {num}\b",
+                sql,
+                re.S,
+            ):
+                bad.append(
+                    (name, f"cents numerator {num!r} is not a micro-scaled "
+                           f"HUGEINT sum in this oracle")
+                )
             stripped = stripped.replace(m.group(0), "")
         for rest in re.finditer(r".{0,40}//.{0,40}", stripped):
             frag = rest.group(0)
