@@ -580,17 +580,26 @@ ORACLE_Q21 = """
 WITH l1 AS (
   SELECT DISTINCT l_orderkey, l_suppkey
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE l_returnflag = 'R' AND o_orderstatus = 'F')
-SELECT s_name, COUNT(*) AS numwait
-FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
-WHERE EXISTS (
-    SELECT 1 FROM lineitem l2
-    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem l3
-    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND l3.l_returnflag = 'R')
-GROUP BY s_name
+  WHERE l_returnflag = 'R' AND o_orderstatus = 'F'),
+-- group by SUPPKEY (the engine's plan: agg on the int key, then a
+-- broadcast name lookup), not by s_name: identical whenever s_name is
+-- key-derived (true of the TPC-H-shaped data), but the per-supplier
+-- semantics also hold on data where names collide — the r12 sf1
+-- diagnostic's replicated suppliers diverged 10000-vs-1000 rows under
+-- the old GROUP BY s_name.
+agg AS (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM l1
+  WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R')
+  GROUP BY l_suppkey)
+SELECT s_name, numwait
+FROM agg JOIN supplier ON l_suppkey = s_suppkey
 """
 
 

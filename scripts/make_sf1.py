@@ -165,10 +165,21 @@ def main() -> None:
                               _span(events["event_id"]),
                               _span(events["user_id"]))
 
-    _write(_replicate_keys(customer, R, {"c_custkey": c_span}),
-           out, "customer", schemas["customer"])
-    _write(_replicate_keys(supplier, R, {"s_suppkey": s_span}),
-           out, "supplier", schemas["supplier"])
+    # c_name/s_name are key-derived in the source data
+    # ('Customer#%09d' / 'Supplier#%09d') — regenerate them from the
+    # offset keys so replicas keep the functional dependency. Without
+    # this, 10 suppliers share each name and any query whose oracle
+    # groups by name diverges from a group-by-key plan (the q21 r12
+    # finding); p_name is ALREADY non-unique in the source (64 distinct
+    # over 20k parts), so its verbatim copy is faithful.
+    cust_rep = _replicate_keys(customer, R, {"c_custkey": c_span})
+    cust_rep["c_name"] = "Customer#" + cust_rep["c_custkey"].astype(
+        "int64").astype(str).str.zfill(9)
+    _write(cust_rep, out, "customer", schemas["customer"])
+    supp_rep = _replicate_keys(supplier, R, {"s_suppkey": s_span})
+    supp_rep["s_name"] = "Supplier#" + supp_rep["s_suppkey"].astype(
+        "int64").astype(str).str.zfill(9)
+    _write(supp_rep, out, "supplier", schemas["supplier"])
     _write(_replicate_keys(part, R, {"p_partkey": p_span}),
            out, "part", schemas["part"])
     _write(_replicate_keys(orders, R, {"o_orderkey": o_span,
