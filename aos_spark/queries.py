@@ -152,8 +152,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__sp"),
+            # ALL four sums are micro-unit integer sums (r13, ADVICE):
+            # sum_qty/sum_base_price used to publish via a direct
+            # decimal(18,2)->double cast — the same DuckDB double-rounding
+            # hazard class as the money products, with only ~2 digits of
+            # headroom left at sf1. One idiom for every total now; the
+            # micro sums also feed the averages, so the agg buffer count
+            # is unchanged.
+            F.sum(
+                (F.col("l_quantity").cast("decimal(18,2)") * micro)
+                .cast("decimal(28,0)")
+            ).alias("__sqm"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * micro)
+                .cast("decimal(28,0)")
+            ).alias("__spm"),
             # money sums publish at CENTS via exact micro-unit integer
             # sums + the integral-division half-up idiom
             # (exact_round.round_micro_cents): a scale-6 decimal total
@@ -172,16 +185,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag", "l_linestatus",
-            F.col("__sq").cast("double").alias("sum_qty"),
-            F.col("__sp").cast("double").alias("sum_base_price"),
+            round_micro_cents(F.col("__sqm")).alias("sum_qty"),
+            round_micro_cents(F.col("__spm")).alias("sum_base_price"),
             round_micro_cents(F.col("__sdm")).alias("sum_disc_price"),
             round_micro_cents(F.col("__scm")).alias("sum_charge"),
             "count_order",
             round_ratio6_micro(
-                F.col("__sq") * micro, F.col("count_order")
+                F.col("__sqm"), F.col("count_order")
             ).alias("avg_qty"),
             round_ratio6_micro(
-                F.col("__sp") * micro, F.col("count_order")
+                F.col("__spm"), F.col("count_order")
             ).alias("avg_price"),
         )
     )
@@ -190,17 +203,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(__sq AS DOUBLE) AS sum_qty,
-       CAST(__sp AS DOUBLE) AS sum_base_price,
+       CAST((__sqm * 2 + 10000) // 20000 AS DOUBLE) / 100.0 AS sum_qty,
+       CAST((__spm * 2 + 10000) // 20000 AS DOUBLE) / 100.0 AS sum_base_price,
        CAST((__sdm * 2 + 10000) // 20000 AS DOUBLE) / 100.0 AS sum_disc_price,
        CAST((__scm * 2 + 10000) // 20000 AS DOUBLE) / 100.0 AS sum_charge,
        count_order,
-       CAST((CAST(__sq * 1000000 AS HUGEINT) * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
-       CAST((CAST(__sp * 1000000 AS HUGEINT) * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_price
+       CAST((__sqm * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_qty,
+       CAST((__spm * 2 + CAST(count_order AS HUGEINT)) // (CAST(count_order AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS avg_price
 FROM (
   SELECT l_returnflag, l_linestatus,
-         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS __sq,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS __sp,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 1000000 AS HUGEINT)) AS __sqm,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS HUGEINT)) AS __spm,
          SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
                   * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
                   * 1000000 AS HUGEINT)) AS __sdm,

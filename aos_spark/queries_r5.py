@@ -453,10 +453,16 @@ R5_ORACLES.update(
     }
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the scale-adaptive regime: n_clusters defaults to
+    ceil(sqrt(N)) inside the engine (llm/dedup.semantic_dedup), so the
+    gated plan IS the scale-safe plan — the r12 diagnostic measured the
+    old n_clusters=8 pin at 25.8x wall for 10x data vs 10.76x under
+    sqrt(N) (BENCH_SF1_DIAG.json). The oracle mirrors the regime with a
+    COUNT(*) OVER () window, so both engines derive k from the data."""
     from aos_spark.llm import dedup as D
 
     return D.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_clusters=8
+        _t(spark, sf_dir, "embeddings"), threshold=0.25
     )
 
 
@@ -466,8 +472,14 @@ WITH vecs AS (
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vnorm
   FROM embeddings),
 cents AS (
+  -- scale-adaptive regime: k = ceil(sqrt(N)), same rule the engine
+  -- applies when n_clusters is left at its None default
   SELECT vec_id AS centroid_id, v AS cvec, vnorm AS cnorm
-  FROM vecs ORDER BY vec_id LIMIT 8),
+  FROM (SELECT vec_id, v, vnorm,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM vecs)
+  WHERE rn <= GREATEST(1, CAST(CEIL(SQRT(n)) AS BIGINT))),
 assign AS (
   SELECT vec_id, v, vnorm, centroid_id FROM (
     SELECT x.vec_id, x.v, x.vnorm, c.centroid_id,

@@ -538,7 +538,18 @@ def q21_sole_blocker_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ONLY supplier with an 'R'-returnflag line on — Q21's
     EXISTS(other supplier) + NOT EXISTS(other supplier matching the
     fault predicate), planned as a semi-join and an anti-join against
-    the same order-keyed fact."""
+    the same order-keyed fact.
+
+    OUTPUT CONTRACT (r12, locked by the oracle): the grain is PER
+    SUPPLIER KEY, not per name — the agg groups on s_suppkey and the
+    name is a post-agg broadcast lookup. On data where s_name genuinely
+    collides across suppliers this intentionally diverges from classic
+    TPC-H GROUP BY s_name (the output carries duplicate s_name rows,
+    one per supplier). Chosen because grouping by a key-derived label
+    only equals grouping by the key under a functional dependency the
+    engine can't assume — the r12 sf1 diagnostic's replicated suppliers
+    broke it (10000-vs-1000 rows). Any future oracle or data-generator
+    change must preserve per-key grain, not re-open the per-name one."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")

@@ -8,12 +8,13 @@ plan investigation — "fixed or explained with its plan". The r12 sweep
   by-design quadratic truth stage O((0.2*N)^2); the registry now passes
   an absolute ``sample_docs=1000`` cap (TakeOrdered over the md5 hash),
   making the eval O(k^2) at any corpus size. This script re-measures it.
-- semantic_dedup 25.8x — PARAMETER REGIME, not plan: the registry pins
-  n_clusters=8 (right for the 500-doc gate), so the within-cluster
-  verify join quadruples per 2x data. The engine docstring prescribes
-  n_clusters ~ sqrt(N) at scale; this script measures that regime
-  (45 clusters at sf0.1, 141 at sf1 — sqrt(2000)/sqrt(20000)) to show
-  the plan itself scales once parameterized as documented.
+- semantic_dedup 25.8x — PARAMETER REGIME, not plan: the r12 registry
+  pinned n_clusters=8 (right for the 500-doc gate), so the
+  within-cluster verify join quadrupled per 2x data. This script
+  measured the sqrt(N) regime (45 clusters at sf0.1, 141 at sf1) to
+  show the plan itself scales; RESOLVED r13 — the engine default is now
+  n_clusters=None -> ceil(sqrt(N)) and the registry uses it (re-measured
+  warm ratio 7.36x, BENCH_SF1_DIAG queries.semantic_dedup).
 - graph_triangle_count 17.0x / graph_link_prediction 22.1x — INPUT
   DENSIFICATION, not plan: the embedding label clusters are 10x larger
   at sf1, so true cosine>=0.2 near-dup pairs grow ~quadratically. This
@@ -62,6 +63,17 @@ def main() -> None:
     ap.add_argument("--artifact", default=str(_REPO / "BENCH_SF1_DIAG.json"))
     args = ap.parse_args()
 
+    # Validate the artifact FIRST (r13 ADVICE): step 3 reads it for the
+    # two graph queries' sweep ratios — a missing file or key crashing
+    # AFTER the ~hour of lsh/semantic re-measurement would discard
+    # everything measured. Fail in the first second instead.
+    art = json.loads(Path(args.artifact).read_text())
+    for q in ("graph_triangle_count", "graph_link_prediction"):
+        assert "warm_ratio" in art.get("queries", {}).get(q, {}), (
+            f"{args.artifact} lacks queries[{q!r}].warm_ratio — run "
+            "scripts/bench_sf1.py first"
+        )
+
     spark = get_spark("aos-sf1-outliers", master="local[32]")
     spark.read.parquet(f"{args.sf01}/nation.parquet").count()
 
@@ -108,7 +120,6 @@ def main() -> None:
     for key, d in (("sf01", args.sf01), ("sf1", args.sf1)):
         e = spark.read.parquet(f"{d}/embeddings.parquet")
         edges[key] = embedding_near_dups(e, threshold=0.2, n_planes=4).count()
-    art = json.loads(Path(args.artifact).read_text())
     edge_ratio = round(edges["sf1"] / edges["sf01"], 1)
     for q in ("graph_triangle_count", "graph_link_prediction"):
         sweep = art["queries"][q]

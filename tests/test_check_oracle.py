@@ -244,6 +244,19 @@ def test_oracle_inline_rounding_idioms_are_structurally_certified():
             if not (
                 left.endswith("* 1000000")
                 or re.search(r"\* 1000000 AS HUGEINT\)$", left)
+                # an alias numerator is fine IFF its defining aggregate in
+                # the same oracle is a micro-scaled HUGEINT sum — the same
+                # contract the cents idiom enforces (r13: q1's averages now
+                # reuse the __sqm/__spm micro sums instead of re-scaling)
+                or (
+                    re.fullmatch(r"__\w+", left)
+                    and re.search(
+                        rf"SUM\(CAST\(.*?\* 1000000 AS HUGEINT\)\) AS "
+                        rf"{left}\b",
+                        sql,
+                        re.S,
+                    )
+                )
             ):
                 bad.append((name, f"numerator not micro-scaled: {left!r}"))
             stripped = stripped.replace(m.group(0), "")

@@ -318,6 +318,23 @@ def test_lsh_recall_eval_absolute_cap(spark):
     assert sorted(got) == sorted(prefix)
 
 
+def test_lsh_recall_eval_rejects_conflicting_sampling_knobs(spark):
+    """r13 ADVICE: sample_docs (absolute cap) silently ignored explicit
+    sample_buckets/n_buckets — a caller mixing the two modes got no
+    signal the fraction knobs were dead. Now it raises."""
+    import pytest
+
+    from aos_spark.llm.dedup import lsh_recall_eval
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        lsh_recall_eval(df, sample_docs=10, sample_buckets=50)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        lsh_recall_eval(df, sample_docs=10, n_buckets=10)
+    # defaults alongside sample_docs stay valid (the registry's call shape)
+    lsh_recall_eval(df, sample_docs=10)
+
+
 def test_hyperplane_bucket_dim_mismatch_fails_loud(spark):
     """r9 review: a dim mismatch NULLed every plane dot (zip_with pads
     with NULLs) and put the whole corpus in bucket 0 — collapsing LSH

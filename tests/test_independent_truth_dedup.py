@@ -334,7 +334,8 @@ def vecs(sf_dir):
 
 def test_semantic_dedup(spark, sf_dir, vecs):
     norms = {v: math.sqrt(_fold_dot(x, x)) for v, x in vecs.items()}
-    cents = sorted(vecs)[:8]
+    # the registry runs the engine's scale-adaptive default: ceil(sqrt(N))
+    cents = sorted(vecs)[: max(1, math.ceil(math.sqrt(len(vecs))))]
     assign = {}
     for v in vecs:
         scored = sorted(
