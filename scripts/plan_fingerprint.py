@@ -40,6 +40,14 @@ Node classes counted:
 Usage:
     python scripts/plan_fingerprint.py [sf_dir]          # (re)generate
     python scripts/plan_fingerprint.py --check [sf_dir]  # diff, exit 1 on drift
+    python scripts/plan_fingerprint.py --invariants [sf_dir]
+        # r13 (VERDICT #2): fingerprint the 28 sf1 scaling-diagnostic
+        # queries (scripts/bench_sf1.DEFAULT_QUERIES) at the sf1 data dir
+        # (default .sf1_data) and write SF1_PLAN_INVARIANTS.json — the
+        # committed artifact tests/test_plan_properties.py validates.
+        # Exit 1 if any query's plan contains a CartesianProduct or a
+        # row-at-a-time Python eval. Broadcast<->SMJ flips at 10x data
+        # are expected and NOT locked; the scale-killer classes are.
 
 Regenerate ONLY after reviewing the diff the failing test prints: a
 changed count is either an intended plan improvement (commit the new
@@ -55,7 +63,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 ARTIFACT = Path(__file__).resolve().parent.parent / "PLAN_FINGERPRINT.json"
+SF1_ARTIFACT = (
+    Path(__file__).resolve().parent.parent / "SF1_PLAN_INVARIANTS.json"
+)
 DEFAULT_SF = "/root/testdata/sf0.01"
+DEFAULT_SF1 = str(Path(__file__).resolve().parent.parent / ".sf1_data")
+
+# sf1 constructions that materialize data at build time (localCheckpoint /
+# eager persist builds) — 50-90 s each even at local[32]; the pytest live
+# spot-check skips these and trusts the committed artifact for them (the
+# CLI run still measures them live).
+SF1_HEAVY_CONSTRUCTION = {
+    "dedup_clusters", "dedup_resolution",
+    "graph_triangle_count", "graph_link_prediction",
+}
 
 _CLASS_KEYS: dict[str, str] = {
     "ShuffleExchangeExec": "shuffles",
@@ -156,10 +177,30 @@ def diff(old: dict, new: dict) -> list[str]:
     return lines
 
 
+def sf1_invariant_sweep(spark, sf_dir: str,
+                        names=None) -> dict[str, dict[str, int]]:
+    """Fingerprint the sf1 scaling-diagnostic queries at ``sf_dir`` with
+    the same cache hygiene as :func:`sweep`."""
+    from bench_sf1 import DEFAULT_QUERIES
+
+    from aos_spark.cache import release_tracked
+    from aos_spark.queries import QUERIES
+
+    out: dict[str, dict[str, int]] = {}
+    for name in names if names is not None else DEFAULT_QUERIES:
+        release_tracked()
+        spark.catalog.clearCache()
+        out[name] = query_fingerprint(QUERIES[name](spark, sf_dir))
+    release_tracked()
+    spark.catalog.clearCache()
+    return out
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--check"]
+    args = [a for a in sys.argv[1:] if a not in ("--check", "--invariants")]
     check = "--check" in sys.argv[1:]
-    sf_dir = args[0] if args else DEFAULT_SF
+    invariants = "--invariants" in sys.argv[1:]
+    sf_dir = args[0] if args else (DEFAULT_SF1 if invariants else DEFAULT_SF)
 
     from aos_spark.envinfo import env_fingerprint
     from aos_spark.session import get_spark
@@ -175,6 +216,26 @@ def main() -> int:
     # configs' plans must match it for the suite to stay green.
     spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
     spark.conf.set("spark.sql.ansi.enabled", "true")
+
+    if invariants:
+        fp = sf1_invariant_sweep(spark, sf_dir)
+        bad = {
+            n: {"cartesian": f["cartesian"], "row_python": f["row_python"]}
+            for n, f in fp.items() if f["cartesian"] or f["row_python"]
+        }
+        SF1_ARTIFACT.write_text(
+            json.dumps(
+                {"__env__": dict(env_fingerprint(spark), sf_dir=sf_dir),
+                 "queries": fp},
+                indent=1, sort_keys=True,
+            )
+            + "\n"
+        )
+        print(f"wrote {SF1_ARTIFACT.name}: {len(fp)} queries"
+              + (f"; SCALE-KILLER VIOLATIONS: {bad}" if bad else
+                 "; cartesian=0 row_python=0 everywhere"))
+        return 1 if bad else 0
+
     fp = sweep(spark, sf_dir)
 
     if check:
