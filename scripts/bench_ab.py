@@ -42,12 +42,20 @@ def _run_sweep(ref: str, tag: str) -> dict:
     )
     try:
         load0 = Path("/proc/loadavg").read_text().split()[0]
+        # pin the artifact path explicitly: r13 inverted bench.py's default
+        # (gitignored BENCH_SWEEP.json unless opted into the committed
+        # file), and both old and new bench.py honor SPARK_GRAFT_BENCH_OUT
+        # — so this works for any baseline ref on either side of the flip
+        import os
+
+        art = wt / "ab_sweep.json"
         out = subprocess.run(
             [sys.executable, "bench.py"], cwd=wt, check=True,
             capture_output=True, text=True, timeout=1200,
+            env=dict(os.environ, SPARK_GRAFT_BENCH_OUT=str(art)),
         )
         head_line = json.loads(out.stdout.strip().splitlines()[-1])
-        full = json.loads((wt / "BENCH_LOCAL.json").read_text())
+        full = json.loads(art.read_text())
         # r11: surface the leg's own instrumentation (present when the ref
         # carries the round-10 instrumented bench.py; absent for older
         # tags) so leg-order bias and mid-A/B era drift are readable from
