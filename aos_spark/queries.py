@@ -3351,36 +3351,36 @@ QUERIES.update(R6_QUERIES)
 # the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
 # declaration order. tests/test_rotation.py locks this structurally via
 # the stable _GATE_FRONT alias.
-_R12_FRONT = [
-    # r12: q1_pricing_summary leads as this round's mismatch-log suspect —
-    # its money sums changed publication (exact micro-cent rounding, see
-    # q_pricing_summary) after the sf1 diagnostic exposed DuckDB's
-    # decimal->double double-rounding, so it needs a fresh driver row.
-    # Then pure oldest-green-first (stalest = round-7 rows: the r6-era
-    # sim/dedup block, then the r7-era greens),
-    # scripts/rotation_status.py's suggested order verbatim.
-    # (r11 consumed the r6-era text/sketch-eval block.)
-    "q1_pricing_summary",
-    "sim_ivfpq_topk", "shard_rebalance_churn", "winnow_overlap_sources",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_bruteforce_topk",
-    "sim_lsh_topk", "dedup_embedding_cosine", "j2_point_zone_count",
-    "j3_j5_zone_assignment", "j10_lookup_join", "j13_prev_forecast_delta",
-    "a13_cci_admin_rollup", "a14_value_counts", "w2_first_landfall",
-    "s6_distinct_ordered", "dedup_simhash", "multimodal_image_features",
-    "sessionize_events", "sim_ivf_topk", "text_bpe_tokens",
-    "text_rolling_fingerprint", "s17_raster_zonal", "asof_join_events",
-    "range_join_events", "dedup_clusters", "decontamination_pairs",
-    "sample_split_stats", "q4_priority_semijoin", "q18_large_volume_orders",
-    "corpus_language_stats", "sketch_cms_estimate", "text_pii_scrub",
-    "text_repetition_stats", "sketch_hll_distinct", "tfidf_top_terms",
-    "q3_shipping_priority", "q5_regional_revenue", "q17_small_quantity_revenue",
-    "j2_facility_probability", "cube_order_stats", "pivot_status_revenue",
-    "unpivot_metrics", "rolling_customer_spend", "rank_distribution",
-    "histogram_quantity", "tumbling_event_windows", "set_ops_segments",
-    "corpus_length_percentiles",
+_R13_FRONT = [
+    # r13: the two queries whose ENGINE OUTPUT PATH changed this round lead
+    # as mismatch-log suspects — q1_pricing_summary (sum_qty/sum_base_price
+    # now publish via the exact micro-unit idiom) and semantic_dedup (the
+    # scale-adaptive ceil(sqrt(N)) cluster regime replaced the n_clusters=8
+    # pin in engine, oracle, and truth replica). Then oldest-green-first
+    # (stalest = round-8 rows), scripts/rotation_status.py's suggested
+    # order verbatim, truncated to fit the 50-query window.
+    # (r12 consumed the r7-era sim/dedup/join block.)
+    "q1_pricing_summary", "semantic_dedup",
+    "gapfill_hourly_events", "percentile_cont_interp",
+    "fuzzy_match_levenshtein", "skew_salted_distinct", "pack_context_chunks",
+    "embedding_quantize", "dedup_storage_savings", "array_agg_sorted",
+    "profile_columns", "cumulative_distinct_users", "stats_correlation",
+    "q10_returned_item_customers", "q12_shipmode_priority",
+    "chunk_sliding_window", "decontamination_13gram", "q2_min_cost_supplier",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+    "q11_important_parts", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
+    "q20_promotion_suppliers", "q21_sole_blocker_suppliers",
+    "q22_idle_customers", "corpus_quality_filter", "vocab_min_df",
+    "kmeans_lloyd_step", "funnel_conversion", "cohort_retention",
+    "sketch_hll_grouped", "scd2_dimension_history", "incremental_agg_merge",
+    "vocab_encode_tokens", "validation_suite", "zscore_outliers",
+    "graph_triangle_count", "weighted_sample_stats", "dedup_resolution",
+    "kfold_assignment", "q6_discount_revenue", "json_props_stats",
+    "rollup_time_hierarchy", "bag_difference_except_all", "reconcile_tables",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
-_GATE_FRONT = _R12_FRONT
+_GATE_FRONT = _R13_FRONT
 assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)
