@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -104,6 +104,116 @@ def shingle_frame(
     return toks.select("id", shingles_from_tokens(F.col("__tokens"), n).alias("shingles"))
 
 
+def pair_budget_drop_set(
+    freq: DataFrame,
+    budget: int,
+    shingle_col: str = "shingle",
+    df_col: str = "sdf",
+) -> DataFrame:
+    """Join keys to DROP so the kept vocabulary satisfies the candidate
+    pair budget  Σ_shingle C(df, 2) ≤ ``budget``.
+
+    Why this exists (r13 scale finding, BENCH_SCALE_CURVE.json): a
+    per-key document-frequency cap (``max_shingle_df``) bounds the WORST
+    key but not the SUM — a boilerplate-heavy corpus with many
+    moderately-common shingles, each under the cap, is jointly quadratic
+    (the sf3 curve measured Σ C(df,2) growing 9× for 3× docs with the
+    df cap never engaging). The shingle self-join emits exactly C(df,2)
+    candidate rows per key, so bounding the sum bounds the candidate
+    stage's total work at ANY corpus shape.
+
+    Semantics — deterministic, rarest-first (the prefix-filter total
+    order): keep shingles in (df ASC, shingle ASC) order while the
+    running Σ C(df,2) stays within budget; the first level that would
+    overflow keeps its first ``(remaining budget) DIV C(df,2)`` shingles
+    in shingle ASC order and drops the rest; all hotter levels drop
+    entirely. Keys with df ≤ 1 contribute 0 pairs and are never dropped.
+
+    Scale notes: the cumulative window runs over the per-df-level
+    HISTOGRAM (distinct df values — a vocabulary statistic, ≤ max df,
+    typically a few thousand rows), not the vocabulary; the per-shingle
+    ranking touches only levels that actually drop, broadcast-joined on
+    the tiny level list. A degenerate corpus whose entire vocabulary sits
+    at one df level serializes that one level's ranking window — the
+    bounded price of an exact partial-level boundary. C(df,2) is exact
+    int64 up to df ~3e9 (beyond any per-key df a budgeted run survives).
+
+    Returns a 1-column (``shingle_col``) frame of keys to anti-join away.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    pairs = f"CAST({df_col} AS BIGINT) * ({df_col} - 1) DIV 2"
+    lvl = (
+        freq.groupBy(df_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__pp", F.expr(pairs))
+        .withColumn("__lvl", F.col("__n") * F.col("__pp"))
+    )
+    cum_w = (
+        Window.orderBy(F.col(df_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl = lvl.withColumn("__cum", F.sum("__lvl").over(cum_w)).withColumn(
+        "__cum_excl", F.col("__cum") - F.col("__lvl")
+    )
+    keep_n = (
+        F.when(F.col("__cum") <= budget, F.col("__n"))
+        .when(F.col("__cum_excl") >= budget, F.lit(0))
+        # boundary level: __cum_excl < budget < __cum implies __lvl > 0,
+        # hence __pp > 0 — the DIV is safe
+        .otherwise(
+            F.expr(f"(CAST({budget} AS BIGINT) - __cum_excl) DIV __pp")
+        )
+    )
+    need = lvl.withColumn("__keep_n", keep_n).filter(
+        F.col("__keep_n") < F.col("__n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(df_col).orderBy(F.col(shingle_col).asc())
+    )
+    return (
+        freq.join(F.broadcast(need.select(df_col, "__keep_n")), df_col)
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") > F.col("__keep_n"))
+        .select(shingle_col, df_col)
+    )
+
+
+def raise_on_budget_drops(
+    drops: DataFrame,
+    op: str,
+    budget: int,
+    shingle_col: str = "shingle",
+    df_col: str = "sdf",
+) -> DataFrame:
+    """``on_over_budget='raise'`` arm shared by the shingle family: fail
+    fast AT EXECUTION (the df stats don't exist at plan time) the moment
+    any key would have been dropped, naming one offender. The condition
+    references the df attribute, not a literal, so constant folding can
+    never evaluate the raise at planning time on an empty drop set —
+    the same pattern as ppjoin_pairs' oversize='raise'."""
+    return drops.filter(
+        F.when(
+            F.col(df_col) > 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{op}: candidate pair budget exceeded — "
+                        f"sum C(df,2) over shingle join keys > "
+                        f"max_candidate_pairs={budget} "
+                        f"(on_over_budget='raise'); hottest dropped "
+                        f"shingle: '"
+                    ),
+                    F.col(shingle_col),
+                    F.lit("' (df="),
+                    F.col(df_col).cast("string"),
+                    F.lit(")"),
+                )
+            ).isNotNull(),
+        ).otherwise(F.lit(True))
+    ).select(shingle_col, df_col)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -111,6 +221,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
+    max_candidate_pairs: int | None = None,
+    on_over_budget: str = "drop",
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard, candidate-generated by shared
     shingle: explode shingles → self-join on shingle (co-occurrence count =
@@ -125,8 +237,20 @@ def ngram_jaccard_pairs(
     only suppress pairs, never invent them — and a genuine near-dup pair at
     threshold 0.8 shares mostly non-ubiquitous shingles, so in practice
     results are unchanged (exactly unchanged whenever no shingle exceeds K,
-    as at the test SFs). Pass None to disable."""
-    inter = shingle_intersection_counts(df, id_col, text_col, n, max_shingle_df)
+    as at the test SFs). Pass None to disable.
+
+    ``max_candidate_pairs`` bounds the SUM the per-key cap cannot:
+    Σ C(df,2) over surviving join keys — i.e. the total candidate rows
+    the self-join emits — by dropping the hottest keys rarest-last (see
+    pair_budget_drop_set for the exact deterministic rule). Same
+    effect contract as the df cap: n_common only ever UNDERcounts, so
+    pairs can be suppressed, never invented; denominators stay exact.
+    ``on_over_budget='raise'`` fails fast instead, for callers whose
+    recall contract must never silently degrade. Default None (off)."""
+    inter = shingle_intersection_counts(
+        df, id_col, text_col, n, max_shingle_df,
+        max_candidate_pairs, on_over_budget,
+    )
     # engine-exact rounding of the int/int rational (ops/exact_round):
     # ROUND(double_ratio, 6) is a cross-engine coin flip whenever
     # n_common/n_union sits on a .5 micro-boundary (e.g. n_union=128,
@@ -147,14 +271,28 @@ def shingle_intersection_counts(
     text_col: str = "text",
     n: int = 3,
     max_shingle_df: int | None = 1000,
+    max_candidate_pairs: int | None = None,
+    on_over_budget: str = "drop",
 ) -> DataFrame:
     """The shared candidate machinery behind every shingle-overlap metric
     (Jaccard here, containment in queries_r5e): one capped, PERSISTED
     exploded-shingle frame feeding both self-join sides, hot-shingle
     anti-join, forced sort-merge, one count-keyed aggregation. Returns
     (id_a, id_b, n_a, n_b, n_common) with id_a < id_b; n_a/n_b are the
-    FULL per-doc distinct-shingle counts (the cap only suppresses join
-    keys, so denominators built from them stay exact)."""
+    FULL per-doc distinct-shingle counts (the caps only suppress join
+    keys, so denominators built from them stay exact).
+
+    Two complementary guards on the self-join's fan-out:
+    ``max_shingle_df`` bounds the WORST key (drop any shingle hotter
+    than K docs); ``max_candidate_pairs`` bounds the TOTAL —
+    Σ C(df,2) over kept keys, which is exactly the candidate row count
+    the join emits — via pair_budget_drop_set's deterministic
+    hottest-first drop (or fail-fast with ``on_over_budget='raise'``).
+    Defaults leave the budget off; registry gate plans are unchanged."""
+    if on_over_budget not in ("drop", "raise"):
+        raise ValueError(
+            f"on_over_budget must be 'drop' or 'raise', got {on_over_budget!r}"
+        )
     sh = shingle_frame(df, id_col, text_col, n).withColumn("n_sh", F.size("shingles"))
     # explode_outer, not explode: plain explode makes Catalyst infer a
     # size(shingles)>0 filter and push it into the scan with the whole
@@ -179,6 +317,21 @@ def shingle_intersection_counts(
             .select("shingle")
         )
         exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    if max_candidate_pairs is not None:
+        # df stats of the post-cap keys (dropping whole keys leaves the
+        # others' df untouched, so post-cap df == pre-cap df for survivors)
+        freq = exploded.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("sdf")
+        )
+        drops = pair_budget_drop_set(freq, max_candidate_pairs)
+        if on_over_budget == "raise":
+            drops = raise_on_budget_drops(
+                drops, "shingle_intersection_counts", max_candidate_pairs
+            )
+        # NO broadcast hint, unlike the df-cap head: under a saturating
+        # vocabulary the drop set can be most of the vocabulary — let
+        # AQE pick the strategy from its actual size
+        exploded = exploded.join(drops, "shingle", "left_anti")
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
@@ -887,9 +1040,13 @@ def semantic_dedup(
     )
 
     if n_clusters is None:
-        # metadata-cheap count (parquet row-group stats); double sqrt +
-        # ceil matches the DuckDB oracle's CEIL(SQRT(n)) bit-for-bit at
-        # any realistic corpus size
+        # EAGER: this count() runs a Spark job at DataFrame-BUILD time
+        # (plan-fingerprint sweeps included). Cheap only when df is a
+        # bare parquet scan (row-group stats); a filtered/derived input
+        # pays a full evaluation here and again when the result runs —
+        # such callers should persist the input first or pass an
+        # explicit n_clusters. Double sqrt + ceil matches the DuckDB
+        # oracle's CEIL(SQRT(n)) bit-for-bit at any realistic corpus size
         n_clusters = max(1, math.ceil(math.sqrt(df.count())))
     cents = deterministic_centroids(df, n_clusters, id_col, vec_col)
     assigned = persist_tracked(
@@ -996,8 +1153,8 @@ def lsh_recall_eval(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    sample_buckets: int = 20,
-    n_buckets: int = 100,
+    sample_buckets: int | None = None,
+    n_buckets: int | None = None,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
@@ -1030,13 +1187,17 @@ def lsh_recall_eval(
     corpus), so the eval cost is O(sample_docs²) at ANY corpus size.
     The evaluation needs statistical mass (10³-10⁴ docs), not the whole
     corpus. The two modes are mutually exclusive: passing sample_docs
-    together with non-default sample_buckets/n_buckets raises
-    ValueError rather than silently ignoring the fraction knobs.
+    together with an EXPLICIT sample_buckets/n_buckets raises
+    ValueError rather than silently ignoring the fraction knobs — the
+    fraction knobs are None sentinels resolved to 20/100 inside, so an
+    explicit pass (even of those same values) is distinguishable from
+    not passing them (ADVICE r13: a literal-default check silently
+    stops firing if the defaults ever change).
     """
     from aos_spark.llm.sampling import hash_bucket
 
     if sample_docs is not None:
-        if (sample_buckets, n_buckets) != (20, 100):
+        if sample_buckets is not None or n_buckets is not None:
             raise ValueError(
                 "sample_docs (absolute cap) and sample_buckets/n_buckets "
                 "(fraction sampling) are mutually exclusive — the fraction "
@@ -1050,7 +1211,12 @@ def lsh_recall_eval(
         )
     else:
         sample = df.filter(
-            hash_bucket(id_col, n_buckets, "lsh_eval") < sample_buckets
+            hash_bucket(
+                id_col,
+                100 if n_buckets is None else n_buckets,
+                "lsh_eval",
+            )
+            < (20 if sample_buckets is None else sample_buckets)
         )
     sh = persist_tracked(shingle_frame(sample, id_col, text_col, n))
     # quadratic BY DESIGN on the bounded sample: a BNLJ over the

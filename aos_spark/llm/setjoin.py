@@ -56,6 +56,8 @@ def ppjoin_pairs(
     threshold: float = 0.5,
     max_shingles_per_doc: int | None = 1_000_000,
     oversize: str = "truncate",
+    max_candidate_pairs: int | None = None,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard >= ``threshold`` —
     exact for every pair of docs under ``max_shingles_per_doc`` (i.e. every
@@ -88,12 +90,32 @@ def ppjoin_pairs(
       callers whose exactness contract must never silently degrade.
     - ``max_shingles_per_doc=None``: uncapped legacy behavior.
 
+    ``max_candidate_pairs`` bounds the candidate join's TOTAL fan-out:
+    the join emits exactly Σ C(pdf,2) rows over prefix-posting keys
+    (pdf = number of docs carrying the shingle in their PREFIX), and the
+    rarest-first global order cannot bound that sum when the vocabulary
+    saturates (the r13 sf3 curve measured 9× candidate growth for 3×
+    docs with every per-key df moderate). Because dropping a prefix key
+    can LOSE pairs — a pair whose every shared prefix element is dropped
+    is never generated, a recall loss the exactness contract forbids —
+    the default here is ``on_over_budget='raise'``: fail fast at
+    execution, naming the hottest key, before the quadratic stage runs.
+    ``on_over_budget='drop'`` is the documented degraded mode (LSH-like:
+    surviving pairs remain EXACTLY verified — no false positives ever —
+    but completeness now holds only for pairs sharing a kept prefix
+    key), for callers who prefer bounded work over guaranteed recall.
+    Default budget None (off).
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if oversize not in ("truncate", "raise"):
         raise ValueError(f"oversize must be 'truncate' or 'raise', got {oversize!r}")
+    if on_over_budget not in ("drop", "raise"):
+        raise ValueError(
+            f"on_over_budget must be 'drop' or 'raise', got {on_over_budget!r}"
+        )
     if max_shingles_per_doc is not None and max_shingles_per_doc < 1:
         raise ValueError(
             f"max_shingles_per_doc must be >= 1, got {max_shingles_per_doc}"
@@ -184,6 +206,27 @@ def ppjoin_pairs(
     pref = ordered.select(
         "id", "n_sh", F.posexplode(F.slice("ord", F.lit(1), p))
     ).select("id", "n_sh", "pos", F.col("col").alias("shingle"))
+    if max_candidate_pairs is not None:
+        from aos_spark.llm.dedup import (
+            pair_budget_drop_set,
+            raise_on_budget_drops,
+        )
+
+        # budget over PREFIX-posting df: the candidate join emits exactly
+        # C(pdf,2) rows per prefix key, so bounding Σ C(pdf,2) bounds the
+        # quadratic stage's row count (see docstring for the raise/drop
+        # exactness contract). Persist: pref feeds this aggregate AND both
+        # join sides — same ReuseExchange gap as the shingle scan above.
+        pref = persist_tracked(pref)
+        pdf = pref.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        drops = pair_budget_drop_set(pdf, max_candidate_pairs)
+        if on_over_budget == "raise":
+            drops = raise_on_budget_drops(
+                drops, "ppjoin_pairs", max_candidate_pairs
+            )
+        # unhinted anti-join: under saturation the drop set can be most
+        # of the prefix vocabulary — let AQE size the strategy
+        pref = pref.join(drops, "shingle", "left_anti")
     a = pref.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"),
         F.col("pos").alias("pos_a"), "shingle",

@@ -3351,36 +3351,34 @@ QUERIES.update(R6_QUERIES)
 # the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
 # declaration order. tests/test_rotation.py locks this structurally via
 # the stable _GATE_FRONT alias.
-_R13_FRONT = [
-    # r13: the two queries whose ENGINE OUTPUT PATH changed this round lead
-    # as mismatch-log suspects — q1_pricing_summary (sum_qty/sum_base_price
-    # now publish via the exact micro-unit idiom) and semantic_dedup (the
-    # scale-adaptive ceil(sqrt(N)) cluster regime replaced the n_clusters=8
-    # pin in engine, oracle, and truth replica). Then oldest-green-first
-    # (stalest = round-8 rows), scripts/rotation_status.py's suggested
-    # order verbatim, truncated to fit the 50-query window.
-    # (r12 consumed the r7-era sim/dedup/join block.)
-    "q1_pricing_summary", "semantic_dedup",
-    "gapfill_hourly_events", "percentile_cont_interp",
-    "fuzzy_match_levenshtein", "skew_salted_distinct", "pack_context_chunks",
-    "embedding_quantize", "dedup_storage_savings", "array_agg_sorted",
-    "profile_columns", "cumulative_distinct_users", "stats_correlation",
-    "q10_returned_item_customers", "q12_shipmode_priority",
-    "chunk_sliding_window", "decontamination_13gram", "q2_min_cost_supplier",
-    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
-    "q11_important_parts", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
-    "q20_promotion_suppliers", "q21_sole_blocker_suppliers",
-    "q22_idle_customers", "corpus_quality_filter", "vocab_min_df",
-    "kmeans_lloyd_step", "funnel_conversion", "cohort_retention",
-    "sketch_hll_grouped", "scd2_dimension_history", "incremental_agg_merge",
-    "vocab_encode_tokens", "validation_suite", "zscore_outliers",
-    "graph_triangle_count", "weighted_sample_stats", "dedup_resolution",
-    "kfold_assignment", "q6_discount_revenue", "json_props_stats",
-    "rollup_time_hierarchy", "bag_difference_except_all", "reconcile_tables",
+_R14_FRONT = [
+    # r14: no engine-output changes this round (the pair-budget guard
+    # defaults to off, so every registry plan and hash is unchanged) —
+    # pure stalest-green-first rotation, scripts/rotation_status.py's
+    # suggested order verbatim (stalest = round-9 rows), truncated to the
+    # 50-query window. (r13 consumed the r8-era rows.)
+    "sequence_gap_detection", "sketch_quantile_histogram",
+    "range_frame_window_spend", "cdc_snapshot_diff",
+    "overlapping_order_windows", "order_autocorrelation",
+    "span_dedup_retention", "bloom_semijoin_prune", "lm_bigram_rarity",
+    "embedding_random_projection", "domain_mixture_plan", "per_source_cap",
+    "token_budget_selection", "quality_decile_shards", "embedding_pq_encode",
+    "sim_pq_topk", "event_transition_matrix", "user_burst_hours",
+    "term_postings_index", "mad_outlier_bounds", "session_path_topk",
+    "key_skew_profile", "incremental_dedup_status", "lsh_recall_eval",
+    "cross_source_dup_matrix", "graph_pagerank_step",
+    "interval_union_coverage", "gini_revenue_by_nation",
+    "simpson_diversity_by_source", "assoc_rules_brands",
+    "stratified_allocation_sample", "ks_length_drift", "seasonal_dow_anomaly",
+    "winsorized_mean_prices", "rrf_fusion_topk", "bm25_lite_scores",
+    "feature_hash_vectorizer", "welch_ttest_priorities",
+    "multimodal_audio_features", "cusum_change_point", "vocab_jaccard_matrix",
+    "priority_mix_residuals", "multimodal_video_features", "rfm_segmentation",
+    "graph_link_prediction", "embedding_gram_matrix", "ngram_novelty_rate",
+    "markov_two_step", "source_minhash_similarity", "benford_first_digit",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
-_GATE_FRONT = _R13_FRONT
+_GATE_FRONT = _R14_FRONT
 assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)

@@ -59,6 +59,26 @@ def _run(spark, name: str, sf_dir: str) -> dict[str, float]:
             out[label] = round(time.time() - t0, 3)
         except Exception as e:  # pragma: no cover - diagnostic robustness
             print(f"  {name} @ {sf_dir}: ERROR {e}", file=sys.stderr)
+            msg = str(e)
+            if (
+                "UNABLE_TO_ACQUIRE_MEMORY" in msg
+                or "OutOfMemoryError" in msg
+                or "No space left on device" in msg
+            ):
+                # r13 sf3 finding: these are EXECUTOR SIZING, not plan
+                # bugs — the 8 GiB default JVM fails the three heaviest
+                # legs (dedup_resolution, dedup_clusters, ppjoin) at sf3;
+                # AOS_DRIVER_MEM=32g completes all but ppjoin, which
+                # additionally spills ~41 GB and needs that much free
+                # executor-local disk on one box. Plan invariants are
+                # locked independently (SF1_PLAN_INVARIANTS.json).
+                print(
+                    f"  {name}: allocation failure — rerun with "
+                    "AOS_DRIVER_MEM=32g (and >40 GB free disk for "
+                    "ppjoin at sf3); see the verify skill's sf1 section "
+                    "before treating this as an engine bug",
+                    file=sys.stderr,
+                )
             out[label] = -1.0
             break
     return out

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import sys
 import time
 from pathlib import Path
@@ -96,17 +95,19 @@ def main() -> None:
     from aos_spark.llm.dedup import semantic_dedup
 
     def _sem(sf_dir: str):
+        # n_clusters=None: the shipping default (ceil(sqrt(N)) resolved
+        # in-engine) — measure the EXACT regime the registry runs, not
+        # floor(sqrt(N)) one below it (ADVICE r13)
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        k = int(math.isqrt(e.count()))
-        return semantic_dedup(e, threshold=0.25, n_clusters=k)
+        return semantic_dedup(e, threshold=0.25, n_clusters=None)
 
     s01 = _time(spark, lambda: _sem(args.sf01))
     s1 = _time(spark, lambda: _sem(args.sf1))
     inv["semantic_dedup_sqrtN"] = {
-        "resolution": "parameter regime, not plan: registry pins "
-                      "n_clusters=8 (gate-sized); engine docstring "
-                      "prescribes n_clusters~sqrt(N) at scale — measured "
-                      "here (45 @ sf0.1, 141 @ sf1)",
+        "resolution": "parameter regime, not plan: since r13 the engine, "
+                      "registry, and oracle all default to "
+                      "n_clusters=ceil(sqrt(N)) — measured here at that "
+                      "shipping default (45 @ sf0.1, 142 @ sf1)",
         "sf01": s01, "sf1": s1,
         "warm_ratio": round(s1["warm"] / s01["warm"], 2),
         "pre_fix_warm_ratio": 25.79,

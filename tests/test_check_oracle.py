@@ -184,6 +184,44 @@ SELECT MAX(c) FROM (
         )
 
 
+def _is_micro_hugeint_sum(sql: str, alias: str) -> bool:
+    """True iff ``alias``'s DEFINING expression in ``sql`` is a
+    micro-scaled HUGEINT sum: ``SUM(CAST(... * 1000000 AS HUGEINT))``.
+
+    ADVICE r13: the old cross-string ``SUM\\(CAST\\(.*?`` scan could bind
+    the prefix to a DIFFERENT aggregate than the one defining the alias
+    (any earlier SUM(CAST( bridges via .*? + re.S). A bare [^)]* fix is
+    too strict — real numerators nest CASTs (``CAST(x AS DECIMAL(18,2))``)
+    — so this parses the defining expression itself: scan backwards from
+    ``AS <alias>`` with paren balancing to recover exactly the expression
+    the alias names, then fullmatch it."""
+    import re
+
+    m = re.search(rf"\sAS {alias}\b", sql)
+    if not m:
+        return False
+    end = m.start()
+    depth = 0
+    j = end
+    while j > 0:
+        c = sql[j - 1]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                break  # stepped past the expression into an enclosing (
+            depth -= 1
+        elif depth == 0 and not (c.isalnum() or c == "_"):
+            # outside all parens only the function name (SUM/AVG/...) can
+            # extend the expression leftwards; anything else ends it
+            break
+        j -= 1
+    expr = sql[j:end].strip()
+    return bool(
+        re.fullmatch(r"SUM\(CAST\(.*\* 1000000 AS HUGEINT\)\)", expr, re.S)
+    )
+
+
 def test_oracle_inline_rounding_idioms_are_structurally_certified():
     """Every integral-division rounding idiom hand-inlined in an oracle
     string must have EXACTLY the certified exact_round shape, so the
@@ -250,23 +288,14 @@ def test_oracle_inline_rounding_idioms_are_structurally_certified():
                 # reuse the __sqm/__spm micro sums instead of re-scaling)
                 or (
                     re.fullmatch(r"__\w+", left)
-                    and re.search(
-                        rf"SUM\(CAST\(.*?\* 1000000 AS HUGEINT\)\) AS "
-                        rf"{left}\b",
-                        sql,
-                        re.S,
-                    )
+                    and _is_micro_hugeint_sum(sql, left)
                 )
             ):
                 bad.append((name, f"numerator not micro-scaled: {left!r}"))
             stripped = stripped.replace(m.group(0), "")
         for m in cents_idiom.finditer(sql):
             num = m.group("num")
-            if not re.search(
-                rf"SUM\(CAST\(.*?\* 1000000 AS HUGEINT\)\) AS {num}\b",
-                sql,
-                re.S,
-            ):
+            if not _is_micro_hugeint_sum(sql, num):
                 bad.append(
                     (name, f"cents numerator {num!r} is not a micro-scaled "
                            f"HUGEINT sum in this oracle")

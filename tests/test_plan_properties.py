@@ -8,6 +8,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
+
 from aos_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.01"
@@ -162,40 +164,37 @@ def test_registry_wide_no_cartesian_and_global_window_allowlist(spark):
     )
 
 
-def test_sf1_scaling_queries_keep_scale_killer_invariants(spark):
-    """r13 (VERDICT #2): PLANS.md's sf1 addendum claims 0 cartesian /
-    0 row-Python across the 28 scaling-diagnostic queries at the sf1
-    data dir — this makes the claim mechanical. Two layers:
-
-    1. ALWAYS: the committed SF1_PLAN_INVARIANTS.json (regenerated via
-       ``python scripts/plan_fingerprint.py --invariants`` at close-out)
-       must cover exactly scripts/bench_sf1.DEFAULT_QUERIES with zero
-       scale-killer nodes everywhere.
-    2. When the derived sf1 dataset exists (scripts/make_sf1.py,
-       gitignored): live-refingerprint every query EXCEPT the four whose
-       construction materializes data (50-90 s each even at local[32] —
-       SF1_HEAVY_CONSTRUCTION) and assert the live scale-killer counts
-       are still zero, so code drift can't hide behind a stale artifact
-       for the cheap 24.
-
-    Stats-driven broadcast<->SMJ flips at 10x data are EXPECTED and
-    deliberately not locked (five flipped in r12, all fine); the two
-    scale-killer node classes must never flip."""
-    import json
+def _sf1_invariant_imports():
     import sys
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo / "scripts"))
-    from bench_sf1 import DEFAULT_QUERIES  # noqa: E402
-    from plan_fingerprint import (  # noqa: E402
-        SF1_ARTIFACT,
-        SF1_HEAVY_CONSTRUCTION,
-        sf1_invariant_sweep,
-    )
+    import bench_sf1  # noqa: E402
+    import plan_fingerprint  # noqa: E402
 
-    committed = json.loads(SF1_ARTIFACT.read_text())["queries"]
-    assert set(committed) == set(DEFAULT_QUERIES), (
+    return repo, bench_sf1, plan_fingerprint
+
+
+def test_sf1_scaling_queries_keep_scale_killer_invariants():
+    """r13 (VERDICT #2), layer 1 of 2: PLANS.md's sf1 addendum claims
+    0 cartesian / 0 row-Python across the 28 scaling-diagnostic queries
+    at the sf1 data dir — this makes the claim mechanical. The committed
+    SF1_PLAN_INVARIANTS.json (regenerated via ``python
+    scripts/plan_fingerprint.py --invariants`` at close-out) must cover
+    exactly scripts/bench_sf1.DEFAULT_QUERIES with zero scale-killer
+    nodes everywhere. Layer 2 (the live re-fingerprint) is the slow test
+    below — ADVICE r13: a ~52 s sweep must not land in the fast tier.
+
+    Stats-driven broadcast<->SMJ flips at 10x data are EXPECTED and
+    deliberately not locked (five flipped in r12, all fine); the two
+    scale-killer node classes must never flip."""
+    import json
+
+    _, bench_sf1, plan_fingerprint = _sf1_invariant_imports()
+
+    committed = json.loads(plan_fingerprint.SF1_ARTIFACT.read_text())["queries"]
+    assert set(committed) == set(bench_sf1.DEFAULT_QUERIES), (
         "SF1_PLAN_INVARIANTS.json does not cover exactly the diagnostic "
         "set — regenerate: python scripts/plan_fingerprint.py --invariants"
     )
@@ -205,11 +204,27 @@ def test_sf1_scaling_queries_keep_scale_killer_invariants(spark):
     }
     assert not bad, f"committed sf1 artifact has scale-killer nodes: {bad}"
 
+
+@pytest.mark.slow
+def test_sf1_scaling_queries_live_refingerprint(spark):
+    """Layer 2: when the derived sf1 dataset exists (scripts/make_sf1.py,
+    gitignored), live-refingerprint every diagnostic query EXCEPT the
+    four whose construction materializes data (50-90 s each even at
+    local[32] — SF1_HEAVY_CONSTRUCTION) and assert the live scale-killer
+    counts are still zero, so code drift can't hide behind a stale
+    artifact for the cheap 24. Slow-marked (ADVICE r13) — the fast tier
+    keeps only the committed-artifact layer above."""
+    repo, bench_sf1, plan_fingerprint = _sf1_invariant_imports()
+
     sf1 = repo / ".sf1_data"
     if not (sf1 / "lineitem.parquet").exists():
-        return  # artifact layer verified; no local sf1 data for layer 2
-    cheap = [n for n in DEFAULT_QUERIES if n not in SF1_HEAVY_CONSTRUCTION]
-    live = sf1_invariant_sweep(spark, str(sf1), names=cheap)
+        pytest.skip("no local .sf1_data — artifact layer still verified")
+    cheap = [
+        n
+        for n in bench_sf1.DEFAULT_QUERIES
+        if n not in plan_fingerprint.SF1_HEAVY_CONSTRUCTION
+    ]
+    live = plan_fingerprint.sf1_invariant_sweep(spark, str(sf1), names=cheap)
     live_bad = {
         n: {"cartesian": f["cartesian"], "row_python": f["row_python"]}
         for n, f in live.items() if f["cartesian"] or f["row_python"]
