@@ -100,6 +100,39 @@ def test_drop_set_matches_python_reference(spark):
             assert kept_pairs + cheapest > budget
 
 
+@pytest.mark.slow
+def test_drop_set_matches_reference_randomized(spark):
+    """Hypothesis wave over the fixed-fixture test above: random freq
+    maps (duplicate dfs, singleton levels, whole-level and partial-level
+    boundaries arise by chance) × random budgets, engine vs the pure-
+    Python reference. deadline=None: each example runs Spark jobs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        freq=st.dictionaries(
+            st.text("abcdefgh", min_size=1, max_size=4),
+            st.integers(min_value=1, max_value=12),
+            min_size=1,
+            max_size=12,
+        ),
+        budget=st.integers(min_value=0, max_value=250),
+    )
+    def check(freq, budget):
+        fdf = spark.createDataFrame(list(freq.items()), ["shingle", "sdf"])
+        got = {
+            r["shingle"] for r in pair_budget_drop_set(fdf, budget).collect()
+        }
+        assert got == _ref_drop_set(freq, budget), (freq, budget)
+        kept = sum(
+            d * (d - 1) // 2 for s, d in freq.items() if s not in got
+        )
+        assert kept <= budget
+
+    check()
+
+
 def test_drop_set_rejects_negative_budget(spark):
     fdf = spark.createDataFrame([("x", 2)], ["shingle", "sdf"])
     with pytest.raises(ValueError, match="budget"):
