@@ -37,6 +37,7 @@ from aos_spark.cache import release_tracked  # noqa: E402
 from aos_spark.session import get_spark  # noqa: E402
 
 BUDGET = 150_000_000
+PPJOIN_BUDGET = 100_000_000  # prefix-posting pairs; binds hard at sf3
 
 
 def _docs(spark, sf_dir: str):
@@ -88,6 +89,9 @@ def main() -> None:
     ap.add_argument("--sf3", default=str(_REPO / ".sf3_data"))
     ap.add_argument("--artifact",
                     default=str(_REPO / "BENCH_SCALE_CURVE.json"))
+    ap.add_argument("--ppjoin", action="store_true",
+                    help="also measure the guarded ppjoin sf1/sf3 legs "
+                         "(the leg that was disk-bound unguarded)")
     args = ap.parse_args()
 
     art = json.loads(Path(args.artifact).read_text())
@@ -96,28 +100,81 @@ def main() -> None:
     spark = get_spark("aos-pair-budget-curve", master="local[32]")
     from aos_spark.llm.dedup import ngram_jaccard_pairs
 
-    out: dict = {"budget": BUDGET, "query_shape":
-                 "ngram_jaccard_pairs(n=3, threshold=0.35, "
-                 f"max_candidate_pairs={BUDGET}) — registry shape + guard"}
-    for key, d in (("sf1", args.sf1), ("sf3", args.sf3)):
-        out[key] = _time_query(
-            spark,
-            lambda d=d: ngram_jaccard_pairs(
-                _docs(spark, d), n=3, threshold=0.35,
-                max_candidate_pairs=BUDGET,
-            ),
-        )
-        out[key] |= _kept_pair_sum(spark, d)
-        print(key, out[key], flush=True)
+    if args.ppjoin:
+        # ppjoin-ONLY leg: preserve the committed ngram numbers and add
+        # the "ppjoin" sub-section to the existing pair_budget_guard
+        out = art["pair_budget_guard"]
+        ratio = out["warm_ratio_sf3_over_sf1"]
+    else:
+        out = {
+            "budget": BUDGET,
+            "query_shape": "ngram_jaccard_pairs(n=3, threshold=0.35, "
+                           f"max_candidate_pairs={BUDGET}) — registry "
+                           "shape + guard",
+        }
+        for key, d in (("sf1", args.sf1), ("sf3", args.sf3)):
+            out[key] = _time_query(
+                spark,
+                lambda d=d: ngram_jaccard_pairs(
+                    _docs(spark, d), n=3, threshold=0.35,
+                    max_candidate_pairs=BUDGET,
+                ),
+            )
+            out[key] |= _kept_pair_sum(spark, d)
+            print(key, out[key], flush=True)
 
-    ratio = round(out["sf3"]["warm"] / out["sf1"]["warm"], 2)
-    out["warm_ratio_sf3_over_sf1"] = ratio
-    out["implied_exponent"] = round(math.log(ratio) / math.log(3), 2)
-    out["unguarded_warm_ratio"] = round(
-        base["sf3"]["warm"] / base["sf1"]["warm"], 2
-    )
-    out["unguarded_exponent"] = base["implied_exponent"]
-    art["pair_budget_guard"] = out
+        ratio = round(out["sf3"]["warm"] / out["sf1"]["warm"], 2)
+        out["warm_ratio_sf3_over_sf1"] = ratio
+        out["implied_exponent"] = round(math.log(ratio) / math.log(3), 2)
+        out["unguarded_warm_ratio"] = round(
+            base["sf3"]["warm"] / base["sf1"]["warm"], 2
+        )
+        out["unguarded_exponent"] = base["implied_exponent"]
+        art["pair_budget_guard"] = out
+
+    if args.ppjoin:
+        # The r13 curve could not measure ppjoin's sf3 leg at all: the
+        # UNGUARDED candidate join's sort-spill exceeded the box's ~40 GB
+        # free disk (BENCH_SCALE_CURVE.json memory_findings). The budget
+        # bounds exactly that stage, so the guarded run should COMPLETE
+        # where the unguarded one died — recorded here as the
+        # previously-unmeasurable third point. on_over_budget='drop' is
+        # the documented degraded mode (pairs exactly verified,
+        # completeness only within kept prefix keys).
+        from aos_spark.llm.setjoin import ppjoin_pairs
+
+        pj: dict = {
+            "budget": PPJOIN_BUDGET,
+            "query_shape": "ppjoin_pairs(n=3, threshold=0.5, "
+                           f"max_candidate_pairs={PPJOIN_BUDGET}, "
+                           "on_over_budget='drop')",
+            "unguarded_sf3": "DNF — spill > free disk (r13 "
+                             "memory_findings); measured at sf2 instead",
+        }
+        for key, d in (("sf1", args.sf1), ("sf3", args.sf3)):
+            pj[key] = _time_query(
+                spark,
+                lambda d=d: ppjoin_pairs(
+                    _docs(spark, d), n=3, threshold=0.5,
+                    max_candidate_pairs=PPJOIN_BUDGET,
+                    on_over_budget="drop",
+                ),
+            )
+            pj[key]["n_pairs"] = ppjoin_pairs(
+                _docs(spark, d), n=3, threshold=0.5,
+                max_candidate_pairs=PPJOIN_BUDGET, on_over_budget="drop",
+            ).count()
+            release_tracked()
+            spark.catalog.clearCache()
+            print("ppjoin", key, pj[key], flush=True)
+        pj["warm_ratio_sf3_over_sf1"] = round(
+            pj["sf3"]["warm"] / pj["sf1"]["warm"], 2
+        )
+        pj["implied_exponent"] = round(
+            math.log(pj["warm_ratio_sf3_over_sf1"]) / math.log(3), 2
+        )
+        art["pair_budget_guard"]["ppjoin"] = pj
+
     Path(args.artifact).write_text(json.dumps(art, indent=1) + "\n")
     print(json.dumps({"guarded_ratio": ratio,
                       "guarded_exponent": out["implied_exponent"],
