@@ -138,7 +138,11 @@ def pair_budget_drop_set(
     bounded price of an exact partial-level boundary. C(df,2) is exact
     int64 up to df ~3e9 (beyond any per-key df a budgeted run survives).
 
-    Returns a 1-column (``shingle_col``) frame of keys to anti-join away.
+    Returns a two-column (``shingle_col``, ``df_col``) frame of keys to
+    anti-join away; the df column rides along so the
+    ``on_over_budget='raise'`` arm (raise_on_budget_drops) can report an
+    offender's df without recomputing frequencies. Anti-join callers
+    select/join on ``shingle_col`` alone.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -179,6 +183,64 @@ def pair_budget_drop_set(
     )
 
 
+PAIRS_PER_SEC_PER_CORE = 100_000
+"""Measured candidate-pair throughput of the shingle verification
+pipeline, candidate pairs / second / core: at sf3 the family processed
+1.123e9 candidates in 279-516 s warm on 32 threads
+(BENCH_SCALE_CURVE.json — 0.68-1.26e5 pairs/s/core; the
+wall_per_candidate block's 0.64-1.55x spread is the same measurement
+normalized per query). Round figure used by suggested_pair_budget."""
+
+
+def suggested_pair_budget(
+    n_docs: int,
+    avg_shingles: float,
+    cores: int = 32,
+    target_seconds: float = 300.0,
+    pairs_per_sec_per_core: float = PAIRS_PER_SEC_PER_CORE,
+) -> int:
+    """Sizing rule for ``max_candidate_pairs`` (VERDICT r14 #2): the
+    budget is a bound on candidate ROWS the self-join emits, so size it
+    from the work you can afford —
+
+        work cap = target_seconds x pairs_per_sec_per_core x cores
+
+    with the measured rate ~1e5 pairs/s/core on the 32-thread reference
+    box (see PAIRS_PER_SEC_PER_CORE; cross-check: the r14 guarded run's
+    150M budget predicts 150e6 / (1e5 x 32) ~ 47 s of candidate work,
+    vs 44-80 s measured end-to-end walls at sf1/sf3) — floored at the
+    POSTINGS count
+
+        floor = ceil(n_docs x avg_shingles)
+
+    because a healthy (Heaps-law) corpus generates O(1) candidate pairs
+    per posting row; a budget below the posting count would bind and
+    drop keys even with NO vocabulary densification, i.e. guaranteed
+    recall loss on a corpus that never needed guarding. When the floor
+    exceeds the work cap the floor wins: the caller should add cores or
+    relax target_seconds rather than silently shed recall, and the
+    returned value keeps the run correct-first while still bounding the
+    quadratic densification regime the budget exists for.
+
+    Returns an int suitable to pass as ``max_candidate_pairs`` to
+    shingle_intersection_counts / ngram_jaccard_pairs / ppjoin_pairs.
+    """
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    if avg_shingles < 0:
+        raise ValueError(f"avg_shingles must be >= 0, got {avg_shingles}")
+    if cores < 1:
+        raise ValueError(f"cores must be >= 1, got {cores}")
+    if target_seconds <= 0 or pairs_per_sec_per_core <= 0:
+        raise ValueError(
+            "target_seconds and pairs_per_sec_per_core must be > 0, got "
+            f"{target_seconds}, {pairs_per_sec_per_core}"
+        )
+    work_cap = int(target_seconds * pairs_per_sec_per_core * cores)
+    postings_floor = int(math.ceil(n_docs * avg_shingles))
+    return max(work_cap, postings_floor)
+
+
 def raise_on_budget_drops(
     drops: DataFrame,
     op: str,
@@ -201,7 +263,7 @@ def raise_on_budget_drops(
                         f"{op}: candidate pair budget exceeded — "
                         f"sum C(df,2) over shingle join keys > "
                         f"max_candidate_pairs={budget} "
-                        f"(on_over_budget='raise'); hottest dropped "
+                        f"(on_over_budget='raise'); example dropped "
                         f"shingle: '"
                     ),
                     F.col(shingle_col),
@@ -288,7 +350,10 @@ def shingle_intersection_counts(
     Σ C(df,2) over kept keys, which is exactly the candidate row count
     the join emits — via pair_budget_drop_set's deterministic
     hottest-first drop (or fail-fast with ``on_over_budget='raise'``).
-    Defaults leave the budget off; registry gate plans are unchanged."""
+    Defaults leave the budget off; registry gate plans are unchanged.
+    Choosing a value: see suggested_pair_budget — budget = tolerable
+    candidate rows = target_seconds x ~1e5 pairs/s/core x cores,
+    floored at the posting count (linear-regime work)."""
     if on_over_budget not in ("drop", "raise"):
         raise ValueError(
             f"on_over_budget must be 'drop' or 'raise', got {on_over_budget!r}"

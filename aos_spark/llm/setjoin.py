@@ -99,11 +99,15 @@ def ppjoin_pairs(
     can LOSE pairs — a pair whose every shared prefix element is dropped
     is never generated, a recall loss the exactness contract forbids —
     the default here is ``on_over_budget='raise'``: fail fast at
-    execution, naming the hottest key, before the quadratic stage runs.
-    ``on_over_budget='drop'`` is the documented degraded mode (LSH-like:
-    surviving pairs remain EXACTLY verified — no false positives ever —
-    but completeness now holds only for pairs sharing a kept prefix
-    key), for callers who prefer bounded work over guaranteed recall.
+    execution, naming an example dropped key, before the quadratic
+    stage runs. ``on_over_budget='drop'`` is the documented degraded
+    mode (LSH-like: surviving pairs remain EXACTLY verified — no false
+    positives ever — but completeness now holds only for pairs whose
+    FIRST common ordered element survives in both prefixes: the
+    position filter's ubound test is proven against that first-common-
+    element row, so a pair can be lost even when some LATER shared
+    prefix key is kept), for callers who prefer bounded work over
+    guaranteed recall.
     Default budget None (off).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.

@@ -3342,7 +3342,9 @@ QUERIES.update(R6_QUERIES)
 # refreshing the STALEST evidence: reds first (none), then never-sampled
 # (none), then oldest-green-first — `scripts/rotation_status.py`'s
 # suggested order, verbatim. Queries and oracles are unchanged — only
-# dict iteration order moves. Rotation history: r11 refreshed the 50
+# dict iteration order moves. Rotation history: r14 refreshed the 50
+# stalest r9-era greens; r13 the r8-era greens; r12 the r7-era greens;
+# r11 refreshed the 50
 # stalest r6-era greens; r10 the 50
 # stalest r5-era greens; r9 the r8
 # mismatch suspect + 49 stalest r4-era greens; r8 the 50 stalest
@@ -3351,34 +3353,37 @@ QUERIES.update(R6_QUERIES)
 # the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
 # declaration order. tests/test_rotation.py locks this structurally via
 # the stable _GATE_FRONT alias.
-_R14_FRONT = [
-    # r14: no engine-output changes this round (the pair-budget guard
-    # defaults to off, so every registry plan and hash is unchanged) —
-    # pure stalest-green-first rotation, scripts/rotation_status.py's
-    # suggested order verbatim (stalest = round-9 rows), truncated to the
-    # 50-query window. (r13 consumed the r8-era rows.)
-    "sequence_gap_detection", "sketch_quantile_histogram",
-    "range_frame_window_spend", "cdc_snapshot_diff",
-    "overlapping_order_windows", "order_autocorrelation",
-    "span_dedup_retention", "bloom_semijoin_prune", "lm_bigram_rarity",
-    "embedding_random_projection", "domain_mixture_plan", "per_source_cap",
-    "token_budget_selection", "quality_decile_shards", "embedding_pq_encode",
-    "sim_pq_topk", "event_transition_matrix", "user_burst_hours",
-    "term_postings_index", "mad_outlier_bounds", "session_path_topk",
-    "key_skew_profile", "incremental_dedup_status", "lsh_recall_eval",
-    "cross_source_dup_matrix", "graph_pagerank_step",
-    "interval_union_coverage", "gini_revenue_by_nation",
-    "simpson_diversity_by_source", "assoc_rules_brands",
-    "stratified_allocation_sample", "ks_length_drift", "seasonal_dow_anomaly",
-    "winsorized_mean_prices", "rrf_fusion_topk", "bm25_lite_scores",
-    "feature_hash_vectorizer", "welch_ttest_priorities",
-    "multimodal_audio_features", "cusum_change_point", "vocab_jaccard_matrix",
-    "priority_mix_residuals", "multimodal_video_features", "rfm_segmentation",
-    "graph_link_prediction", "embedding_gram_matrix", "ngram_novelty_rate",
-    "markov_two_step", "source_minhash_similarity", "benford_first_digit",
+_R15_FRONT = [
+    # r15: no engine-output changes this round (the budget keyword threads
+    # through four registry functions but defaults to None, so every
+    # registry plan and hash is unchanged) — pure stalest-green-first
+    # rotation, scripts/rotation_status.py's suggested order verbatim
+    # (stalest = round-10 rows), truncated to the 50-query window.
+    # (r14 consumed the r9-era rows.)
+    "ewma_monthly_revenue", "type_token_ratio",
+    "above_nation_avg_customers", "sketch_hll_merge_weekly",
+    "customer_skyline_frontier", "flagship_storm_impact",
+    "s1_catalog_scan", "f4_recency_filter", "f5_isin_or_filter",
+    "f11_antijoin_new_work", "j1_cover_equi_join",
+    "j9_preserve_empty_regions", "a1_a2_probability_expected",
+    "a6_report_totals", "a7_vulnerability_bands", "a8_topk_per_group",
+    "a9_max_active_threshold", "a10_first_match_stats",
+    "w1_track_segments", "w3_w4_cci", "w5_dedup_keep_first",
+    "w6_argmax_per_group", "a5_member_severity", "scalar_functions",
+    "smod_recode_map", "text_token_count", "text_quality_score",
+    "text_language_id", "text_fingerprint", "dedup_exact",
+    "mixture_apply_stats", "monthly_growth_by_nation", "ann_recall_eval",
+    "term_cooccurrence_lift", "language_confusion_matrix",
+    "label_centroid_similarity", "bpe_merge_candidates",
+    "trimmed_mean_prices", "revenue_pareto_by_nation",
+    "revenue_trend_by_nation", "containment_near_dup",
+    "lsh_band_collision_stats", "dau_moving_average", "ppjoin_exact_pairs",
+    "zorder_skipping_census", "hard_negative_mining", "language_kappa",
+    "winnowing_fingerprints", "matryoshka_recall_eval",
+    "dedup_threshold_curve",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
-_GATE_FRONT = _R14_FRONT
+_GATE_FRONT = _R15_FRONT
 assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)

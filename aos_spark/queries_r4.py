@@ -545,13 +545,24 @@ FROM kept GROUP BY lang
 """
 
 
-def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_resolution(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_candidate_pairs: int | None = None,
+    on_over_budget: str = "drop",
+) -> DataFrame:
     """End-to-end dedup RESOLUTION — the step a curation pipeline actually
     ships: near-dup pairs → connected components → keep the best-quality
     doc per cluster (ties → lowest doc_id), singletons keep themselves →
     per-language kept/dropped accounting. Composes ngram_jaccard_pairs,
     dup_clusters, and quality_score; the only additions are one per-
-    cluster argmax window (partitioned by cluster) and a rollup."""
+    cluster argmax window (partitioned by cluster) and a rollup.
+
+    ``max_candidate_pairs`` (keyword-only, default None = off, registry
+    plan unchanged) threads the r14 pair budget into the pairs stage —
+    the CC/keeper stages downstream are Θ(pairs) so the budget bounds
+    them transitively; sizing: llm/dedup.suggested_pair_budget."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -559,7 +570,11 @@ def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aos_spark.llm import text as TX
 
     d = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.35)
+    pairs = D.ngram_jaccard_pairs(
+        d, n=3, threshold=0.35,
+        max_candidate_pairs=max_candidate_pairs,
+        on_over_budget=on_over_budget,
+    )
     clusters = D.dup_clusters(pairs)
     scored = TX.quality_features(d).withColumn("quality", TX.quality_score())
     docs = (

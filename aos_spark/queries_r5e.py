@@ -189,7 +189,13 @@ WHERE r.run_max IS NULL OR r.run_max <= p.n_orders
 
 
 # -------------------------------------------------------- containment_near_dup
-def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_containment_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_candidate_pairs: int | None = None,
+    on_over_budget: str = "drop",
+) -> DataFrame:
     """Asymmetric near-dup: shingle containment |A∩B| / |smaller side|.
     Quote and subset duplication (one doc embedded in a much larger one)
     scores near 1.0 here while symmetric Jaccard dilutes it toward 0.
@@ -200,9 +206,19 @@ def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingle and 3× slower at sf0.1), forced sort-merge
     self-join. The cap only drops join keys; the containment denominator
     uses the full per-doc counts, so with no shingle over the cap (true at
-    all test SFs) results are bit-identical to the uncapped oracle."""
+    all test SFs) results are bit-identical to the uncapped oracle.
+
+    ``max_candidate_pairs`` (keyword-only, default None = off, registry
+    plan unchanged) threads the r14 pair budget into the candidate join
+    for production callers and the guarded scale-curve measurement
+    (scripts/pair_budget_curve.py --family); sizing:
+    llm/dedup.suggested_pair_budget."""
     d = _t(spark, sf_dir, "documents")
-    inter = shingle_intersection_counts(d, "doc_id", "text", 3)
+    inter = shingle_intersection_counts(
+        d, "doc_id", "text", 3,
+        max_candidate_pairs=max_candidate_pairs,
+        on_over_budget=on_over_budget,
+    )
     containment = round_ratio6(F.col("n_common"), F.least("n_a", "n_b"))
     return (
         inter.withColumn("containment", containment)

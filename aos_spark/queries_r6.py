@@ -384,17 +384,31 @@ FROM pt LEFT JOIN ph ON pt.query_id = ph.query_id
 _CURVE_PM = [300, 400, 500, 600, 700, 800, 900]  # thresholds in per-mille
 
 
-def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_threshold_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_candidate_pairs: int | None = None,
+    on_over_budget: str = "drop",
+) -> DataFrame:
     """The dedup tuning dial: pair counts of the n-gram Jaccard frame at
     a grid of thresholds, from ONE run of the pairwise machinery (the
     capped shingle_intersection_counts pipeline at the loosest grid
     point). Thresholds are integer per-mille so the grouping key is
     never a float; each pair fans out only to the thresholds it clears
-    (explode of a 7-element literal — bounded)."""
+    (explode of a 7-element literal — bounded).
+
+    ``max_candidate_pairs`` (keyword-only, default None = off, registry
+    plan unchanged) threads the r14 pair budget into the candidate
+    stage; sizing: llm/dedup.suggested_pair_budget."""
     from aos_spark.llm.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=min(_CURVE_PM) / 1000.0)
+    pairs = ngram_jaccard_pairs(
+        d, n=3, threshold=min(_CURVE_PM) / 1000.0,
+        max_candidate_pairs=max_candidate_pairs,
+        on_over_budget=on_over_budget,
+    )
     fanned = pairs.select(
         F.explode(
             F.filter(
@@ -448,7 +462,13 @@ R6_ORACLES.update(
 
 
 # ------------------------------------------------------------ split_leakage_check
-def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_split_leakage_check(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_candidate_pairs: int | None = None,
+    on_over_budget: str = "drop",
+) -> DataFrame:
     """Train/test contamination audit — the check every training pipeline
     must run before shipping a split: near-dup pairs (3-gram Jaccard >=
     0.5, the capped production machinery) whose two documents landed in
@@ -458,12 +478,20 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     split frame is doc-keyed (broadcast-sized per pair side at gate SF;
     at scale the pair frame is far smaller than the corpus, so the two
     split lookups are hash joins on the pair frame, never a corpus
-    shuffle)."""
+    shuffle).
+
+    ``max_candidate_pairs`` (keyword-only, default None = off, registry
+    plan unchanged) threads the r14 pair budget into the candidate
+    stage; sizing: llm/dedup.suggested_pair_budget."""
     from aos_spark.llm import sampling
     from aos_spark.llm.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        d, n=3, threshold=0.5,
+        max_candidate_pairs=max_candidate_pairs,
+        on_over_budget=on_over_budget,
+    )
     split = sampling.deterministic_split(d, "doc_id").select("doc_id", "split")
     sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
     sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))

@@ -92,6 +92,16 @@ def main() -> None:
     ap.add_argument("--ppjoin", action="store_true",
                     help="also measure the guarded ppjoin sf1/sf3 legs "
                          "(the leg that was disk-bound unguarded)")
+    ap.add_argument("--family", action="store_true",
+                    help="measure the guarded sf1/sf3 legs of the REST of "
+                         "the shingle family (VERDICT r14 #1): "
+                         "containment_near_dup, dedup_threshold_curve, "
+                         "split_leakage_check, dedup_resolution — via the "
+                         "registry query functions' own max_candidate_pairs "
+                         "keyword (no reimplementation)")
+    ap.add_argument("--only", default=None,
+                    help="with --family: comma-separated subset of query "
+                         "names to (re)measure")
     args = ap.parse_args()
 
     art = json.loads(Path(args.artifact).read_text())
@@ -99,6 +109,73 @@ def main() -> None:
 
     spark = get_spark("aos-pair-budget-curve", master="local[32]")
     from aos_spark.llm.dedup import ngram_jaccard_pairs
+
+    if args.family:
+        # The four remaining shingle-family queries (r14 verdict #1):
+        # each is measured through its REGISTRY function with the budget
+        # passed via the function's keyword surface, so the measured plan
+        # is the registry plan + guard, by construction. All four share
+        # the ngram n=3 / df<=1000 machinery on the same corpus, so the
+        # kept-vs-uncapped Σ C(df,2) verification already recorded in the
+        # ngram section (kept 149,965,625 <= 150M at sf3) applies to the
+        # candidate stage of every one of them verbatim.
+        from aos_spark.queries_r4 import q_dedup_resolution
+        from aos_spark.queries_r5e import q_containment_near_dup
+        from aos_spark.queries_r6 import (
+            q_dedup_threshold_curve,
+            q_split_leakage_check,
+        )
+
+        fns = {
+            "containment_near_dup": q_containment_near_dup,
+            "dedup_threshold_curve": q_dedup_threshold_curve,
+            "split_leakage_check": q_split_leakage_check,
+            "dedup_resolution": q_dedup_resolution,  # heaviest last
+        }
+        if args.only:
+            keep = set(args.only.split(","))
+            unknown = keep - set(fns)
+            if unknown:
+                raise SystemExit(f"--only names unknown queries: {unknown}")
+            fns = {k: v for k, v in fns.items() if k in keep}
+        fam = art["pair_budget_guard"].setdefault("family", {})
+        fam["note"] = (
+            "registry query functions called with "
+            f"max_candidate_pairs={BUDGET}, on_over_budget='drop' — same "
+            "budget, corpus and shingle machinery as the ngram section, "
+            "so its engine-side kept-pair verification (149,965,625 <= "
+            "150M at sf3) covers these candidate stages verbatim; "
+            "unguarded comparators from this artifact's queries block"
+        )
+        for name, fn in fns.items():
+            ent: dict = {"budget": BUDGET}
+            for key, d in (("sf1", args.sf1), ("sf3", args.sf3)):
+                ent[key] = _time_query(
+                    spark,
+                    lambda fn=fn, d=d: fn(
+                        spark, d, max_candidate_pairs=BUDGET,
+                        on_over_budget="drop",
+                    ),
+                )
+                print(name, key, ent[key], flush=True)
+            ent["warm_ratio_sf3_over_sf1"] = round(
+                ent["sf3"]["warm"] / ent["sf1"]["warm"], 2
+            )
+            ent["implied_exponent"] = round(
+                math.log(ent["warm_ratio_sf3_over_sf1"]) / math.log(3), 2
+            )
+            unb = art["queries"][name]
+            ent["unguarded_warm_ratio"] = unb["warm_ratio_sf3_over_sf1"]
+            ent["unguarded_exponent"] = unb["implied_exponent"]
+            fam[name] = ent
+            # persist incrementally: a crashed later leg keeps earlier ones
+            Path(args.artifact).write_text(json.dumps(art, indent=1) + "\n")
+        print(json.dumps({
+            n: {"guarded_exponent": e["implied_exponent"],
+                "unguarded_exponent": e["unguarded_exponent"]}
+            for n, e in fam.items() if n != "note"
+        }))
+        return
 
     if args.ppjoin:
         # ppjoin-ONLY leg: preserve the committed ngram numbers and add

@@ -194,31 +194,88 @@ def _is_micro_hugeint_sum(sql: str, alias: str) -> bool:
     too strict — real numerators nest CASTs (``CAST(x AS DECIMAL(18,2))``)
     — so this parses the defining expression itself: scan backwards from
     ``AS <alias>`` with paren balancing to recover exactly the expression
-    the alias names, then fullmatch it."""
+    the alias names, then fullmatch it.
+
+    ADVICE r14 hardening, two holes in the single-site backward scan:
+    (a) a compound definition like ``__x + SUM(CAST(... AS HUGEINT)) AS
+    __sqm`` truncated at the depth-0 ``+`` and certified just the SUM
+    suffix — now a depth-0 arithmetic operator adjoining the recovered
+    expression makes the SITE fail instead of truncate; (b) only the
+    FIRST ``AS <alias>`` occurrence was checked, so a second definition
+    of the same alias in another subquery rode along uncertified — now
+    every occurrence must independently pass."""
     import re
 
-    m = re.search(rf"\sAS {alias}\b", sql)
-    if not m:
+    sites = list(re.finditer(rf"\sAS {alias}\b", sql))
+    if not sites:
         return False
-    end = m.start()
-    depth = 0
-    j = end
-    while j > 0:
-        c = sql[j - 1]
-        if c == ")":
-            depth += 1
-        elif c == "(":
-            if depth == 0:
-                break  # stepped past the expression into an enclosing (
-            depth -= 1
-        elif depth == 0 and not (c.isalnum() or c == "_"):
-            # outside all parens only the function name (SUM/AVG/...) can
-            # extend the expression leftwards; anything else ends it
-            break
-        j -= 1
-    expr = sql[j:end].strip()
-    return bool(
-        re.fullmatch(r"SUM\(CAST\(.*\* 1000000 AS HUGEINT\)\)", expr, re.S)
+    for m in sites:
+        end = m.start()
+        depth = 0
+        j = end
+        while j > 0:
+            c = sql[j - 1]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    break  # stepped past the expression into an enclosing (
+                depth -= 1
+            elif depth == 0 and not (c.isalnum() or c == "_"):
+                # outside all parens only the function name (SUM/AVG/...)
+                # can extend the expression leftwards; anything else ends it
+                break
+            j -= 1
+        # compound-definition guard: if the char sequence immediately left
+        # of the recovered expression (whitespace skipped) is an arithmetic
+        # operator at depth 0, the true defining expression extends further
+        # left (e.g. ``__x + SUM(...)``) — refuse to certify the suffix
+        k = j
+        while k > 0 and sql[k - 1].isspace():
+            k -= 1
+        if k > 0 and sql[k - 1] in "+-*/":
+            return False
+        expr = sql[j:end].strip()
+        if not re.fullmatch(
+            r"SUM\(CAST\(.*\* 1000000 AS HUGEINT\)\)", expr, re.S
+        ):
+            return False
+    return True
+
+
+def test_micro_hugeint_certifier_rejects_compound_and_multi_site():
+    """Regression for the ADVICE r14 holes: a compound definition whose
+    depth-0 suffix is a pure micro sum must NOT certify, and EVERY
+    ``AS <alias>`` site must pass, not just the first."""
+    pure = "SUM(CAST(x * 1000000 AS HUGEINT))"
+    assert _is_micro_hugeint_sum(f"SELECT {pure} AS __s FROM t", "__s")
+    # compound: truncating at the depth-0 '+' certified just the suffix
+    assert not _is_micro_hugeint_sum(
+        f"SELECT __x + {pure} AS __s FROM t", "__s"
+    )
+    assert not _is_micro_hugeint_sum(
+        f"SELECT __x+{pure} AS __s FROM t", "__s"
+    )
+    assert not _is_micro_hugeint_sum(
+        f"SELECT {pure} / 2 AS __s FROM t", "__s"
+    )
+    # multi-site: a second, impure definition of the same alias in
+    # another subquery used to ride along unchecked
+    assert not _is_micro_hugeint_sum(
+        f"WITH a AS (SELECT {pure} AS __s FROM t), "
+        "b AS (SELECT SUM(y) AS __s FROM t) SELECT 1",
+        "__s",
+    )
+    assert _is_micro_hugeint_sum(
+        f"WITH a AS (SELECT {pure} AS __s FROM t), "
+        f"b AS (SELECT {pure} AS __s FROM u) SELECT 1",
+        "__s",
+    )
+    # nested CAST in the numerator remains certifiable (the r13 fix)
+    assert _is_micro_hugeint_sum(
+        "SELECT SUM(CAST(CAST(x AS DECIMAL(18,2)) * 1000000 AS HUGEINT))"
+        " AS __s FROM t",
+        "__s",
     )
 
 

@@ -21,9 +21,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from aos_spark.llm.dedup import (
+    PAIRS_PER_SEC_PER_CORE,
     ngram_jaccard_pairs,
     pair_budget_drop_set,
     shingle_intersection_counts,
+    suggested_pair_budget,
 )
 from aos_spark.llm.setjoin import ppjoin_pairs
 
@@ -248,3 +250,42 @@ def test_ppjoin_budget_semantics(spark):
         assert v == exact[k]  # verification untouched by the budget
     with pytest.raises(ValueError, match="on_over_budget"):
         ppjoin_pairs(df, max_candidate_pairs=5, on_over_budget="maybe")
+
+
+def test_suggested_pair_budget_sizing_rule():
+    """The VERDICT r14 #2 sizing rule: work cap = target_seconds x
+    rate x cores, floored at the posting count (linear-regime work).
+    No Spark session needed — pure arithmetic contract."""
+    # work-cap regime: small corpus, the floor is far below the cap
+    b = suggested_pair_budget(n_docs=10_000, avg_shingles=50.0)
+    assert b == int(300.0 * PAIRS_PER_SEC_PER_CORE * 32)
+    # the r14 measured configuration: 150M budget ~ 47 s of candidate
+    # work on the 32-thread box — the rule reproduces that scale
+    assert suggested_pair_budget(
+        10_000, 50.0, cores=32, target_seconds=46.875
+    ) == 150_000_000
+    # postings-floor regime: budget never strangles a healthy corpus —
+    # floor = ceil(n_docs x avg_shingles) wins when it exceeds the cap
+    big = suggested_pair_budget(
+        n_docs=2_000_000_000, avg_shingles=500.0, cores=4,
+        target_seconds=1.0,
+    )
+    assert big == 2_000_000_000 * 500
+    # fractional shingle averages round the floor UP
+    assert suggested_pair_budget(
+        3, 2.5, cores=1, target_seconds=1.0, pairs_per_sec_per_core=1.0
+    ) == 8
+    # monotone in every resource axis
+    base = suggested_pair_budget(10_000, 50.0, cores=8, target_seconds=60)
+    assert suggested_pair_budget(10_000, 50.0, cores=16, target_seconds=60) > base
+    assert suggested_pair_budget(10_000, 50.0, cores=8, target_seconds=120) > base
+    # validation
+    for bad in (
+        dict(n_docs=-1, avg_shingles=1.0),
+        dict(n_docs=1, avg_shingles=-0.5),
+        dict(n_docs=1, avg_shingles=1.0, cores=0),
+        dict(n_docs=1, avg_shingles=1.0, target_seconds=0),
+        dict(n_docs=1, avg_shingles=1.0, pairs_per_sec_per_core=0),
+    ):
+        with pytest.raises(ValueError):
+            suggested_pair_budget(**bad)
