@@ -338,19 +338,40 @@ def shingle_intersection_counts(
 ) -> DataFrame:
     """The shared candidate machinery behind every shingle-overlap metric
     (Jaccard here, containment in queries_r5e): one capped, PERSISTED
-    exploded-shingle frame feeding both self-join sides, hot-shingle
-    anti-join, forced sort-merge, one count-keyed aggregation. Returns
-    (id_a, id_b, n_a, n_b, n_common) with id_a < id_b; n_a/n_b are the
-    FULL per-doc distinct-shingle counts (the caps only suppress join
-    keys, so denominators built from them stay exact).
+    exploded-shingle frame feeding the df statistics and ONE grouped
+    posting-list build, then per-key LOCAL pair expansion and one
+    count-keyed aggregation. Returns (id_a, id_b, n_a, n_b, n_common)
+    with id_a < id_b; n_a/n_b are the FULL per-doc distinct-shingle
+    counts (the caps only suppress join keys, so denominators built from
+    them stay exact).
 
-    Two complementary guards on the self-join's fan-out:
+    Candidate-stage shape (r15 optimization, guide §2.3/§2.4 "remove
+    shuffles outright / shuffle fewer bytes"): the historical form was a
+    sort-merge SELF-join of the posting list — the exploded frame
+    exchanged TWICE (once per aliased side), sorted twice, merged, then
+    pair-aggregated: 4 exchanges + 2 sorts end to end. Every candidate
+    the join can emit is confined to one shingle key, so grouping the
+    posting list ONCE (groupBy shingle → array_sort(collect_list)) and
+    expanding the C(df,2) ordered combinations locally produces the
+    identical pair multiset with 3 exchanges and 0 sorts, and halves the
+    posting-list bytes crossing the network. The aggregation buffer is
+    BOUNDED by construction: hot keys are dropped by the broadcast
+    anti-join BEFORE the collect, so no per-key list exceeds
+    ``max_shingle_df`` entries (and under a pair budget, no kept key's
+    df exceeds ~sqrt(2·budget)); the worst-case per-key expanded pair
+    array is C(max_shingle_df, 2) structs — ~16 MB at the default 1000,
+    transient within one task. With BOTH guards disabled (None) the
+    grouped build would be unbounded per key, so that path keeps the
+    legacy merge self-join, which bounds per-task state at any key
+    heat.
+
+    Two complementary guards on the candidate fan-out:
     ``max_shingle_df`` bounds the WORST key (drop any shingle hotter
     than K docs); ``max_candidate_pairs`` bounds the TOTAL —
     Σ C(df,2) over kept keys, which is exactly the candidate row count
-    the join emits — via pair_budget_drop_set's deterministic
+    the expansion emits — via pair_budget_drop_set's deterministic
     hottest-first drop (or fail-fast with ``on_over_budget='raise'``).
-    Defaults leave the budget off; registry gate plans are unchanged.
+    Defaults leave the budget off.
     Choosing a value: see suggested_pair_budget — budget = tolerable
     candidate rows = target_seconds x ~1e5 pairs/s/core x cores,
     floored at the posting count (linear-regime work)."""
@@ -362,32 +383,32 @@ def shingle_intersection_counts(
     # explode_outer, not explode: plain explode makes Catalyst infer a
     # size(shingles)>0 filter and push it into the scan with the whole
     # shingle expression tree inlined (paying the lambda re-evaluation
-    # pathology once more, single-threaded). NULL/empty rows are dropped by
-    # the inner join on shingle anyway, so semantics are identical.
+    # pathology once more, single-threaded). NULL/empty rows never join
+    # (legacy path) and are filtered before the grouped build (bounded
+    # path), so semantics are identical.
     exploded = sh.select("id", "n_sh", F.explode_outer("shingles").alias("shingle"))
-    # the exploded frame feeds the hot-shingle aggregate AND both self-join
-    # sides; Spark's exchange reuse does not fire across the aliased sides,
-    # so without a persist the tokenize+shingle work runs up to 3×. At
+    # the exploded frame feeds the df aggregate AND the candidate build;
+    # Spark's exchange reuse does not fire across those consumers, so
+    # without a persist the tokenize+shingle work re-runs per consumer. At
     # warehouse scale the same role is played by materializing the shingle
     # posting list to storage once per corpus snapshot.
     exploded = persist_tracked(exploded)
+    freq = None
+    if max_shingle_df is not None or max_candidate_pairs is not None:
+        # ONE df aggregation serves both guards (r15: the budget arm used
+        # to recompute df on the post-cap rows — identical by construction,
+        # since dropping whole keys leaves survivors' df untouched)
+        freq = exploded.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("sdf")
+        )
     if max_shingle_df is not None:
         # hot-shingle set is the Zipf head — tiny by construction (df > K
         # shingles number ≪ corpus), so it broadcasts; the anti-join adds no
         # shuffle beyond the aggregation's map-side-combined pass
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("shingle")
-        )
+        hot = freq.filter(F.col("sdf") > max_shingle_df).select("shingle")
         exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        freq = freq.filter(F.col("sdf") <= max_shingle_df)
     if max_candidate_pairs is not None:
-        # df stats of the post-cap keys (dropping whole keys leaves the
-        # others' df untouched, so post-cap df == pre-cap df for survivors)
-        freq = exploded.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("sdf")
-        )
         drops = pair_budget_drop_set(freq, max_candidate_pairs)
         if on_over_budget == "raise":
             drops = raise_on_budget_drops(
@@ -397,22 +418,66 @@ def shingle_intersection_counts(
         # vocabulary the drop set can be most of the vocabulary — let
         # AQE pick the strategy from its actual size
         exploded = exploded.join(drops, "shingle", "left_anti")
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    if max_shingle_df is None and max_candidate_pairs is None:
+        # UNBOUNDED per-key df: the grouped build below would buffer one
+        # list per key with no cap, so keep the legacy sort-merge
+        # self-join (spillable, bounded per-task state at any key heat).
+        a = exploded.select(
+            F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+        )
+        b = exploded.select(
+            F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+        )
+        return (
+            # merge-join hint: both sides are corpus-sized posting lists —
+            # the planner must never try to broadcast one (scale_smoke
+            # caught a 3.6 GiB broadcast attempt on the minhash variant at
+            # 1M docs)
+            a.join(b.hint("merge"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    # Bounded path: group the (guard-filtered) posting list once per key.
+    # array_sort on struct(id, n_sh) orders by id (ids are unique within a
+    # key — shingles are array_distinct per doc), so the combination
+    # expansion below emits each unordered pair exactly once with
+    # id_a < id_b — the same pair multiset the self-join + id_a < id_b
+    # filter produced, independent of collect_list's arrival order.
+    grouped = (
+        exploded.filter(F.col("shingle").isNotNull())
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("docs"))
     )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
     )
-    inter = (
-        # merge-join hint: both sides are corpus-sized posting lists — the
-        # planner must never try to broadcast one (scale_smoke caught a
-        # 3.6 GiB broadcast attempt on the minhash variant at 1M docs)
-        a.join(b.hint("merge"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+    return (
+        # explode_OUTER + null filter, not plain explode: explode makes
+        # InferFiltersFromGenerate add a size(...)>0 filter containing a
+        # COPY of the whole pair-expansion tree below the generate —
+        # every key would pay the C(df,2) expansion twice. The outer
+        # generate infers no filter; df=1 keys emit one null row each,
+        # dropped by the output-side filter (which cannot be pushed below
+        # the generate, so no re-evaluation).
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return inter
 
 
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
