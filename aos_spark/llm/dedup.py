@@ -438,12 +438,29 @@ def shingle_intersection_counts(
             .groupBy("id_a", "id_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    # Bounded path: group the (guard-filtered) posting list once per key.
-    # array_sort on struct(id, n_sh) orders by id (ids are unique within a
-    # key — shingles are array_distinct per doc), so the combination
-    # expansion below emits each unordered pair exactly once with
-    # id_a < id_b — the same pair multiset the self-join + id_a < id_b
-    # filter produced, independent of collect_list's arrival order.
+    # Bounded path: group the (guard-filtered) posting list once per key
+    # and expand pairs locally — see _grouped_pair_counts.
+    return _grouped_pair_counts(exploded)
+
+
+def _grouped_pair_counts(exploded: DataFrame) -> DataFrame:
+    """Per-key LOCAL pair expansion over an exploded posting frame
+    (id, n_sh, shingle) → (id_a, id_b, n_a, n_b, n_common) with
+    id_a < id_b, n_common = number of shared keys.
+
+    The caller must guarantee a BOUND on per-key document frequency
+    (a df cap / pair budget, or an absolutely capped input corpus):
+    each key buffers its posting list (collect_list) and a transient
+    C(df,2) pair array inside one task. Within that contract this is
+    the cheapest exact intersection-count shape — one exchange for the
+    grouped build, zero sorts, and the pair aggregation — versus the
+    posting self-join's two exchanges + two sorts (guide §2.3/§2.4).
+
+    array_sort on struct(id, n_sh) orders by id (ids are unique within a
+    key — shingles are array_distinct per doc), so the combination
+    expansion emits each unordered pair exactly once with id_a < id_b —
+    the same pair multiset a self-join + id_a < id_b filter produces,
+    independent of collect_list's arrival order."""
     grouped = (
         exploded.filter(F.col("shingle").isNotNull())
         .groupBy("shingle")
@@ -567,23 +584,87 @@ def banded_minhash_frame(
     ).select("id", "shingles", "bk.band", "bk.band_key")
 
 
+def banded_keys_from_shingles(
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, band_key) — the LIGHT banded-LSH frame: signature band
+    keys computed from an existing (id, shingles) frame, WITHOUT carrying
+    the shingle payload. The candidate bucket join only needs to decide
+    WHICH ids collide; shuffling the full shingle arrays through it
+    (×bands copies per doc, both join sides, plus the pair-dedup
+    aggregation) moved orders of magnitude more bytes than the decision
+    needs (guide §2.3 "shuffle keys and metadata instead of payloads",
+    §8). Callers attach the arrays afterwards, id-keyed, exactly once
+    per verified candidate side — see _attach_shingles."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            f"{num_hashes % bands} trailing signature rows would be ignored"
+        )
+    rows_per_band = num_hashes // bands
+    sig = sh.select(
+        "id", F.transform("shingles", shingle_hash).alias("__hashed")
+    ).select("id", minhash_signature(F.col("__hashed"), num_hashes).alias("sig"))
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.band_key")
+
+
+def _attach_shingles(
+    cand: DataFrame, sh: DataFrame, sh_b: DataFrame | None = None,
+    *, broadcast_b: bool = False,
+) -> DataFrame:
+    """Attach shingle arrays to candidate (id_a, id_b) pairs by two
+    id-keyed joins against the (persisted) shingle frame(s) — the heavy
+    payload moves once per side, keyed by doc id, AFTER the bucket join
+    has shrunk the row set to actual candidates (guide §8's
+    decide-with-small-rows / move-big-rows-once shape; the same verify
+    idiom as setjoin.ppjoin_pairs). ``sh_b`` (default: ``sh``) supplies
+    the id_b side — the cross-corpus probes pass the held-out frame,
+    broadcast when eval-set-sized."""
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b_src = sh if sh_b is None else sh_b
+    sb = b_src.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    if broadcast_b:
+        sb = F.broadcast(sb)
+    return cand.join(sa, "id_a").join(sb, "id_b")
+
+
 def _banded_candidates(
     x: DataFrame,
     y: DataFrame | None = None,
     *,
     broadcast_y: bool = False,
-    keep_shingles: bool = True,
 ) -> DataFrame:
-    """Candidate pairs from banded-LSH frames: bucket-mates on (band,
-    band_key), deduped to one row per (id_a, id_b). Self-join mode
-    (``y`` None) restricts to id_a < id_b and FORCES a sort-merge join —
-    the banded frame carries full shingle arrays and is corpus-sized, and
+    """Candidate ID pairs from LIGHT banded-LSH frames (id, band,
+    band_key): bucket-mates on (band, band_key), deduped to one row per
+    (id_a, id_b). Self-join mode (``y`` None) restricts to id_a < id_b
+    and FORCES a sort-merge join — the banded frame is corpus-sized and
     statistics under-estimate it (the planner attempted a 3.6 GiB
     broadcast at 1M docs — scale_smoke r5); cross-corpus mode broadcasts
     the (eval-set-sized) ``y`` side when asked. ONE copy of this block
     (r9 review): minhash_lsh_pairs, cross_contamination_pairs, and
     lsh_recall_eval carried three drifting hand-rolled variants, so a
-    candidate-shape fix had to be remembered in three places."""
+    candidate-shape fix had to be remembered in three places. r15: the
+    frames no longer carry shingle arrays through this join — see
+    banded_keys_from_shingles."""
     xa = x.alias("x")
     if y is None:
         yb = x.alias("y").hint("merge")
@@ -594,11 +675,6 @@ def _banded_candidates(
     if y is None:
         cand = cand.filter(F.col("x.id") < F.col("y.id"))
     cols = [F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")]
-    if keep_shingles:
-        cols += [
-            F.col("x.shingles").alias("sh_a"),
-            F.col("y.shingles").alias("sh_b"),
-        ]
     return cand.select(*cols).dropDuplicates(["id_a", "id_b"])
 
 
@@ -623,13 +699,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature → band keys → bucket join →
     verify with exact n-gram Jaccard. Only bucket-mates are compared; the
-    shuffle key is the band hash (uniform by construction)."""
-    banded = banded_minhash_frame(df, id_col, text_col, num_hashes, bands, n)
-    # persist: the signature computation feeds both self-join sides and
-    # exchange reuse does not fire across the aliases — without this the
-    # 16 affine min-hash transforms run twice per document
-    banded = persist_tracked(banded)
-    return _verified_pairs(_banded_candidates(banded), threshold)
+    shuffle key is the band hash (uniform by construction).
+
+    r15 shape (guide §2.3/§8): the bucket join moves only (id, band,
+    band_key) — the historical form shuffled every doc's full shingle
+    array ×bands copies through both join sides AND the pair-dedup
+    aggregation. Arrays now ride one id-keyed attach join per candidate
+    side, after the bucket join has shrunk the row set."""
+    # persist: the shingle frame feeds the banded keys AND both verify
+    # attach sides; the keys frame feeds both bucket-join sides — exchange
+    # reuse does not fire across aliases, so without the persists the
+    # tokenize/shingle pass and the 16 affine min-hash transforms re-run
+    # per consumer
+    sh = persist_tracked(shingle_frame(df, id_col, text_col, n))
+    keys = persist_tracked(banded_keys_from_shingles(sh, num_hashes, bands))
+    cand = _banded_candidates(keys)
+    return _verified_pairs(_attach_shingles(cand, sh), threshold)
 
 
 def cross_contamination_pairs(
@@ -647,13 +732,24 @@ def cross_contamination_pairs(
     corpus. Same banded-LSH machinery as minhash_lsh_pairs, but the bucket
     join is corpus × heldout instead of a self-join, so cost scales with
     bucket co-occupancy, never |corpus|×|heldout|. The held-out side is
-    normally tiny (eval sets) — its banded frame broadcasts, and the
-    training corpus never shuffles. Output: (id_a = corpus doc,
-    id_b = held-out doc, jaccard)."""
-    cb = banded_minhash_frame(corpus, id_col, text_col, num_hashes, bands, n)
-    hb = banded_minhash_frame(heldout, id_col, text_col, num_hashes, bands, n)
+    normally tiny (eval sets) — its banded keys broadcast, and the
+    training corpus never shuffles for candidate generation. Output:
+    (id_a = corpus doc, id_b = held-out doc, jaccard).
+
+    r15 shape (guide §2.3/§8): the bucket join and the broadcast move
+    only (id, band, band_key); shingle arrays attach per side afterwards
+    — corpus arrays once, id-keyed, and the held-out arrays as a second
+    small broadcast."""
+    # persists: each shingle frame feeds its banded keys AND its verify
+    # attach side (the keys frames feed only ONE bucket-join side each,
+    # so they need no persist of their own)
+    csh = persist_tracked(shingle_frame(corpus, id_col, text_col, n))
+    hsh = persist_tracked(shingle_frame(heldout, id_col, text_col, n))
+    ck = banded_keys_from_shingles(csh, num_hashes, bands)
+    hk = banded_keys_from_shingles(hsh, num_hashes, bands)
+    cand = _banded_candidates(ck, hk, broadcast_y=True)
     return _verified_pairs(
-        _banded_candidates(cb, hb, broadcast_y=True), threshold
+        _attach_shingles(cand, csh, hsh, broadcast_b=True), threshold
     )
 
 
@@ -1297,11 +1393,13 @@ def lsh_recall_eval(
     the measurement that justifies a (num_hashes, bands) choice before a
     full-corpus run.
 
-    The ground-truth cross-join is quadratic BY DESIGN and therefore
+    The ground truth is quadratic-in-the-sample BY DESIGN and therefore
     confined to the hash sample (``sample_buckets``/``n_buckets`` of
     docs, md5-deterministic — no RNG, reproducible under any
-    partitioning); the LSH side reuses the production
-    banded_minhash_frame on the same sample. Output is ONE row:
+    partitioning); for any positive threshold it is computed from exact
+    posting-list intersection counts (no array payload shuffles — r15),
+    falling back to the all-pairs BNLJ only at threshold <= 0. The LSH
+    side reuses the production banded machinery on the same sample. Output is ONE row:
     n_sample_docs, n_true_pairs, n_candidate_pairs (bucket-mates),
     n_hit_pairs (true pairs the banding surfaced), recall, precision —
     exact integers and single divisions.
@@ -1349,22 +1447,49 @@ def lsh_recall_eval(
             < (20 if sample_buckets is None else sample_buckets)
         )
     sh = persist_tracked(shingle_frame(sample, id_col, text_col, n))
-    # quadratic BY DESIGN on the bounded sample: a BNLJ over the
-    # broadcast sample side is the intended plan here, nowhere else
-    truth = (
-        sh.alias("x")
-        .join(sh.alias("y"), F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.shingles").alias("sh_a"),
-            F.col("y.shingles").alias("sh_b"),
+    if threshold > 0.0:
+        # Ground truth via exact posting-list intersection counts (r15,
+        # guide §2.3): the historical BNLJ materialized all C(sample,2)
+        # pair rows each carrying BOTH full shingle arrays, then
+        # array-intersected every one. A pair below any positive
+        # threshold must share >= 1 shingle, so the pair set at
+        # jaccard >= t is exactly recoverable from per-key pair counts —
+        # same arithmetic (|A∪B| = n_a+n_b-n_common for distinct-element
+        # arrays), no array payload ever crosses a shuffle. Per-key df is
+        # bounded by the sample cap, so the grouped expansion's local
+        # state is bounded by design (the _grouped_pair_counts contract).
+        ex = sh.select(
+            "id",
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer("shingles").alias("shingle"),
         )
-    )
-    true_pairs = persist_tracked(_verified_pairs(truth, threshold))
-    banded = banded_minhash_frame(sample, id_col, text_col, num_hashes, bands, n)
-    banded = persist_tracked(banded)
-    cand = persist_tracked(_banded_candidates(banded, keep_shingles=False))
+        inter = _grouped_pair_counts(ex)
+        jac = round_ratio6(
+            F.col("n_common"),
+            F.col("n_a") + F.col("n_b") - F.col("n_common"),
+        )
+        true_pairs = persist_tracked(
+            inter.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    else:
+        # threshold <= 0 admits zero-overlap pairs, which no posting key
+        # can generate — keep the quadratic BNLJ, the intended plan on
+        # the bounded sample, nowhere else
+        truth = (
+            sh.alias("x")
+            .join(sh.alias("y"), F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.col("x.shingles").alias("sh_a"),
+                F.col("y.shingles").alias("sh_b"),
+            )
+        )
+        true_pairs = persist_tracked(_verified_pairs(truth, threshold))
+    keys = persist_tracked(banded_keys_from_shingles(sh, num_hashes, bands))
+    cand = persist_tracked(_banded_candidates(keys))
     hits = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
     # all four counts as lazy 1-row frames crossed together — no job runs
     # at construction time (the repo's no-collect-in-construction rule)
