@@ -874,23 +874,38 @@ def _ring_rows(n_shards: int) -> list[tuple[int, int]]:
     return rows
 
 
-def _ring_assign(docs: DataFrame, n_shards: int, out: str) -> DataFrame:
-    """Consistent-hash assignment: doc -> first vnode clockwise from its
-    hash (min vnode_hash >= h, wrapping to the ring minimum). The ring is
-    a 256-row literal broadcast; per-doc assignment is one conditional
-    min-struct aggregate over the joined frame — corpus never shuffles."""
-    spark = docs.sparkSession
-    ring = spark.createDataFrame(_ring_rows(n_shards), ["vhash", "shard"])
-    j = docs.crossJoin(F.broadcast(ring))
-    return j.groupBy("doc_id", "h").agg(
-        F.min(F.when(F.col("vhash") >= F.col("h"),
-                     F.struct("vhash", "shard"))).alias("__cw"),
-        F.min(F.struct("vhash", "shard")).alias("__wrap"),
-    ).select(
-        "doc_id",
-        "h",
-        F.coalesce(F.col("__cw.shard"), F.col("__wrap.shard")).alias(out),
-    )
+def _ring_shard_col(n_shards: int) -> F.Column:
+    """Consistent-hash assignment as a PURE per-row EXPRESSION over the
+    hash column ``h``: the clockwise successor of h on the ring is the
+    FIRST element of the (vhash, shard)-sorted ring with vhash >= h, i.e.
+    the element at index count(vhash < h), wrapping to ring element 0.
+
+    r15 shape (guide §2.4 "remove shuffles outright", §1.2 step 1): the
+    historical _ring_assign crossJoined the corpus with the broadcast
+    256-row ring (×256 row expansion) and re-aggregated it back to one
+    row per doc with a (doc_id, h)-keyed min-struct groupBy — one FULL
+    corpus shuffle per ring, plus a (doc_id, h) join to line the two
+    rings up again. The assignment is a pure function of h, so all of
+    that collapses into this expression: zero joins, zero shuffles, and
+    both rings evaluated in the same projection.
+
+    The ring ships as TWO single-Literal arrays (parallel vhash/shard
+    lists via F.lit(list)) — a first cut used a 256-element
+    array(struct(lit, lit)) whose ~1k-node Catalyst tree was measurably
+    SLOWER end-to-end than the crossJoin it replaced (optimizer walks +
+    codegen dwarfed the saved exchanges at bench scale; isolated
+    warm_min 4.7 s vs 3.0 s). Equivalence with the aggregate form's
+    F.min(struct(vhash, shard)): rows are sorted by (vhash, shard), so
+    counting strictly-smaller vhashes indexes the first row with
+    vhash >= h — at duplicate vhashes that is exactly the min-shard row,
+    and the empty-filter wrap target is row 0, the global min struct."""
+    rows = sorted(_ring_rows(n_shards))
+    vhashes = F.lit([vh for vh, _ in rows])
+    shards = F.lit([s for _, s in rows])
+    idx = F.size(F.filter(vhashes, lambda v: v < F.col("h")))
+    return F.when(
+        idx < F.lit(len(rows)), F.element_at(shards, idx + F.lit(1))
+    ).otherwise(F.lit(rows[0][1]))
 
 
 def q_shard_rebalance_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,21 +923,26 @@ def q_shard_rebalance_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           F.col("doc_id").cast("string"))), 1, 8),
                16, 10).cast("long").alias("h"),
     )
-    mod = docs.select(
-        "doc_id",
-        F.pmod("h", F.lit(_N_SHARDS)).alias("s_old"),
-        F.pmod("h", F.lit(_N_SHARDS + 1)).alias("s_new"),
-    ).agg(
+    # Both hashing schemes are pure functions of h, so all four
+    # assignments ride ONE projection over ONE scan, and each method is
+    # a single global aggregate — no crossJoin expansion, no per-ring
+    # groupBy shuffles, no (doc_id, h) realignment join (see
+    # _ring_shard_col; plans/r15/shard_rebalance_churn_{before,after}.txt).
+    assigned = docs.select(
+        F.pmod("h", F.lit(_N_SHARDS)).alias("m_old"),
+        F.pmod("h", F.lit(_N_SHARDS + 1)).alias("m_new"),
+        _ring_shard_col(_N_SHARDS).alias("r_old"),
+        _ring_shard_col(_N_SHARDS + 1).alias("r_new"),
+    )
+    mod = assigned.agg(
         F.lit("mod").alias("method"),
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("s_old") != F.col("s_new")).cast("long")).alias("n_moved"),
+        F.sum((F.col("m_old") != F.col("m_new")).cast("long")).alias("n_moved"),
     )
-    r_old = _ring_assign(docs, _N_SHARDS, "s_old")
-    r_new = _ring_assign(docs, _N_SHARDS + 1, "s_new")
-    ring = r_old.join(r_new, ["doc_id", "h"]).agg(
+    ring = assigned.agg(
         F.lit("ring").alias("method"),
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("s_old") != F.col("s_new")).cast("long")).alias("n_moved"),
+        F.sum((F.col("r_old") != F.col("r_new")).cast("long")).alias("n_moved"),
     )
     return mod.unionByName(ring).select(
         "method",
