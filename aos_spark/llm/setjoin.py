@@ -133,18 +133,25 @@ def ppjoin_pairs(
     # fix, 80 s after). Outer generate infers no filter, keeping the
     # tokenize one-eval-per-doc; the inner freq join drops the null rows
     # empty docs produce.
-    ex = sh.select("id", F.explode_outer("shingles").alias("shingle"))
-    # Persist the exploded shingle scan: it feeds BOTH the df aggregation
-    # and the posting join probe side, and their exchanges differ
-    # (partial-agg vs join) so ReuseExchange cannot dedupe them — without
-    # the persist the tokenize/shingle pass (the dominant cost at corpus
-    # scale) runs twice (ADVICE r8).
-    ex = persist_tracked(ex)
+    ex = sh.select("id", F.explode_outer("shingles").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
     # Global document frequency: the total order is (df ASC, shingle ASC) —
     # deterministic, and ties broken by the shingle text itself so the
     # order is identical in any engine that reproduces the counts.
-    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    posting = ex.join(freq, "shingle")
+    #
+    # r15 (guide §2.4): sdf is a COUNT OVER (PARTITION BY shingle) window
+    # rather than the historical groupBy(shingle).count + self-join — the
+    # join form exchanged the full exploded frame TWICE (aggregate build
+    # + SMJ probe, un-dedupable by ReuseExchange) and needed a persist of
+    # the exploded scan to keep the tokenize pass single-evaluation
+    # (ADVICE r8). The window consumes the scan exactly once: one
+    # exchange on shingle, no join, no persist. The explicit isNotNull
+    # filter above replaces the null-row drop the inner join performed
+    # (explode_outer emits one null row per empty doc).
+    posting = ex.withColumn(
+        "sdf", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     if max_shingles_per_doc is not None:
         # Rank each doc's shingles in the global order and cap BEFORE the
         # ordered aggregation, so per-doc state is bounded end-to-end.
