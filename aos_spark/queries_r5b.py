@@ -621,13 +621,20 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reversed halves of the union, each consumed by the outdeg aggregate
     # AND the contribution join — unpersisted, the orders⋈lineitem pass
     # replays 6× (12 scans; the triangle_count lesson, ops/graph.py)
+    # distinct on the INTEGER key pair, node-id strings concatenated only
+    # in the post-distinct projection (guide §2.2 "shuffle fewer bytes" /
+    # narrower types): the distinct's exchange moves 2 longs per row
+    # instead of 2 ~8-char strings, and the hash-agg compares ints. The
+    # mapping key -> 'c<key>'/'s<key>' is injective, so distinct-then-
+    # concat emits exactly the rows concat-then-distinct did.
     cs = persist_tracked(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     # materialize + right-size via ops/graph._sized: the persisted edge
     # list is far smaller than the orders⋈lineitem pass that built it,
