@@ -48,32 +48,61 @@ def association_rules(
       confidence   — pair_n / n_antecedent
       lift         — (pair_n · N) / (n_antecedent · n_consequent)
 
-    Plan shape: distinct (basket, item) → persisted; the pair candidates
-    come from a basket-keyed self-join (sort-merge on the basket key,
-    both sides the same persisted frame so the exchange is reused) with
-    ``item_a < item_b`` halving the candidates; pair counts are
-    map-combined. Item frequencies and the 1-row basket total are
-    vocabulary-sized and broadcast onto the pair frame. The support
-    threshold is applied as an INTEGER cross-multiply
-    (pair_n·100 ≥ pct·N) so the cut is SF-invariant and float-free.
+    Plan shape (r15, guide §2.3/§2.4 — the llm/dedup._grouped_pair_counts
+    precedent): ONE basket-keyed collect_set aggregation builds each
+    basket's sorted distinct-item array (the map-side partial collect_set
+    collapses duplicate lines early, so this replaces the historical
+    distinct + basket-keyed SORT-MERGE SELF-JOIN — two corpus passes,
+    two sorts — with a single exchange); pair candidates are the LOCAL
+    i<j combination expansion of each array (bounded by the item
+    vocabulary per basket), map-combine-aggregated to pair counts. Item
+    frequencies explode off the same persisted sets frame, and the 1-row
+    basket total is its row count. Item/pair frames are vocabulary-sized
+    and broadcast onto the pair frame. The support threshold is applied
+    as an INTEGER cross-multiply (pair_n·100 ≥ pct·N) so the cut is
+    SF-invariant and float-free.
 
     100 TB: per-basket fan-out ≤ items-per-basket², shuffles keyed by
     basket/(pair) — both bounded-cardinality; nothing quadratic in the
-    corpus. Skewed mega-baskets are the one hazard — cap upstream with a
+    corpus. Skewed mega-baskets are the one hazard (now a per-basket
+    array buffer rather than join fan-out) — cap upstream with a
     per-basket distinct-item limit if the item granularity is unbounded.
     """
-    ob = basket_items(df, basket_col, item_col).persist()
-    n_baskets = ob.select(
-        F.countDistinct("basket").alias("n_baskets")
+    sets = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .persist()
     )
-    item_n = ob.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+    n_baskets = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_n = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_n"))
+    )
 
-    a = ob.select(F.col("basket"), F.col("item").alias("item_a"))
-    b = ob.select(F.col("basket"), F.col("item").alias("item_b"))
+    items = F.col("items")
+    # sorted distinct array → each unordered pair exactly once with
+    # item_a < item_b, identical to the self-join + filter's pair multiset
+    pair_arr = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        # explode_OUTER + null filter (the _grouped_pair_counts lesson):
+        # plain explode triggers InferFiltersFromGenerate, which inlines a
+        # copy of the whole pair-expansion tree into a size(...)>0 filter
+        # below the generate — every basket would pay the expansion twice
+        sets.select(F.explode_outer(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("pair_n"))
     )
 
