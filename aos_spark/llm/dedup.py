@@ -387,6 +387,32 @@ def shingle_intersection_counts(
     # (legacy path) and are filtered before the grouped build (bounded
     # path), so semantics are identical.
     exploded = sh.select("id", "n_sh", F.explode_outer("shingles").alias("shingle"))
+    if max_shingle_df is not None and max_candidate_pairs is None:
+        # Common registry path (df cap only) — r15 (guide §2.4): df rides
+        # a COUNT OVER (PARTITION BY shingle) window on the SAME exchange
+        # the grouped posting build needs (the groupBy below reuses the
+        # window's hash partitioning), so the whole candidate stage is
+        # ONE exchange of the exploded frame and a partition-local sort —
+        # no persist (single consumer: the tokenize pass runs once by
+        # construction), no separate df aggregation, no hot-key
+        # anti-join. Dropping rows where the windowed df exceeds the cap
+        # removes exactly the rows the broadcast anti-join removed, so
+        # the pair multiset is identical. WindowExec buffers each key
+        # group spillably where the aggregate form pre-shrank hot keys
+        # map-side — acceptable because the rows of a hot key all landed
+        # on one task under the old SMJ probe too, and the df-cap filter
+        # bounds everything downstream.
+        from pyspark.sql import Window
+
+        posting = (
+            exploded.filter(F.col("shingle").isNotNull())
+            .withColumn(
+                "sdf", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("sdf") <= max_shingle_df)
+            .drop("sdf")
+        )
+        return _grouped_pair_counts(posting)
     # the exploded frame feeds the df aggregate AND the candidate build;
     # Spark's exchange reuse does not fire across those consumers, so
     # without a persist the tokenize+shingle work re-runs per consumer. At
