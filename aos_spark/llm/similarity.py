@@ -211,16 +211,31 @@ def ivf_assign(
         norm_expr(F.col(vec_col)).alias("vnorm"),
     ).crossJoin(F.broadcast(c))
     sim = cosine_from_norms("v", "cvec", "vnorm", "cnorm")
-    w = Window.partitionBy("vid").orderBy(F.desc(sim), F.col("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("vid").alias(id_col),
-            F.col("v").alias(vec_col),
-            "vnorm",
-            "centroid_id",
+    # r15 (guide §2.2 partial aggregation): the per-vector argmax was a
+    # row_number window over the corpus×k scored frame — a full exchange
+    # of k rows per vector plus a partition sort. One MIN(struct) aggregate
+    # computes the same winner; map-side partials collapse each vector's k
+    # rows before the exchange, so the shuffle moves ONE row per vector
+    # and nothing sorts. Ordering parity with the window's
+    # (sim DESC, centroid_id ASC): the min key is (-sim, centroid_id),
+    # with NaN sims mapped to -inf so they win exactly as NaN-sorts-first
+    # did under DESC; v/vnorm ride as payload fields the comparison never
+    # reaches (the key pair is unique per vid — centroid ids are
+    # distinct).
+    key = F.when(F.isnan(sim), F.lit(float("-inf"))).otherwise(-sim)
+    best = F.min(
+        F.struct(
+            key.alias("k1"),
+            F.col("centroid_id").alias("cid"),
+            F.col("v").alias("v"),
+            F.col("vnorm").alias("vn"),
         )
+    ).alias("b")
+    return scored.groupBy("vid").agg(best).select(
+        F.col("vid").alias(id_col),
+        F.col("b.v").alias(vec_col),
+        F.col("b.vn").alias("vnorm"),
+        F.col("b.cid").alias("centroid_id"),
     )
 
 
