@@ -1367,23 +1367,33 @@ def incremental_dedup(
     admission is per-doc, not transitive-cluster, by design (the
     cluster-level keeper pick is dup_clusters/dedup_resolution).
     """
-    # both probes ARE the existing audited pipelines — the cross-corpus
-    # probe broadcasts the batch side (cross_contamination_pairs), the
-    # within-batch probe is the merge-hinted self-join (minhash_lsh_pairs)
-    # — so probe-shape fixes live in exactly one place (review catch);
-    # the cost is computing the small batch banded frame twice
+    # both probes compose the SAME audited building blocks the standalone
+    # pipelines use (banded_keys_from_shingles → _banded_candidates →
+    # _attach_shingles → _verified_pairs), so probe-shape fixes still live
+    # in exactly one place (review catch) — but the batch's shingle and
+    # banded-key frames are now built ONCE and shared across the
+    # history×batch and batch×batch probes (r15, guide §1/§2: the
+    # standalone calls each recomputed the batch tokenize+signature pass)
+    bsh = persist_tracked(shingle_frame(batch, id_col, text_col, n))
+    bk = persist_tracked(banded_keys_from_shingles(bsh, num_hashes, bands))
+    hsh = persist_tracked(shingle_frame(history, id_col, text_col, n))
+    hk = banded_keys_from_shingles(hsh, num_hashes, bands)
     hist_hits = (
-        cross_contamination_pairs(
-            history, batch, id_col, text_col, num_hashes, bands, n, threshold
+        _verified_pairs(
+            _attach_shingles(
+                _banded_candidates(hk, bk, broadcast_y=True),
+                hsh,
+                bsh,
+                broadcast_b=True,
+            ),
+            threshold,
         )
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("__h", F.lit(True))
     )
     batch_hits = (
-        minhash_lsh_pairs(
-            batch, id_col, text_col, num_hashes, bands, n, threshold
-        )
+        _verified_pairs(_attach_shingles(_banded_candidates(bk), bsh), threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("__b", F.lit(True))
