@@ -399,57 +399,80 @@ def repetition_stats(
     (``dup_{n}gram_frac`` = 1 − distinct/total). High values mark boiler-
     plate and degenerate repetition for corpus filtering.
 
-    Shape: one explode per gram size over a shared materialized token
-    frame, then a two-level aggregate keyed by (doc, gram) — linear in
-    corpus size and distributed (no per-document O(len²) higher-order-
-    function scan), so a single pathological long document cannot stall a
-    task. Docs shorter than n grams get 0.0."""
-    # one regex pass (see top_terms_tfidf); gram sizes are ≥ 2, so the
-    # empty-doc edge ([] here vs [""] in the two-pass form) yields zero
-    # grams either way and the oracles keep the two-pass spelling
+    Shape (r15, guide §2.4 "remove shuffles outright"): a PURE PROJECTION
+    — zero exchanges, zero joins. Every statistic is a within-document
+    fact, so each doc computes its own counts from its gram array:
+    total = size, distinct = size(array_distinct), and the top gram
+    count = the longest equal-run of the SORTED gram array via an O(L)
+    aggregate() fold. The historical shape exploded every gram occurrence
+    of both sizes into a tagged union and shuffled it twice ((id, kind,
+    gram) count + (id, kind) rollup, plus two joins back to the doc
+    frame); all of that collapses into per-row expressions. Per-doc cost
+    is O(L log L) for the sort — the same order as building the gram
+    array itself — so a pathological mega-doc stalls nothing it did not
+    already stall at tokenize time. Docs shorter than n grams get 0.0."""
+
+    def _stats(col: str) -> tuple[Column, Column, Column]:
+        g = F.col(col)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top_c = F.aggregate(
+            F.array_sort(g), init, step, lambda acc: acc["best"]
+        )
+        return (
+            F.size(g).cast("long"),
+            F.size(F.array_distinct(g)).cast("long"),
+            top_c,
+        )
+
+    # one regex pass; CollapseProject keeps the expensive tokenize alias
+    # un-inlined because it is referenced by both gram sizes (Catalyst
+    # only duplicates cheap expressions), so the split still runs once
+    # per row. Gram sizes are ≥ 2, so the empty-doc edge ([] here vs [""]
+    # in the two-pass form) yields zero grams either way and the oracles
+    # keep the two-pass spelling.
     toks = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col),
         F.array_remove(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
         ).alias("__tokens"),
     )
-    # both gram sizes explode the same token frame; tag and union so the
-    # tokenize pass runs once and both counts share one shuffle
-    toks = persist_tracked(toks)
-    exploded = None
-    for kind, n in (("top", top_n), ("dup", dup_n)):
-        part = toks.select(
-            "id",
-            F.lit(kind).alias("kind"),
-            F.explode_outer(gram_occurrences(F.col("__tokens"), n)).alias("gram"),
-        )
-        exploded = part if exploded is None else exploded.union(part)
-    stats = (
-        exploded.filter(F.col("gram").isNotNull())
-        .groupBy("id", "kind", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id", "kind")
-        .agg(
-            F.max("c").alias("top_c"),
-            F.sum("c").alias("total"),
-            F.count(F.lit(1)).alias("n_distinct"),
-        )
+    # gram arrays aliased in their own projection layer: each is
+    # referenced by 3 statistics below, and higher-order functions fall
+    # outside whole-stage codegen's subexpression elimination — an
+    # un-aliased first cut rebuilt every gram array per reference and ran
+    # 3x slower than the shuffle shape it replaced
+    toks = toks.select(
+        id_col,
+        gram_occurrences(F.col("__tokens"), top_n).alias("__gt"),
+        gram_occurrences(F.col("__tokens"), dup_n).alias("__gd"),
     )
-    top_frac = round_ratio6(F.col("top_c"), F.col("total"))
-    dup_frac = round_ratio6(
-        F.col("total") - F.col("n_distinct"), F.col("total")
-    )
-    top = stats.filter(F.col("kind") == "top").select("id", top_frac.alias("__top"))
-    dup = stats.filter(F.col("kind") == "dup").select("id", dup_frac.alias("__dup"))
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(top, "id", "left")
-        .join(dup, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("__top", F.lit(0.0)).alias(f"top_{top_n}gram_frac"),
-            F.coalesce("__dup", F.lit(0.0)).alias(f"dup_{dup_n}gram_frac"),
-        )
+    t_total, t_distinct, t_top = _stats("__gt")
+    d_total, d_distinct, _ = _stats("__gd")
+    top_frac = F.when(
+        t_total > 0, round_ratio6(t_top, t_total)
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        d_total > 0, round_ratio6(d_total - d_distinct, d_total)
+    ).otherwise(F.lit(0.0))
+    return toks.select(
+        id_col,
+        top_frac.alias(f"top_{top_n}gram_frac"),
+        dup_frac.alias(f"dup_{dup_n}gram_frac"),
     )
 
 
