@@ -17,10 +17,14 @@ def test_release_tracked_unpersists(spark):
 
 
 def test_operators_register_persists(spark):
+    # minhash_lsh_pairs persists its shingle and band-key frames by design
+    # (each feeds 2+ consumers). ngram_jaccard_pairs, the previous subject,
+    # no longer persists: its df-cap path became a single-exchange grouped
+    # expansion (r15), so its zero registered persists is the correct state.
     release_tracked()
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
         ["doc_id", "text"],
     )
-    D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    D.minhash_lsh_pairs(docs, threshold=0.5).collect()
     assert release_tracked() >= 1
