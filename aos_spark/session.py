@@ -50,6 +50,21 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str((os.cpu_count() or 8) if is_local else 2000))
         # reference math is NaN-propagating pandas; ANSI would raise instead
         .config("spark.sql.ansi.enabled", "false")
+        # AQE coalesces post-shuffle partitions by BYTES, but the LLM-tier
+        # verify stages (exact-cosine / shingle-intersection checks after
+        # banding) carry ~100-300 bytes/row of keys+vectors while costing
+        # ~6 µs/candidate of compute, so the default 1 MB floor collapses a
+        # multi-second stage onto one core (measured: the embedding
+        # near-dup verify join, 609 KB post-shuffle, ran 1 task at 0.79 s
+        # warm; with a 64 KB floor it spreads to ~10 tasks, 0.48 s). The
+        # floor only matters for exchanges under cores×1 MB — at cluster
+        # scale target size is bytes/parallelism and this setting is inert,
+        # so it is scale-neutral, not a local[32] tune. Env-overridable for
+        # deployments whose scheduler overhead dominates tiny tasks.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("AOS_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         # envelopes / admin dims / quadkey covers are all broadcast-size
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
