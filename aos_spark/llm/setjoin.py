@@ -196,13 +196,19 @@ def ppjoin_pairs(
         )
     )
     ordered = persist_tracked(ordered)
-    # right-size the materialized doc frame (the ops/graph._sized
-    # discipline): every downstream stage — prefix posexplode and both
-    # verify sides — inherits its partitioning, and full-width stages over
-    # a few thousand cached array rows are pure scheduler overhead
-    # (measured 5.1 -> 4.3 s warm at sf0.1). ~25k docs/partition; a
-    # corpus-scale input keeps its width (coalesce is a no-op).
-    ordered = ordered.coalesce(max(1, -(-ordered.count() // 25_000)))
+    # No right-sizing coalesce here (r15, guide §2.4/§2.5): the r6-era
+    # `coalesce(ceil(n/25k))` collapsed a bench-scale corpus to ONE
+    # partition, and a single-partition child satisfies ANY clustered
+    # distribution — so the candidate SortMergeJoin, the pair distinct,
+    # and both verify attach joins all planned WITHOUT exchanges and the
+    # entire candidate+array_intersect pipeline ran as one task (status
+    # API: final stage tasks=1 at 7.4 s of an 11 s query). Full width
+    # keeps the shingle exchange in the plan, AQE (with the 64 KB
+    # minPartitionSize floor, session.py) sizes the reduce side, and the
+    # verify stage spreads across the cores; the scheduler overhead the
+    # coalesce once saved (r6: 5.1 -> 4.3 s) is absorbed by the same
+    # floor, which coalesces near-empty cache-scan stages at the next
+    # exchange instead of serializing the quadratic one.
     # prefix length p = n - ceil(t*n) + 1  (>= 1 whenever n >= 1).
     # The 1e-9 back-off guards double rounding: 0.07*100 evaluates to
     # 7.000000000000001, whose ceil is 8 — one prefix element short, a
