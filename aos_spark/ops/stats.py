@@ -178,12 +178,251 @@ def lagged_autocorrelation(
     return grouped_correlation(lagged, group_cols, value_col, "__prev", scale)
 
 
+def group_rank_value_bounds(
+    fact: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    rank_specs: dict[str, "object"],
+    *,
+    bucket_width: float | None = None,
+    n_buckets: int = 2048,
+    with_sums: bool = False,
+) -> DataFrame:
+    """Per-group VALUES at requested 1-based ascending ranks WITHOUT a
+    per-group global sort — two-pass range-partitioned exact-rank
+    selection (guide §2.5 skew / §5 memory): the historical
+    ``Window.partitionBy(group).orderBy(value)`` shape puts each group's
+    ENTIRE row set on one task's sort (3 tasks for 600k rows at sf0.1; a
+    guaranteed straggler for a handful of groups over a 100 TB fact).
+
+    Key fact making this exact: the value at global rank k (ordering by
+    value, ANY tie order) is tiebreak-insensitive — the sorted multiset
+    of values is fixed, so position k holds one well-defined value. So
+    rank selection needs no tiebreak columns and no global sort:
+
+    1. histogram pass — per (group, bucket) counts (and, with
+       ``with_sums``, exact decimal sums), where bucket is an
+       ORDER-CONSISTENT quantization of the double cast: with
+       ``bucket_width`` it is ``floor(v / width)`` (division by a
+       positive constant and floor are monotone non-decreasing IEEE
+       ops, so v1 <= v2 implies bucket(v1) <= bucket(v2) for ANY data —
+       the width choice affects only bucket counts, never correctness);
+       without a width, a min/max stats pass normalizes the range to
+       ``n_buckets`` buckets first (one extra scan).
+    2. prefix sums over the bounded histogram locate each rank's bucket
+       and its within-bucket offset;
+    3. fetch pass — only BOUNDARY-bucket rows (n/|buckets| per group in
+       expectation) are ranked locally; the offset-th smallest is the
+       exact global rank-k value.
+
+    ``rank_specs`` maps output column name -> fn(n: Column) -> 1-based
+    rank Column (must land in [1, n] for every group). Returns one row
+    per group: group_cols, __n (group count), and one column per tag
+    with the value at that rank (the value column's own type).
+
+    ``with_sums`` additionally returns, per group, ``__stot`` (exact
+    decimal SUM of the value column) and per tag the value-relative
+    split stats — ``{tag}__n_lt``/``{tag}__s_lt`` (count/sum of rows
+    STRICTLY below the picked value) and ``{tag}__n_le``/``{tag}__s_le``
+    (at or below) — tie-exact via the within-bucket first-occurrence
+    rank and tie count, so callers can compute clamped/trimmed
+    aggregates ALGEBRAICALLY without a third pass over the fact.
+
+    Scale envelope: the largest task is max(boundary-bucket size) —
+    n/|buckets| for anything non-degenerate — vs the whole hottest
+    group before. Values must be non-NULL (all callers rank NOT NULL
+    measures; NULLs would need the window shape's NULLS FIRST
+    convention).
+    """
+    from pyspark.sql import Window
+
+    from aos_spark.cache import persist_tracked
+
+    v = F.col(value_col)
+    if bucket_width is not None:
+        # domain-informed fixed width: no stats pass, bucket ids sparse
+        bucket = F.floor(v.cast("double") / F.lit(float(bucket_width)))
+        gstats = None
+    else:
+        gstats = persist_tracked(
+            fact.groupBy(*group_cols).agg(
+                F.min(v).alias("__vmin"), F.max(v).alias("__vmax")
+            )
+        )
+        lo_d = F.col("__vmin").cast("double")
+        span = F.col("__vmax").cast("double") - lo_d
+        width = span / F.lit(float(n_buckets))
+        # span <= 0 (constant or 1-row group) degenerates to one bucket
+        bucket = F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((v.cast("double") - lo_d) / width),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    def with_bucket(frame: DataFrame) -> DataFrame:
+        if gstats is not None:
+            frame = frame.join(F.broadcast(gstats), group_cols)
+        return frame.withColumn("__b", bucket)
+
+    hist_aggs = [F.count(F.lit(1)).alias("__c")]
+    if with_sums:
+        hist_aggs.append(F.sum(v).alias("__s"))
+    hist = with_bucket(fact).groupBy(*group_cols, "__b").agg(*hist_aggs)
+    # fold the whole cumulative/locate stage into ONE per-group row: the
+    # histogram is bounded (domain/width buckets), so collecting it into
+    # a sorted array and walking prefix sums with an aggregate() HOF
+    # replaces the window + per-tag spec machinery — measured r16, this
+    # halved the AQE micro-stage count (every tiny exchange/window is a
+    # separate AQE job at ~70-100 ms of pure orchestration latency)
+    per_group_aggs = [F.sum("__c").alias("__n")]
+    struct_fields = ["__b", "__c"] + (["__s"] if with_sums else [])
+    if with_sums:
+        per_group_aggs.append(F.sum("__s").alias("__stot"))
+    per_group_aggs.append(
+        F.array_sort(F.collect_list(F.struct(*struct_fields))).alias("__h")
+    )
+    per_group = hist.groupBy(*group_cols).agg(*per_group_aggs)
+
+    stot_t = None
+    if with_sums:
+        stot_t = dict(per_group.dtypes)["__stot"]
+
+    def locate(tag: str, k: Column) -> Column:
+        """Walk the sorted bucket array once: the struct of the bucket
+        holding rank k, its within-bucket offset, and the bucket-prefix
+        count (and sum) — exact longs/decimals end to end."""
+        zero_fields = [
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("b"),
+            F.lit(0).cast("long").alias("off"),
+            F.lit(0).cast("long").alias("cb"),
+        ]
+        if with_sums:
+            zero_fields += [
+                F.lit(0).cast(stot_t).alias("cums"),
+                F.lit(None).cast(stot_t).alias("scb"),
+            ]
+        zero = F.struct(*zero_fields)
+
+        def merge(acc: Column, x: Column) -> Column:
+            hit = acc["b"].isNull() & (k <= acc["cum"] + x["__c"])
+            fields = [
+                (acc["cum"] + x["__c"]).cast("long").alias("cum"),
+                F.when(hit, x["__b"]).otherwise(acc["b"]).alias("b"),
+                F.when(hit, k - acc["cum"]).otherwise(acc["off"]).alias("off"),
+                F.when(hit, acc["cum"]).otherwise(acc["cb"]).alias("cb"),
+            ]
+            if with_sums:
+                fields += [
+                    (acc["cums"] + x["__s"]).cast(stot_t).alias("cums"),
+                    F.when(hit, acc["cums"]).otherwise(acc["scb"]).alias("scb"),
+                ]
+            return F.struct(*fields)
+
+        loc_fields = [
+            F.lit(tag).alias("__tag"),
+            F.col("__loc")["b"].alias("__b"),
+            F.col("__loc")["off"].alias("__off"),
+            F.col("__loc")["cb"].alias("__cb"),
+        ]
+        if with_sums:
+            loc_fields.append(F.col("__loc")["scb"].alias("__scb"))
+        return F.aggregate("__h", zero, merge).alias("__loc"), loc_fields
+
+    # one boundary row per (group, tag); tags sharing a bucket duplicate
+    # the bucket's fetch rows per tag, and the fetch window partitions by
+    # tag as well, so each copy ranks independently (correct and tiny)
+    located = per_group
+    for tag, rank_fn in rank_specs.items():
+        loc_col, loc_fields = locate(tag, rank_fn(F.col("__n")))
+        located = (
+            located.withColumn("__loc", loc_col)
+            .withColumn(f"__spec_{tag}", F.struct(*loc_fields))
+            .drop("__loc")
+        )
+    group_consts = ["__n"] + (["__stot"] if with_sums else [])
+    boundary = located.select(
+        *group_cols,
+        *group_consts,
+        F.explode(
+            F.array(*[F.col(f"__spec_{tag}") for tag in rank_specs])
+        ).alias("__sp"),
+    ).select(*group_cols, *group_consts, "__sp.*")
+
+    w_in = Window.partitionBy(*group_cols, "__b", "__tag").orderBy(value_col)
+    ranked = (
+        with_bucket(fact)
+        .join(F.broadcast(boundary), [*group_cols, "__b"])
+        .withColumn("__rn", F.row_number().over(w_in).cast("long"))
+    )
+    if with_sums:
+        # tie-exact within-bucket stats at each row: first-occurrence
+        # rank of the row's value, tie count, and the cumulative sum of
+        # the first __rn values (tie-order-insensitive: a ROWS-frame sum
+        # over a fixed value multiset)
+        ranked = (
+            ranked.withColumn("__r1", F.rank().over(w_in).cast("long"))
+            .withColumn(
+                "__ceq",
+                F.count(F.lit(1))
+                .over(
+                    Window.partitionBy(*group_cols, "__b", "__tag", value_col)
+                )
+                .cast("long"),
+            )
+            .withColumn(
+                "__csum",
+                F.sum(v).over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+        )
+    picked = ranked.filter(F.col("__rn") == F.col("__off"))
+    if with_sums:
+        # rows/sums strictly below ('lt') and at-or-below ('le') the
+        # picked value, across the WHOLE group: bucket-prefix stats +
+        # the within-bucket split around the tie run [__r1, __r1+__ceq)
+        n_lt = F.col("__cb") + F.col("__r1") - 1
+        s_lt = F.col("__scb") + (
+            F.col("__csum") - (F.col("__rn") - F.col("__r1") + 1) * v
+        )
+        n_le = F.col("__cb") + F.col("__r1") + F.col("__ceq") - 1
+        s_le = F.col("__scb") + (
+            F.col("__csum")
+            + (F.col("__r1") + F.col("__ceq") - 1 - F.col("__rn")) * v
+        )
+        picked = (
+            picked.withColumn("__n_lt", n_lt)
+            .withColumn("__s_lt", s_lt)
+            .withColumn("__n_le", n_le)
+            .withColumn("__s_le", s_le)
+        )
+
+    tag_aggs = []
+    for tag in rank_specs:
+        is_tag = F.col("__tag") == tag
+        tag_aggs.append(F.min(F.when(is_tag, v)).alias(tag))
+        if with_sums:
+            for extra in ("__n_lt", "__s_lt", "__n_le", "__s_le"):
+                tag_aggs.append(
+                    F.min(F.when(is_tag, F.col(extra))).alias(f"{tag}{extra}")
+                )
+    group_consts = [F.min("__n").alias("__n")] + (
+        [F.min("__stot").alias("__stot")] if with_sums else []
+    )
+    return picked.groupBy(*group_cols).agg(*group_consts, *tag_aggs)
+
+
 def mad_outliers(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     tiebreak_cols: list[str],
     k: float = 3.0,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Robust per-group outlier screening via median absolute deviation:
     flag rows where |x − median| > k · MAD, with both the median and the
@@ -191,23 +430,29 @@ def mad_outliers(
     (see q_percentile_cont) — never an engine-native approximate
     quantile, whose tie conventions differ across engines.
 
-    Two group-partitioned ranking windows (values, then deviations),
-    two broadcast-sized per-group stat frames joined back, one final
-    rollup — every shuffle is keyed by the group columns, nothing is
-    globally sorted. Every derived number is a fixed sequence of IEEE754
-    ops on identical operands in any engine, so the outlier rule
-    (including boundary cases) is deterministic. The deviation frame
-    feeds three consumers (the MAD ranking, the flag join, the rollup),
-    so it is persisted via the repo's tracked cache — without it the
-    fact scans 4×; with it, once (callers release via
-    ``cache.release_tracked()``, same contract as the dedup pipelines).
+    Two shapes (r16, measured):
 
-    Scale caveat (same one percentile_cont_interp documents): the
-    ranking windows partition on the GROUP columns, so per-group data
-    volume lands on one task's sort. Fine for dimension-cardinality
-    groups; for a handful of groups over a 100 TB fact, use the
-    fixed-bin mergeable sketch (ops/sketches.quantile_histogram) or
-    range-partition pre-bucketing instead of exact ranks.
+    - ``bucket_width=None`` (default): the historical pair of
+      group-partitioned ranking windows (values, then deviations) with
+      the deviation frame persisted. One task per group and sort —
+      6 Spark jobs end to end, 1.4-2.0 s at sf0.1. Skew envelope = the
+      hottest group on one task; for a handful of groups over a 100 TB
+      fact use the range-partitioned shape below.
+    - ``bucket_width`` set: BOTH medians via the two-pass
+      range-partitioned exact-rank selection (group_rank_value_bounds)
+      — no group-partitioned sort anywhere, largest task =
+      n/|buckets|. The cost is orchestration, not compute: two
+      SEQUENTIAL selections (dev depends on med) are ~20 AQE stage-jobs
+      vs the window shape's 6, measured +1.0-1.5 s at sf0.1 — so the
+      registry query keeps the window shape at bench scale and this
+      path is the documented at-scale escape hatch (the
+      winsorized/percentile siblings, whose selection is ONE pass, DID
+      move to it and got faster).
+
+    Both shapes are bit-identical: the interpolated median only needs
+    the VALUES at the two bracketing ranks, which are
+    tiebreak-insensitive, so ``tiebreak_cols`` only shape the window
+    variant's sort (never the result).
 
     Output per group: n_rows, median, mad, n_outliers, outlier_frac.
     """
@@ -215,9 +460,7 @@ def mad_outliers(
 
     from aos_spark.cache import persist_tracked
 
-    def _p50(frame: DataFrame, col: str) -> DataFrame:
-        """Exact interpolated median of ``col`` per group → one row per
-        group with column __med."""
+    def _p50_window(frame: DataFrame, col: str) -> DataFrame:
         w = Window.partitionBy(*group_cols).orderBy(col, *tiebreak_cols)
         cw = Window.partitionBy(*group_cols)
         ranked = frame.select(
@@ -236,16 +479,62 @@ def mad_outliers(
             (v_lo + frac * (v_hi - v_lo)).alias("__med")
         )
 
-    med = _p50(df, value_col)
-    with_dev = persist_tracked(
-        df.join(med, on=group_cols).withColumn(
+    def _p50_ranged(frame: DataFrame, col: str) -> DataFrame:
+        idx = F.lit(0.5) * (F.col("__n") - 1).cast("double")
+        picked = group_rank_value_bounds(
+            frame.select(*group_cols, col),
+            group_cols,
+            col,
+            {
+                "__v_lo": lambda n: F.floor(
+                    F.lit(0.5) * (n - 1).cast("double")
+                ).cast("bigint")
+                + 1,
+                "__v_hi": lambda n: F.least(
+                    F.floor(F.lit(0.5) * (n - 1).cast("double")).cast("bigint")
+                    + 2,
+                    n,
+                ),
+            },
+            bucket_width=bucket_width,
+        )
+        frac = idx - F.floor(idx)
+        return picked.select(
+            *group_cols,
+            (
+                F.col("__v_lo") + frac * (F.col("__v_hi") - F.col("__v_lo"))
+            ).alias("__med"),
+        )
+
+    if bucket_width is None:
+        med = _p50_window(df, value_col)
+        with_dev = persist_tracked(
+            df.join(med, on=group_cols).withColumn(
+                "__dev", F.abs(F.col(value_col) - F.col("__med"))
+            )
+        )
+        mad = _p50_window(with_dev, "__dev").withColumnRenamed(
+            "__med", "__mad"
+        )
+        flagged = with_dev.join(mad, on=group_cols).withColumn(
+            "__is_out", F.col("__dev") > F.lit(k) * F.col("__mad")
+        )
+    else:
+        # narrow proxy persisted ONCE: the two median selections' passes
+        # and the flag rollup read it from cache (guide §8 step 1); the
+        # |groups|-row med/mad frames are persisted because their
+        # SUBTREES are whole selection pipelines with 3 consumers each
+        df = persist_tracked(df.select(*group_cols, value_col))
+        med = persist_tracked(_p50_ranged(df, value_col))
+        with_dev = df.join(F.broadcast(med), on=group_cols).withColumn(
             "__dev", F.abs(F.col(value_col) - F.col("__med"))
         )
-    )
-    mad = _p50(with_dev, "__dev").withColumnRenamed("__med", "__mad")
-    flagged = with_dev.join(mad, on=group_cols).withColumn(
-        "__is_out", F.col("__dev") > F.lit(k) * F.col("__mad")
-    )
+        mad = persist_tracked(
+            _p50_ranged(with_dev, "__dev").withColumnRenamed("__med", "__mad")
+        )
+        flagged = with_dev.join(F.broadcast(mad), on=group_cols).withColumn(
+            "__is_out", F.col("__dev") > F.lit(k) * F.col("__mad")
+        )
     return flagged.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("__med"), 6).alias("median"),
@@ -339,6 +628,7 @@ def grouped_winsorized_mean(
     value_col: str,
     order_cols: list[str],
     tail_pct: int = 5,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Per-group winsorized mean: clamp (don't drop — that's trimmed_mean)
     each group's values at its exact-rank lower/upper tail_pct bounds,
@@ -347,47 +637,55 @@ def grouped_winsorized_mean(
     interpolation, so the clamped sum is exact and the single final
     division is the only float op.
 
-    Plan: one group-keyed rank window; the SAME ranked frame feeds both
-    the |groups|-sized bounds aggregate (broadcast back) and the clamped
-    rollup — Spark reuses the window exchange for the rollup. Skew
-    envelope = hottest group, the partitioned-window standard."""
-    from pyspark.sql import Window
+    Plan (r16, guide §2.5): the bounds come from the two-pass
+    range-partitioned exact-rank selection (group_rank_value_bounds) —
+    no group-partitioned sort anywhere, so no one-task-per-group
+    straggler; rank-k VALUES are tiebreak-insensitive, so ``order_cols``
+    (kept for API stability) no longer influence the plan. The clamped
+    sum is assembled ALGEBRAICALLY from the helper's exact decimal
+    prefix stats — Σclamped = Σv + n_{v<p_lo}·p_lo − Σ_{v<p_lo}v
+    − (Σ_{v>p_hi}v − n_{v>p_hi}·p_hi) — every term an exact decimal, so
+    the value equals the row-wise clamped sum identically and NO third
+    pass over the fact is needed: the whole operator is the histogram
+    scan plus the boundary-bucket fetch scan.
 
-    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col), *order_cols)
-    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-    )
-    lo_rank = F.ceil(F.col("__n") * F.lit(int(tail_pct)) / F.lit(100)).cast("long")
-    ranked = ranked.withColumn("__lo_rk", F.greatest(lo_rank, F.lit(1))).withColumn(
-        "__hi_rk", F.col("__n") - F.col("__lo_rk") + 1
-    )
-    bounds = (
-        ranked.filter(
-            (F.col("__rn") == F.col("__lo_rk")) | (F.col("__rn") == F.col("__hi_rk"))
+    ``bucket_width`` is the helper's domain-informed bucket size (monotone
+    for any data — it only tunes bucket counts, never correctness)."""
+
+    def lo_fn(n: Column) -> Column:
+        return F.greatest(
+            F.ceil(n * F.lit(int(tail_pct)) / F.lit(100)).cast("long"), F.lit(1)
         )
-        .groupBy(*group_cols)
-        .agg(
-            F.min(F.when(F.col("__rn") == F.col("__lo_rk"), F.col(value_col))).alias(
-                "__p_lo"
-            ),
-            F.max(F.when(F.col("__rn") == F.col("__hi_rk"), F.col(value_col))).alias(
-                "__p_hi"
-            ),
+
+    b = group_rank_value_bounds(
+        df.select(*group_cols, value_col),
+        group_cols,
+        value_col,
+        {"__p_lo": lo_fn, "__p_hi": lambda n: n - lo_fn(n) + 1},
+        bucket_width=bucket_width,
+        with_sums=True,
+    )
+    n = F.col("__n")
+    p_lo, p_hi = F.col("__p_lo"), F.col("__p_hi")
+    # Σclamped, exactly: raise everything below p_lo to p_lo, lower
+    # everything above p_hi to p_hi (value-based, tie-exact — see the
+    # helper's __n_lt/__s_lt/__n_le/__s_le contract)
+    sum_w = (
+        F.col("__stot")
+        + (F.col("__p_lo__n_lt") * p_lo - F.col("__p_lo__s_lt"))
+        - (
+            (F.col("__stot") - F.col("__p_hi__s_le"))
+            - (n - F.col("__p_hi__n_le")) * p_hi
         )
     )
-    clamped = ranked.join(F.broadcast(bounds), group_cols).withColumn(
-        "__w",
-        F.when(F.col(value_col) < F.col("__p_lo"), F.col("__p_lo"))
-        .when(F.col(value_col) > F.col("__p_hi"), F.col("__p_hi"))
-        .otherwise(F.col(value_col)),
-    )
-    return clamped.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("__p_lo").cast("double").alias("lo_bound"),
-        F.min("__p_hi").cast("double").alias("hi_bound"),
-        F.round(
-            F.sum("__w").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("winsorized_mean"),
+    return b.select(
+        *group_cols,
+        n.alias("n"),
+        p_lo.cast("double").alias("lo_bound"),
+        p_hi.cast("double").alias("hi_bound"),
+        F.round(sum_w.cast("double") / n.cast("double"), 6).alias(
+            "winsorized_mean"
+        ),
     )
 
 

@@ -2687,35 +2687,71 @@ FROM spine LEFT JOIN hourly USING (event_type, h)
 
 def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated (PERCENTILE_CONT) p50/p90 of l_quantity per return
-    flag WITHOUT sorting to the driver: rank with a partitioned window,
-    then one aggregation picks the two bracketing elements and
-    interpolates v_lo + frac·(v_hi − v_lo). The index arithmetic
-    p·(n−1) and the interpolation are single IEEE754 ops, so the result
-    is bit-identical cross-engine (unlike engine-native quantile
-    implementations, whose tie/rounding conventions differ)."""
+    flag WITHOUT sorting to the driver — and (r16, guide §2.5) without
+    the group-partitioned rank window the historical form used, whose
+    per-group sort put each flag's full row set on ONE task (a
+    guaranteed straggler for 3 groups over a 100 TB fact).
+
+    l_quantity is integer-valued in [1, 50], so the corpus collapses to
+    a per-(flag, value) HISTOGRAM first (one map-combined shuffle,
+    ≤ 50 rows per flag); cumulative counts over the bounded histogram
+    locate the two bracketing ranks — the value at rank r is the
+    histogram row with cum−cnt < r ≤ cum, identical to the row_number
+    form for ANY tie order because rank-r VALUES are tiebreak-
+    insensitive. The index arithmetic p·(n−1) and the interpolation
+    v_lo + frac·(v_hi − v_lo) are the same single IEEE754 ops as
+    before, so the result stays bit-identical cross-engine (unlike
+    engine-native quantile implementations, whose tie/rounding
+    conventions differ)."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    h = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     cw = Window.partitionBy("l_returnflag")
-    d = li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cw).alias("n"),
+    d = (
+        h.withColumn("cum", F.sum("__c").over(wcum))
+        .withColumn("n", F.sum("__c").over(cw))
+        .withColumn("cb", F.col("cum") - F.col("__c"))
     )
-    aggs = [F.count(F.lit(1)).alias("n_items")]
+    aggs = [F.min("n").alias("n_items")]
+    post = []
     for tag, p in (("p50", 0.5), ("p90", 0.9)):
         idx = F.lit(p) * (F.col("n") - 1).cast("double")
         lo = F.floor(idx).cast("bigint") + 1  # 1-based rank
         hi = F.least(lo + 1, F.col("n"))
-        frac = idx - F.floor(idx)
-        v_lo = F.min(F.when(F.col("rn") == lo, F.col("l_quantity")))
-        v_hi = F.min(F.when(F.col("rn") == hi, F.col("l_quantity")))
-        # one row per group satisfies rn==lo; frac is constant per group
-        f = F.min(F.when(F.col("rn") == lo, frac))
-        aggs.append((v_lo + f * (v_hi - v_lo)).alias(tag))
-    return d.groupBy("l_returnflag").agg(*aggs)
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("cb") < lo) & (lo <= F.col("cum")),
+                    F.col("l_quantity"),
+                )
+            ).alias(f"__v_lo_{tag}")
+        )
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("cb") < hi) & (hi <= F.col("cum")),
+                    F.col("l_quantity"),
+                )
+            ).alias(f"__v_hi_{tag}")
+        )
+        # frac is a function of n alone — constant per group
+        idx_n = F.lit(p) * (F.col("n_items") - 1).cast("double")
+        post.append(
+            (
+                F.col(f"__v_lo_{tag}")
+                + (idx_n - F.floor(idx_n))
+                * (F.col(f"__v_hi_{tag}") - F.col(f"__v_lo_{tag}"))
+            ).alias(tag)
+        )
+    return d.groupBy("l_returnflag").agg(*aggs).select(
+        "l_returnflag", "n_items", *post
+    )
 
 
 ORACLE_PCTL_CONT = """

@@ -202,6 +202,11 @@ def q_mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         ["o_orderkey"],
         k=1.5,
+        # window shape (bucket_width=None): the range-partitioned
+        # selection was measured at +1.0-1.5 s here (two sequential
+        # selections = ~20 AQE jobs vs 6 — see mad_outliers docstring);
+        # pass bucket_width (e.g. 256.0 for o_totalprice's domain) to
+        # trade that latency for the no-straggler shape at scale
     )
 
 

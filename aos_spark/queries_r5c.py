@@ -424,7 +424,15 @@ def q_winsorized_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     return grouped_winsorized_mean(
-        li, ["l_returnflag"], "price", ["l_orderkey", "l_linenumber"], tail_pct=5
+        li,
+        ["l_returnflag"],
+        "price",
+        ["l_orderkey", "l_linenumber"],
+        tail_pct=5,
+        # l_extendedprice spans ~[900, 105k] at any TPC-H SF (domain-
+        # fixed): 64-unit buckets keep the rank histogram ~1.6k
+        # rows/group; width only tunes bucket counts, never correctness
+        bucket_width=64.0,
     )
 
 

@@ -4,8 +4,9 @@ Usage:
     python scripts/explain_dump.py <tag> <query> [<query> ...]
     python scripts/explain_dump.py <tag> --top N      # N slowest from BENCH_r14.json
 
-Writes plans/r15/<query>_<tag>.txt — the evidence files the optimization
-round's judge checks plan claims against (e.g. "2 Exchange -> 1").
+Writes plans/<round>/<query>_<tag>.txt — the evidence files the
+optimization round's judge checks plan claims against (e.g.
+"2 Exchange -> 1"). Round dir via $AOS_PLANS_ROUND (default r16).
 """
 
 from __future__ import annotations
@@ -20,8 +21,14 @@ from aos_spark.cache import release_tracked
 from aos_spark.queries import QUERIES
 from aos_spark.session import get_spark
 
+import os
+
 SF_DIR = "/root/testdata/sf0.1"
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r15"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("AOS_PLANS_ROUND", "r16")
+)
 
 
 def main() -> None:
