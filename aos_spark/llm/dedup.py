@@ -1035,8 +1035,20 @@ def dup_clusters(
                 F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id"),
             )
         )
+    # r16 init (guide §2.4 "remove shuffles outright" + §2.1 fewer jobs):
+    # checkpoint the PAIR frame first and build the doubled edge view from
+    # the checkpointed blocks. The historical shape doubled FIRST and
+    # checkpointed the union — ReuseExchange does NOT fire across the two
+    # aliased branches (verified: 0 ReusedExchange, 7 Exchanges), so the
+    # whole pair pipeline evaluated TWICE inside the init job, through a
+    # repartition("dst") shuffle the small path never used (its label
+    # side broadcasts). Lazy checkpoint + count fuses materialization
+    # into the sizing job: init is now 2 jobs (pairs+count,
+    # labels+count) instead of 4 (2 eager checkpoints + 2 counts), with
+    # the pipeline evaluated once and no small-path shuffle.
+    e = e.localCheckpoint(eager=False)
+    n_pairs = e.count()  # materializes the checkpoint; pipeline runs ONCE
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.repartition("dst").localCheckpoint()
     # Smart init: label = min(own id, min neighbor id) — the first
     # propagation step fused into the init aggregation (same single
     # shuffle as the plain distinct() init, since every node appears as
@@ -1048,27 +1060,27 @@ def dup_clusters(
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("__mn"))
         .select("id", F.least("id", "__mn").alias("label"))
-    ).localCheckpoint()
-    n_nodes = labels.count()  # cheap: counts the cached checkpoint
+    ).localCheckpoint(eager=False)
+    n_nodes = labels.count()  # materializes the labels checkpoint
     small = n_nodes <= broadcast_max_nodes
     if small:
-        # Right-size the per-round task width from the materialized counts.
-        # Coalescing AFTER localCheckpoint is a narrow, recompute-free
-        # collapse of already-stored blocks — unlike the r5 attempt, which
-        # re-partitioned UPSTREAM of the checkpoint and made the pair
-        # pipeline evaluate twice (3.9 s -> 5.1 s; see git history). In
-        # the small path the labels side broadcasts, so the dst hash
-        # partitioning the coalesce discards was unused anyway; the large
-        # path keeps the full-width repartition("dst") untouched.
-        # Size by EDGE count, not node count (r6 review): dense near-
-        # clique dup graphs have edges ~ Σclique², so a node-count
-        # divisor could collapse billions of doubled edge rows onto a
-        # handful of tasks. The edge count is a cheap cached-checkpoint
-        # scan.
-        k = max(1, -(-edges.count() // 250_000))
+        # Right-size the per-round task width from the materialized
+        # counts. In the small path the labels side broadcasts, so the
+        # edge frame needs no dst partitioning at all: each round
+        # re-derives the doubled view from the checkpointed pair blocks
+        # (narrow, recompute-free). Size by EDGE count, not node count
+        # (r6 review): dense near-clique dup graphs have edges ~
+        # Σclique², so a node-count divisor could collapse billions of
+        # doubled edge rows onto a handful of tasks.
+        k = max(1, -(-(2 * n_pairs) // 250_000))
         edges = edges.coalesce(k)
         label_width = max(1, -(-n_nodes // 250_000))
         labels = labels.coalesce(label_width)
+    else:
+        # large path: pre-partition the doubled edges by dst ONCE and
+        # checkpoint, so every round's sort-merge join reuses the
+        # partitioning instead of re-shuffling the edge table
+        edges = edges.repartition("dst").localCheckpoint()
     label_t = dict(labels.dtypes)["label"]
     n_changed: int | None = None  # None = no round ever ran (max_iter=0)
     for _ in range(max_iter):
