@@ -611,7 +611,8 @@ def banded_minhash_frame(
 
 
 def banded_keys_from_shingles(
-    sh: DataFrame, num_hashes: int = 16, bands: int = 4
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4,
+    *, carry_shingles: bool = False,
 ) -> DataFrame:
     """(id, band, band_key) — the LIGHT banded-LSH frame: signature band
     keys computed from an existing (id, shingles) frame, WITHOUT carrying
@@ -621,18 +622,32 @@ def banded_keys_from_shingles(
     aggregation) moved orders of magnitude more bytes than the decision
     needs (guide §2.3 "shuffle keys and metadata instead of payloads",
     §8). Callers attach the arrays afterwards, id-keyed, exactly once
-    per verified candidate side — see _attach_shingles."""
+    per verified candidate side — see _attach_shingles.
+
+    ``carry_shingles=True`` keeps the shingle array on the banded rows —
+    for the regime where the BUCKET JOIN side never shuffles (probe side
+    of a broadcast join) and candidates ≪ corpus, so the only exchange
+    that would ever move arrays is the candidate dedup, and an id-keyed
+    re-attach would shuffle MORE (the whole corpus's arrays plus two
+    extra exchanges). cross_contamination_pairs is that regime
+    (measured r16: 274 pre-dedup candidates vs 4010 corpus docs at
+    sf0.1); the self-join pipelines keep the light frame."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             f"{num_hashes % bands} trailing signature rows would be ignored"
         )
     rows_per_band = num_hashes // bands
+    payload = ["shingles"] if carry_shingles else []
     sig = sh.select(
-        "id", F.transform("shingles", shingle_hash).alias("__hashed")
-    ).select("id", minhash_signature(F.col("__hashed"), num_hashes).alias("sig"))
+        "id", *payload, F.transform("shingles", shingle_hash).alias("__hashed")
+    ).select(
+        "id", *payload,
+        minhash_signature(F.col("__hashed"), num_hashes).alias("sig"),
+    )
     return sig.select(
         "id",
+        *payload,
         F.explode(
             F.array(
                 *[
@@ -650,7 +665,7 @@ def banded_keys_from_shingles(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.band_key")
+    ).select("id", *payload, "bk.band", "bk.band_key")
 
 
 def _attach_shingles(
@@ -762,21 +777,44 @@ def cross_contamination_pairs(
     training corpus never shuffles for candidate generation. Output:
     (id_a = corpus doc, id_b = held-out doc, jaccard).
 
-    r15 shape (guide §2.3/§8): the bucket join and the broadcast move
-    only (id, band, band_key); shingle arrays attach per side afterwards
-    — corpus arrays once, id-keyed, and the held-out arrays as a second
-    small broadcast."""
-    # persists: each shingle frame feeds its banded keys AND its verify
-    # attach side (the keys frames feed only ONE bucket-join side each,
-    # so they need no persist of their own)
-    csh = persist_tracked(shingle_frame(corpus, id_col, text_col, n))
+    r16 shape (guide §2.3/§8, narrow fast-path): the held-out banded
+    keys broadcast, so the corpus side of the bucket join NEVER
+    shuffles — the only exchange left is the candidate dedup. In that
+    regime the r15 "shuffle keys, re-attach id-keyed" discipline is a
+    net LOSS for the corpus side: the attach joins shuffled every
+    corpus doc's array plus the candidate frame (two extra exchanges)
+    to re-deliver arrays to candidates ≪ corpus (274 pre-dedup
+    candidates vs 4010 corpus docs at sf0.1). The corpus arrays
+    therefore ride the bucket join rows (broadcast probe — no shuffle)
+    and the dedup exchange carries only CANDIDATE arrays; held-out
+    arrays attach as the same small broadcast as before. The self-join
+    pipelines (minhash_lsh_pairs) keep the attach shape — there the
+    banded frame shuffles on both sides and candidates ≫ corpus."""
+    # persist: the held-out shingle frame feeds its banded keys AND the
+    # verify attach side; the corpus frame now has a single consumer
+    # (the payload-carrying banded keys), so it needs no persist
     hsh = persist_tracked(shingle_frame(heldout, id_col, text_col, n))
-    ck = banded_keys_from_shingles(csh, num_hashes, bands)
-    hk = banded_keys_from_shingles(hsh, num_hashes, bands)
-    cand = _banded_candidates(ck, hk, broadcast_y=True)
-    return _verified_pairs(
-        _attach_shingles(cand, csh, hsh, broadcast_b=True), threshold
+    csh = shingle_frame(corpus, id_col, text_col, n)
+    ck = banded_keys_from_shingles(
+        csh, num_hashes, bands, carry_shingles=True
     )
+    hk = banded_keys_from_shingles(hsh, num_hashes, bands)
+    cand = (
+        ck.alias("x")
+        .join(F.broadcast(hk.alias("y")), ["band", "band_key"])
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.shingles").alias("sh_a"),
+            F.col("y.id").alias("id_b"),
+        )
+        # one row per (id_a, id_b); sh_a is identical on every collision
+        # row of a pair, so the kept row's payload is value-deterministic
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sb = F.broadcast(
+        hsh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    )
+    return _verified_pairs(cand.join(sb, "id_b"), threshold)
 
 
 @pandas_udf(LongType())

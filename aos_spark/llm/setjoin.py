@@ -301,10 +301,27 @@ def ppjoin_pairs(
     # pairs up to 5e-7 below t and (for a >6-decimal t) drop true
     # positives, breaking the exactness contract. Round only in the
     # output projection, purely for display stability.
+    #
+    # n_common rides an explode(array(...)) of ONE element (r16, guide
+    # §2.4/§4.4-adjacent): a plain projection lets the optimizer push
+    # the Jaccard filter INTO the attach join condition and re-expand
+    # the alias, so array_intersect evaluated 2× per candidate and 3×
+    # per surviving pair (verified in the r15 plan). A Generate node is
+    # a pushdown/collapse barrier for predicates on its output, so the
+    # intersect now runs exactly ONCE per candidate pair; the
+    # single-element explode neither drops nor multiplies rows.
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.explode(
+                F.array(F.size(F.array_intersect("sh_a", "sh_b")))
+            ).alias("n_common"),
+        )
         .withColumn(
             "jaccard_raw",
             F.col("n_common")
