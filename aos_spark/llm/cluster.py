@@ -87,7 +87,12 @@ def kmeans_lloyd_step(
     ``centroids`` defaults to the k lowest-id vectors (deterministic
     seed); pass the previous step's output (pivoted back to vectors) to
     iterate."""
-    ve = explode_vectors(df, id_col, vec_col)
+    from aos_spark.llm.dedup import ensure_min_partitions
+
+    # the |corpus|·dim·k distance map side runs at the SCAN's parallelism
+    # (no exchange below it) — a single-row-group parquet corpus is 1
+    # task however many splits are requested (r16, guide §2.5)
+    ve = explode_vectors(ensure_min_partitions(df), id_col, vec_col)
     if centroids is None:
         # the k LOWEST-ID vectors, as documented — not filter(id < k),
         # which silently under-seeds (possibly to zero) when ids are

@@ -68,14 +68,26 @@ def _sq_norm(v: list[float]) -> float:
 
 def _centroid_df(spark, books, sub_dim: int) -> DataFrame:
     """(j, c, c_0..c_{sub_dim-1}, cc) — the n_sub·k-row broadcast side of
-    every PQ stage."""
-    return spark.createDataFrame(
+    every PQ stage. Built as a LITERAL frame (r16, guide §4): the
+    historical ``createDataFrame(list)`` form became a Python-RDD scan
+    (``applySchemaToPythonRDD``) that spun up Python workers and
+    unpickled the 128 rows on EVERY query run — ~0.5-1.0 s of the
+    encode path's 1.6 s warm time. The literal form runs entirely in
+    the JVM; types match the inferred ones (j/c bigint, values double)
+    so every downstream cast and tie-break compares identically."""
+    from aos_spark.io.local_frame import literal_frame
+
+    schema = "j BIGINT, c BIGINT, " + ", ".join(
+        f"c_{i} DOUBLE" for i in range(sub_dim)
+    ) + ", cc DOUBLE"
+    return literal_frame(
+        spark,
         [
             (j, c, *cent, _sq_norm(cent))
             for j, book in enumerate(books)
             for c, cent in enumerate(book)
         ],
-        ["j", "c", *[f"c_{i}" for i in range(sub_dim)], "cc"],
+        schema,
     )
 
 
@@ -133,11 +145,20 @@ def pq_encode(
     Pass ``books`` (e.g. per-subspace ``llm.cluster.kmeans_fit`` output)
     to use trained codebooks instead of the deterministic default — the
     plan shape is identical; only the broadcast table's values change."""
+    from aos_spark.llm.dedup import ensure_min_partitions
+
     spark = df.sparkSession
     books = books if books is not None else pq_codebooks(dim, n_sub, k, seed)
     sub_dim = dim // n_sub
     cent_df = _centroid_df(spark, books, sub_dim)
-    subs = _subvectors(df, id_col, vec_col, n_sub, sub_dim)
+    # the distance projection (n_sub·k rows per vector) runs BEFORE any
+    # exchange, i.e. at the SCAN's parallelism — a single-row-group
+    # parquet corpus is 1 task however many splits are requested, which
+    # serialized the whole encode onto one core (r16, guide §2.5; same
+    # under-partitioned-input fix the text tier's shingle_frame carries)
+    subs = _subvectors(
+        ensure_min_partitions(df), id_col, vec_col, n_sub, sub_dim
+    )
     dot = " + ".join(f"s_{i} * c_{i}" for i in range(sub_dim))
     scored = subs.join(F.broadcast(cent_df), "j").withColumn(
         "__d", F.expr(f"(-2.0D * ({dot})) + cc")

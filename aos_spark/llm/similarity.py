@@ -78,8 +78,14 @@ def _broadcast_cosine_topk(
         pred = F.col("__cl") != F.col("__ql")
     else:
         pred = F.col("neighbor_id") != F.col("query_id")
+    # the |corpus|×|queries| cosine projection runs at the SCAN's
+    # parallelism (no exchange below it) — a single-row-group parquet
+    # corpus is 1 task, serializing the whole scoring loop onto one core
+    # (r16, guide §2.5; the shingle_frame under-partitioned-input fix)
+    from aos_spark.llm.dedup import ensure_min_partitions
+
     scored = (
-        corpus.select(*ccols)
+        ensure_min_partitions(corpus.select(*ccols))
         .join(F.broadcast(queries.select(*qcols)), pred)
         .withColumn("cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn"))
     )
@@ -202,13 +208,19 @@ def ivf_assign(
     (broadcast centroids × corpus, per-vector argmin — corpus never
     shuffles). At warehouse scale this runs once at write time and the
     list id becomes a partition column."""
+    from aos_spark.llm.dedup import ensure_min_partitions
+
     c = centroids.select(
         F.col("centroid_id"), F.col("cvec"), norm_expr(F.col("cvec")).alias("cnorm")
     )
-    scored = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        norm_expr(F.col(vec_col)).alias("vnorm"),
+    # the k-per-vector distance map side runs at the SCAN's parallelism —
+    # a single-row-group parquet corpus is 1 task (r16, guide §2.5)
+    scored = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("vnorm"),
+        )
     ).crossJoin(F.broadcast(c))
     sim = cosine_from_norms("v", "cvec", "vnorm", "cnorm")
     # r15 (guide §2.2 partial aggregation): the per-vector argmax was a
@@ -338,11 +350,16 @@ def lsh_topk(
     is computed inline. Recall is tunable via n_planes (fewer planes →
     bigger buckets → higher recall, more compute).
     """
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        norm_expr(F.col(vec_col)).alias("__cn"),
-        hyperplane_bucket(vec_col, n_planes, seed, dim).alias("bucket"),
+    from aos_spark.llm.dedup import ensure_min_partitions
+
+    # bucket hashing + norms run at scan parallelism (r16, guide §2.5)
+    cb = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm_expr(F.col(vec_col)).alias("__cn"),
+            hyperplane_bucket(vec_col, n_planes, seed, dim).alias("bucket"),
+        )
     )
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
