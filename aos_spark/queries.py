@@ -3059,11 +3059,23 @@ def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of partitioning AND engine — native corr()/stddev()
     streaming accumulators can't be cross-engine exact. sqrt is IEEE754
     correctly-rounded, so even the derived chain is bit-identical."""
+    from aos_spark.llm.dedup import ensure_min_partitions
     from aos_spark.ops import stats
 
     li = _t(spark, sf_dir, "lineitem")
+    # the exact-decimal moment map side is the expensive part of this
+    # query and runs at the SCAN's parallelism (3 row-group tasks at
+    # sf0.1) — spread it before aggregating (r16, guide §2.5; explains
+    # the old 8-core≈32-core scaling). A scaled-int64 rewrite of the
+    # DECIMAL(38,12) products was considered (VERDICT r15 #7) and is
+    # moot once the map side parallelizes: the query is scan-bound.
     return stats.grouped_correlation(
-        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+        ensure_min_partitions(
+            li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        ),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
     )
 
 
