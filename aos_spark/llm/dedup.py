@@ -933,15 +933,16 @@ def embedding_near_dups(
     exact cosine in Catalyst (zip_with + aggregate)."""
     from aos_spark.llm.similarity import cosine_from_norms, hyperplane_bucket, norm_expr
 
-    bucketed = ensure_min_partitions(df).select(
+    bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm_expr(F.col(vec_col)).alias("nv"),
         hyperplane_bucket(vec_col, n_planes=n_planes, seed=seed).alias("bucket"),
     )
-    # persist: the 8 plane dot-products feed both self-join sides
-    # (ensure_min_partitions above spreads the cache BUILD, which
-    # otherwise runs at a single-row-group scan's 1-task parallelism)
+    # persist: the 8 plane dot-products feed both self-join sides.
+    # (r16: the 1-task-scan spread guard was measured a net loss on the
+    # light-compute similarity paths — see llm/similarity ivf_assign —
+    # so the cache build stays at scan parallelism here too)
     bucketed = persist_tracked(bucketed)
     cand = (
         bucketed.alias("x")

@@ -78,14 +78,15 @@ def _broadcast_cosine_topk(
         pred = F.col("__cl") != F.col("__ql")
     else:
         pred = F.col("neighbor_id") != F.col("query_id")
-    # the |corpus|×|queries| cosine projection runs at the SCAN's
-    # parallelism (no exchange below it) — a single-row-group parquet
-    # corpus is 1 task, serializing the whole scoring loop onto one core
-    # (r16, guide §2.5; the shingle_frame under-partitioned-input fix)
-    from aos_spark.llm.dedup import ensure_min_partitions
-
+    # NOTE (r16, measured): the |corpus|×|queries| cosine projection runs
+    # at the SCAN's parallelism (1 task on a single-row-group corpus),
+    # but spreading it with ensure_min_partitions was a net LOSS here —
+    # interleaved A/B 0.87× on ann_recall_eval — because the per-row
+    # work (|Q| dots) is light next to the round-robin shuffle + extra
+    # stage it buys. Contrast pq_encode/kmeans_lloyd_step, where the
+    # same guard won 1.2-1.7× (128-row join / 64·k distance map per row).
     scored = (
-        ensure_min_partitions(corpus.select(*ccols))
+        corpus.select(*ccols)
         .join(F.broadcast(queries.select(*qcols)), pred)
         .withColumn("cosine", cosine_from_norms("__qv", "__cv", "__qn", "__cn"))
     )
@@ -208,19 +209,16 @@ def ivf_assign(
     (broadcast centroids × corpus, per-vector argmin — corpus never
     shuffles). At warehouse scale this runs once at write time and the
     list id becomes a partition column."""
-    from aos_spark.llm.dedup import ensure_min_partitions
-
     c = centroids.select(
         F.col("centroid_id"), F.col("cvec"), norm_expr(F.col("cvec")).alias("cnorm")
     )
-    # the k-per-vector distance map side runs at the SCAN's parallelism —
-    # a single-row-group parquet corpus is 1 task (r16, guide §2.5)
-    scored = ensure_min_partitions(
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("v"),
-            norm_expr(F.col(vec_col)).alias("vnorm"),
-        )
+    # NOTE (r16, measured): spreading this 1-task map side with
+    # ensure_min_partitions was a net loss (interleaved A/B 0.81× on
+    # sim_ivf_topk) — k cosines per row are light next to the shuffle.
+    scored = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("vnorm"),
     ).crossJoin(F.broadcast(c))
     sim = cosine_from_norms("v", "cvec", "vnorm", "cnorm")
     # r15 (guide §2.2 partial aggregation): the per-vector argmax was a
@@ -350,16 +348,13 @@ def lsh_topk(
     is computed inline. Recall is tunable via n_planes (fewer planes →
     bigger buckets → higher recall, more compute).
     """
-    from aos_spark.llm.dedup import ensure_min_partitions
-
-    # bucket hashing + norms run at scan parallelism (r16, guide §2.5)
-    cb = ensure_min_partitions(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            norm_expr(F.col(vec_col)).alias("__cn"),
-            hyperplane_bucket(vec_col, n_planes, seed, dim).alias("bucket"),
-        )
+    # NOTE (r16): n_planes dots per row are light — the 1-task-scan
+    # spread guard was a net loss on this family (see ivf_assign note)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+        hyperplane_bucket(vec_col, n_planes, seed, dim).alias("bucket"),
     )
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),

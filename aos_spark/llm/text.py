@@ -14,6 +14,23 @@ from pyspark.sql import functions as F
 from aos_spark.cache import persist_tracked
 from aos_spark.ops.exact_round import round_ratio6, scaled_round6
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """ensure_min_partitions at the tokenize entry (r16, guide §2.5):
+    a single-row-group parquet corpus scans as ONE task no matter how
+    many splits are requested, and the regex tokenize + explode map work
+    below runs BEFORE the first exchange — i.e. serialized on one core.
+    The guard is a no-op on properly partitioned inputs (same fix
+    shingle_frame has carried since the dedup tier). Applied ONLY where
+    the interleaved A/B won (postings_index 1.11×, bigram_rarity 1.26×,
+    winnow_fingerprints 1.37× — heavy explode fan-out); measured a net
+    LOSS and reverted at tfidf/cooccurrence/vocab-encode (0.79-0.85× —
+    light tokenize, persisted frames), where the round-robin shuffle +
+    extra stage outweigh the spread."""
+    from aos_spark.llm.dedup import ensure_min_partitions
+
+    return ensure_min_partitions(df)
+
 # Marker-word lists for the n-gram/stopword language heuristic. Deliberately
 # tiny and deterministic: language ID at corpus scale is a scoring pass, and
 # the contract (argmax of per-language marker hits, ties → 'und') is what the
@@ -161,6 +178,7 @@ def build_vocab(
     count shuffle; the result is Zipf-bounded (vocabulary-sized), tiny
     next to the corpus, and is exactly the frame the tf-idf join
     broadcasts."""
+    # (r16: spread guard measured 0.84× on vocab_encode_tokens — reverted)
     terms = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
@@ -348,7 +366,7 @@ def winnow_fingerprints(
     density = n_selected / n_grams, one final double division."""
     from aos_spark.llm.dedup import shingle_hash
 
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.array_remove(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
@@ -497,6 +515,8 @@ def top_terms_tfidf(
     # one regex pass (split on non-alnum runs; empty edge tokens are removed
     # by the filter below) — same token list as regexp_replace+trim+split at
     # a third of the regex CPU; oracles keep the two-pass spelling
+    # (r16: the 1-task-scan spread guard measured 0.79× here — light
+    # tokenize + persisted frame; kept only where it wins, see _spread)
     terms = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
@@ -572,7 +592,7 @@ def bigram_rarity(
     join formulation trades local wall-clock for the shape that survives
     zipfian text at 100 TB.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         id_col,
         F.array_remove(F.split(F.lower(F.col(text_col)), _WORD_RE), "").alias(
             "__tokens"
@@ -682,7 +702,7 @@ def postings_index(
 
     from aos_spark.cache import persist_tracked
 
-    occ = df.select(
+    occ = _spread(df).select(
         id_col,
         F.explode(
             F.array_remove(
@@ -744,6 +764,7 @@ def cooccurrence_lift(
     """
     from aos_spark.cache import persist_tracked
 
+    # (r16: spread guard measured 0.85× here — reverted, see _spread)
     td = persist_tracked(
         df.select(
             F.col(id_col).alias("doc"),

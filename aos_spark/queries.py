@@ -3401,37 +3401,37 @@ QUERIES.update(R6_QUERIES)
 # the 45 without driver-green rows; r4 the typing-fix set; r1-r3 ran
 # declaration order. tests/test_rotation.py locks this structurally via
 # the stable _GATE_FRONT alias.
-_R15_FRONT = [
-    # r15: no engine-output changes this round (the budget keyword threads
-    # through four registry functions but defaults to None, so every
-    # registry plan and hash is unchanged) — pure stalest-green-first
-    # rotation, scripts/rotation_status.py's suggested order verbatim
-    # (stalest = round-10 rows), truncated to the 50-query window.
-    # (r14 consumed the r9-era rows.)
-    "ewma_monthly_revenue", "type_token_ratio",
-    "above_nation_avg_customers", "sketch_hll_merge_weekly",
-    "customer_skyline_frontier", "flagship_storm_impact",
-    "s1_catalog_scan", "f4_recency_filter", "f5_isin_or_filter",
-    "f11_antijoin_new_work", "j1_cover_equi_join",
-    "j9_preserve_empty_regions", "a1_a2_probability_expected",
-    "a6_report_totals", "a7_vulnerability_bands", "a8_topk_per_group",
-    "a9_max_active_threshold", "a10_first_match_stats",
-    "w1_track_segments", "w3_w4_cci", "w5_dedup_keep_first",
-    "w6_argmax_per_group", "a5_member_severity", "scalar_functions",
-    "smod_recode_map", "text_token_count", "text_quality_score",
-    "text_language_id", "text_fingerprint", "dedup_exact",
-    "mixture_apply_stats", "monthly_growth_by_nation", "ann_recall_eval",
-    "term_cooccurrence_lift", "language_confusion_matrix",
-    "label_centroid_similarity", "bpe_merge_candidates",
-    "trimmed_mean_prices", "revenue_pareto_by_nation",
-    "revenue_trend_by_nation", "containment_near_dup",
-    "lsh_band_collision_stats", "dau_moving_average", "ppjoin_exact_pairs",
-    "zorder_skipping_census", "hard_negative_mining", "language_kappa",
-    "winnowing_fingerprints", "matryoshka_recall_eval",
-    "dedup_threshold_curve",
+_R16_FRONT = [
+    # r16: this round's engine changes touch several query plans but no
+    # query RESULTS (oracle hash-verified per change); the window again
+    # runs pure stalest-green-first rotation — rotation_status.py's
+    # suggested order verbatim (stalest = round-11 rows), truncated to
+    # the 50-query window. (r15 consumed the r10-era rows.) Several of
+    # this round's structurally-changed queries land in the window by
+    # that rule alone (quantile_error_eval, dedup_clusters,
+    # decontamination_pairs, tfidf_top_terms, sim_ivf_topk,
+    # text_repetition_stats), giving the changes fresh driver-green rows.
+    "split_leakage_check", "cms_error_eval", "hll_error_eval",
+    "quantile_error_eval", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "sim_bruteforce_topk", "sim_lsh_topk", "dedup_embedding_cosine",
+    "j2_point_zone_count", "j3_j5_zone_assignment", "j10_lookup_join",
+    "j13_prev_forecast_delta", "a13_cci_admin_rollup", "a14_value_counts",
+    "w2_first_landfall", "s6_distinct_ordered", "dedup_simhash",
+    "multimodal_image_features", "sessionize_events", "sim_ivf_topk",
+    "text_bpe_tokens", "text_rolling_fingerprint", "s17_raster_zonal",
+    "asof_join_events", "range_join_events", "dedup_clusters",
+    "decontamination_pairs", "sample_split_stats", "q4_priority_semijoin",
+    "q18_large_volume_orders", "corpus_language_stats",
+    "sketch_cms_estimate", "text_pii_scrub", "text_repetition_stats",
+    "sketch_hll_distinct", "tfidf_top_terms", "q3_shipping_priority",
+    "q5_regional_revenue", "q17_small_quantity_revenue",
+    "j2_facility_probability", "cube_order_stats", "pivot_status_revenue",
+    "unpivot_metrics", "rolling_customer_spend", "rank_distribution",
+    "histogram_quantity", "tumbling_event_windows", "set_ops_segments",
+    "corpus_length_percentiles",
 ]
 # Stable alias for tests/tools — survives the per-round _R{N}_FRONT rename.
-_GATE_FRONT = _R15_FRONT
+_GATE_FRONT = _R16_FRONT
 assert set(_GATE_FRONT) <= set(QUERIES), sorted(set(_GATE_FRONT) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _GATE_FRONT} | {
     n: f for n, f in QUERIES.items() if n not in set(_GATE_FRONT)
