@@ -1004,11 +1004,15 @@ def q_winnow_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     → print-keyed self-join on the far-smaller fingerprint frame."""
     from pyspark.sql import Window
 
-    from aos_spark.llm.dedup import shingle_hash
+    from aos_spark.llm.dedup import ensure_min_partitions, shingle_hash
     from aos_spark.llm.text import gram_occurrences
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # tokenize + 4-gram explode run BEFORE the doc window's exchange, at
+    # the scan's parallelism (1 task on the single-row-group corpus) —
+    # spread them first (r16, guide §2.5; the same pattern measured
+    # 1.37× on winnowing_fingerprints)
+    toks = ensure_min_partitions(d).select(
         "doc_id",
         "source",
         F.array_remove(
